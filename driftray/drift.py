@@ -1,0 +1,172 @@
+"""Distribution-drift kernels: unusual-ratio, KS, PSI, Jensen-Shannon.
+
+Semantics sources (see SURVEY.md §2.5, §3.1):
+
+* ``unusual_ratio_verdicts`` replicates the reference's executable drift
+  detector row-for-row: ``/root/reference/src/data_sources/iot/sensor.py:160-194``
+  — count-based window of ``window_size`` rows, trigger when
+  ``unusual_count / window_size > threshold`` (NOTE: divisor is the constant
+  window_size, ``sensor.py:189``), window resets ONLY when drift fires
+  (``sensor.py:193``) and otherwise keeps growing and re-evaluates on every
+  subsequent row.
+* ``ks_2sample`` reimplements the two-sample Kolmogorov-Smirnov test of
+  ``/root/reference/DESIGN.md:556-573`` (drift iff p < 0.05) without scipy:
+  exact statistic from sorted samples, p via the asymptotic
+  Kolmogorov distribution (same formula scipy uses in asymp mode).
+* ``psi`` / ``js_divergence`` are histogram-based kernels over the same
+  fixed-bin partials as the profile stage (``DESIGN.md:521-523`` names
+  KL/JS; PSI is mandated by BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .sketches import Histogram, TDigest
+
+
+# ---------------------------------------------------------------------------
+# Reference detector (sensor.py) — exact conformance semantics
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WindowVerdict:
+    window_index: int        # 0-based index of the evaluated window
+    start_row: int           # first row (0-based, inclusive) in the window
+    end_row: int             # last row (0-based, inclusive) that triggered evaluation
+    n_rows: int              # rows accumulated when drift fired
+    unusual_count: int
+    unusual_ratio: float     # unusual_count / window_size (constant divisor!)
+    drift: bool
+
+
+def unusual_ratio_verdicts(
+    unusual: np.ndarray,
+    window_size: int = 50,
+    threshold: float = 0.10,
+) -> list[WindowVerdict]:
+    """Replay of ``run_streaming_pipeline`` (sensor.py:160-194) over a boolean
+    array, in order.  Emits one verdict per DRIFT event (the reference only
+    acts/rests when the ratio trips; sub-threshold evaluations are silent
+    re-checks) plus a final verdict for the trailing open window.
+
+    The loop is O(n) driver-side math over one boolean column per partition —
+    the heavy lifting (deriving ``unusual`` flags from raw columns) happens
+    vectorized in ``map_batches``; partitions are independent.
+    """
+    u = np.asarray(unusual).astype(bool)
+    verdicts: list[WindowVerdict] = []
+    start = 0
+    count = 0  # running unusual count in the open window
+    widx = 0
+    for i in range(u.size):
+        count += bool(u[i])
+        n_in_window = i - start + 1
+        if n_in_window >= window_size:
+            ratio = count / window_size  # sensor.py:189 — constant divisor
+            if ratio > threshold:
+                verdicts.append(
+                    WindowVerdict(widx, start, i, n_in_window, count, ratio, True)
+                )
+                widx += 1
+                start = i + 1
+                count = 0
+    if start < u.size:
+        n = int(u.size - start)
+        c = int(u[start:].sum())
+        verdicts.append(
+            WindowVerdict(widx, start, int(u.size) - 1, n, c, c / window_size, False)
+        )
+    return verdicts
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+
+def _kolmogorov_sf(x: float) -> float:
+    """Survival function of the Kolmogorov distribution (asymptotic KS p)."""
+    if x <= 0:
+        return 1.0
+    # alternating series; converges fast for x > 0.2
+    total = 0.0
+    for k in range(1, 101):
+        term = (-1) ** (k - 1) * math.exp(-2.0 * (k * x) ** 2)
+        total += term
+        if abs(term) < 1e-12:
+            break
+    return max(0.0, min(1.0, 2.0 * total))
+
+
+def ks_2sample(a: np.ndarray, b: np.ndarray) -> tuple[float, float]:
+    """Exact two-sample KS statistic + asymptotic p-value (scipy-compatible).
+
+    Mirrors ``ks_2samp(reference[col], current[col])`` at DESIGN.md:559-563.
+    """
+    a = np.sort(np.asarray(a, dtype=np.float64))
+    b = np.sort(np.asarray(b, dtype=np.float64))
+    n1, n2 = a.size, b.size
+    if n1 == 0 or n2 == 0:
+        return float("nan"), float("nan")
+    both = np.concatenate([a, b])
+    cdf1 = np.searchsorted(a, both, side="right") / n1
+    cdf2 = np.searchsorted(b, both, side="right") / n2
+    d = float(np.abs(cdf1 - cdf2).max())
+    en = math.sqrt(n1 * n2 / (n1 + n2))
+    p = _kolmogorov_sf((en + 0.12 + 0.11 / en) * d)
+    return d, p
+
+
+def ks_from_digests(ref: TDigest, cur: TDigest, n_points: int = 256) -> float:
+    """Approximate KS statistic from two t-digests (scale path: no raw rows).
+
+    Evaluates |ECDF_ref - ECDF_cur| on a merged grid of quantile probes.
+    """
+    lo = min(ref.quantile(0.0), cur.quantile(0.0))
+    hi = max(ref.quantile(1.0), cur.quantile(1.0))
+    if not (hi > lo):
+        return 0.0
+    grid = np.linspace(lo, hi, n_points)
+    return float(np.abs(ref.cdf(grid) - cur.cdf(grid)).max())
+
+
+# ---------------------------------------------------------------------------
+# PSI / JS over mergeable fixed-bin histograms
+# ---------------------------------------------------------------------------
+
+
+def psi(ref: Histogram, cur: Histogram, eps: float = 1e-6, max_bins: int = 8) -> float:
+    """Population Stability Index; common rule-of-thumb: >0.2 ⇒ drifted.
+
+    Histograms are coarsened to <= max_bins first — fine-binned PSI on
+    small samples inflates purely from sampling noise."""
+    p, q = ref.coarsen(max_bins).probs(eps), cur.coarsen(max_bins).probs(eps)
+    return float(np.sum((q - p) * np.log(q / p)))
+
+
+def psi_from_counts(ref_counts: np.ndarray, cur_counts: np.ndarray, eps: float = 1e-6) -> float:
+    p = np.clip(ref_counts / max(ref_counts.sum(), 1), eps, None)
+    q = np.clip(cur_counts / max(cur_counts.sum(), 1), eps, None)
+    p, q = p / p.sum(), q / q.sum()
+    return float(np.sum((q - p) * np.log(q / p)))
+
+
+def js_divergence(ref: Histogram, cur: Histogram, eps: float = 1e-6, max_bins: int = 8) -> float:
+    """Jensen-Shannon divergence (base e, in [0, ln 2])."""
+    p, q = ref.coarsen(max_bins).probs(eps), cur.coarsen(max_bins).probs(eps)
+    m = 0.5 * (p + q)
+    kl_pm = np.sum(p * np.log(p / m))
+    kl_qm = np.sum(q * np.log(q / m))
+    return float(0.5 * kl_pm + 0.5 * kl_qm)
+
+
+def mean_difference(ref_mean: float, ref_std: float, cur_mean: float) -> float:
+    """|Δmean| in units of reference std (DESIGN.md:571-573)."""
+    if not ref_std or math.isnan(ref_std):
+        return 0.0 if cur_mean == ref_mean else float("inf")
+    return abs(cur_mean - ref_mean) / ref_std

@@ -1,0 +1,549 @@
+"""Window validation pipeline: the engine's flagship end-to-end flow.
+
+ingest window → validate (constraint kernels, single pass) → profile
+(mergeable sketches) → drift (vs stored baseline) → verdict + violations +
+lineage → partitioned Parquet — the realization of the reference's
+conceptual lifecycle (``/root/reference/DESIGN.md:7-24,324-330,516-524``)
+over Ray Data (SURVEY.md §3.4).
+
+Scale notes
+-----------
+* The raw input is read ONCE per window; the kernel's findings output
+  (violations capped per batch + KB-sized sketches) is the only thing
+  materialized.
+* Referential membership is broadcast via ``ray.put`` (sets at test scale,
+  Bloom filters at 100 TB scale) and probed inside the same kernel pass —
+  no shuffle join.
+* Exact key-uniqueness is the one shuffle-shaped check; it reads ONLY the
+  key columns (column-pruned second scan) and shuffles just those.
+* Windows are independent → embarrassingly parallel across the cluster;
+  a killed run resumes by skipping windows whose ``_DONE`` marker exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from . import sketches
+from .bloom import BloomFilter
+from .checks import ValidationKernel, join_key
+from .drift import js_divergence, ks_from_digests, mean_difference, psi, _kolmogorov_sf
+from .sketches import Histogram, Moments, TDigest, merge_all
+from .spec import TableSpec
+
+# ---------------------------------------------------------------------------
+# profiles
+# ---------------------------------------------------------------------------
+
+SKETCH_KINDS = ("moments", "tdigest", "hist")
+
+
+@dataclass
+class ColumnProfile:
+    """Merged per-(group, column) profile — the engine's version of the
+    reference's feature distribution (``DESIGN.md:539-551``)."""
+
+    column: str
+    group: str
+    moments: Moments
+    tdigest: TDigest
+    hist: Histogram
+
+    def to_row(self) -> dict:
+        d = self.moments.to_dict()
+        return {
+            "column": self.column,
+            "group": self.group,
+            "count": d["count"],
+            "mean": d["mean"],
+            "std": d["std"],
+            "min": d["min"],
+            "max": d["max"],
+            "median": self.tdigest.quantile(0.5),
+            "p25": self.tdigest.quantile(0.25),
+            "p75": self.tdigest.quantile(0.75),
+        }
+
+
+@dataclass
+class WindowResult:
+    window_id: int
+    n_rows: int
+    counters: dict            # check|column → violation count (exact)
+    violations: pa.Table      # sampled violation rows (capped per batch)
+    profiles: dict            # (group, column) → ColumnProfile
+    key_hll_estimate: float | None
+    drift_rows: list = field(default_factory=list)
+    drift_detected: bool = False
+    wall_s: float = 0.0
+
+    @property
+    def total_violations(self) -> int:
+        return sum(v for k, v in self.counters.items() if not k.startswith("rows"))
+
+    @property
+    def quality_score(self) -> float:
+        """DESIGN.md:386-391: scalar from error rates — 1 - violations/rows."""
+        if not self.n_rows:
+            return 1.0
+        return max(0.0, 1.0 - self.total_violations / self.n_rows)
+
+    @property
+    def passed(self) -> bool:
+        return self.total_violations == 0 and not self.drift_detected
+
+    def verdict_row(self) -> dict:
+        return {
+            "window_id": self.window_id,
+            "n_rows": self.n_rows,
+            "n_violations": self.total_violations,
+            "quality_score": round(self.quality_score, 6),
+            "drift_detected": self.drift_detected,
+            "passed": self.passed,
+            "counters": dict(self.counters),
+            "wall_s": round(self.wall_s, 3),
+        }
+
+
+def build_membership(dim_ds: rd.Dataset | pa.Table, columns, *, use_bloom: bool = False,
+                     capacity_hint: int | None = None, fpr: float = 1e-4):
+    """Collect the dimension-side key set (exact) or Bloom filter (scale path).
+
+    The dimension side is small relative to the fact table (repos, commit
+    pairs) — it is aggregated to a single object and broadcast with
+    ``ray.put``; probes happen inside the fact kernel (no shuffle)."""
+    keys: list = []
+    if isinstance(dim_ds, pa.Table):
+        batches = [dim_ds]
+    else:
+        batches = dim_ds.select_columns(list(columns)).iter_batches(
+            batch_size=65536, batch_format="pyarrow")
+    arrays = [join_key(pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b,
+                       columns) for b in batches]
+    all_keys = np.concatenate(arrays) if arrays else np.array([], dtype=object)
+    if use_bloom:
+        bf = BloomFilter(capacity_hint or max(len(all_keys), 1), fpr)
+        bf.add(all_keys)
+        return bf
+    return set(all_keys.tolist())
+
+
+def merge_findings(findings: pa.Table) -> tuple[dict, pa.Table, dict, float | None]:
+    """Split + reduce a materialized findings table (tiny vs the input).
+
+    Returns (counters, violations, profiles, key_hll_estimate)."""
+    kinds = np.asarray(findings["kind"].to_pandas(), dtype=object)
+
+    counter_mask = kinds == "counter"
+    cdf = findings.filter(pa.array(counter_mask)).select(["check", "column", "n"]).to_pandas()
+    counters = (
+        cdf.groupby(["check", "column"])["n"].sum()
+        .reset_index()
+        .assign(key=lambda d: np.where(d["column"] == "", d["check"], d["check"] + "|" + d["column"]))
+        .set_index("key")["n"].to_dict()
+    )
+
+    violations = findings.filter(pa.array(kinds == "violation")).select(
+        ["check", "column", "row_ref", "detail"])
+
+    sk = findings.filter(pa.array(kinds == "sketch")).to_pandas()
+    profiles: dict[tuple[str, str], ColumnProfile] = {}
+    key_hll = None
+    prof = sk[sk["check"] == "profile"]
+    for (group, column), grp in prof.groupby(["group", "column"]):
+        parts = {}
+        for kind in SKETCH_KINDS:
+            blobs = grp[grp["detail"] == kind]["blob"]
+            parts[kind] = merge_all(sketches.loads(b) for b in blobs)
+        profiles[(group, column)] = ColumnProfile(column, group, parts["moments"],
+                                                  parts["tdigest"], parts["hist"])
+    uniq = sk[sk["check"] == "uniqueness"]
+    if len(uniq):
+        key_hll = merge_all(sketches.loads(b) for b in uniq["blob"]).estimate()
+    return counters, violations, profiles, key_hll
+
+
+# ---------------------------------------------------------------------------
+# exact key uniqueness (the one shuffle-shaped check)
+# ---------------------------------------------------------------------------
+
+
+def uniqueness_violations(ds: rd.Dataset, spec: TableSpec) -> tuple[pa.Table, int]:
+    """Duplicate-key detection (the one shuffle-shaped check).
+
+    Reads ONLY the key columns, pre-hashes them into a single string key in
+    a vectorized ``map_batches``, then a native hash-shuffle
+    ``groupby(key).count()`` — no per-group Python.  Returns one violation
+    row per duplicated key (detail = occurrence count) plus the exact count
+    of EXTRA rows (total - distinct), i.e. rows beyond the kept-first
+    (first-wins by sorted order, the pinned resolution of the reference's
+    first-wins/last-wins inconsistency, ``news.py:74-82`` vs
+    ``news.py:349-356``; SURVEY.md D2/D3)."""
+    key_cols = list(spec.unique_key or ())
+    empty = pa.table({"check": pa.array([], pa.string()),
+                      "column": pa.array([], pa.string()),
+                      "row_ref": pa.array([], pa.string()),
+                      "detail": pa.array([], pa.string())})
+    if not key_cols:
+        return empty, 0
+    keyed = ds.select_columns(key_cols).map_batches(
+        lambda b: pa.table({"key": pa.array(join_key(b, key_cols))}),
+        batch_format="pyarrow",
+    )
+    counts = keyed.groupby("key").count()
+    dup = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["count()"], 1)), batch_format="pyarrow")
+    pdf = dup.to_pandas()
+    if len(pdf) == 0:
+        return empty, 0
+    n = len(pdf)
+    extra = int((pdf["count()"] - 1).sum())
+    colname = "|".join(key_cols)
+    return pa.table({
+        "check": pa.array(["uniqueness"] * n),
+        "column": pa.array([colname] * n),
+        "row_ref": pa.array(pdf["key"].astype(str).tolist(), pa.string()),
+        "detail": pa.array([f"{c} occurrences (kept first by order)" for c in pdf["count()"]],
+                           pa.string()),
+    }), extra
+
+
+# ---------------------------------------------------------------------------
+# baseline store + drift scoring
+# ---------------------------------------------------------------------------
+
+
+class Baseline:
+    """Persisted per-(group, column) sketch table — the engine's version of
+    ``DriftDetector.reference_data`` (``DESIGN.md:533-551``), stored as
+    Parquet so every node can load it (W6 'baseline promote' = rewrite)."""
+
+    def __init__(self, profiles: dict[tuple[str, str], ColumnProfile]):
+        self.profiles = profiles
+
+    def save(self, path: str) -> None:
+        rows = {"group": [], "column": [], "moments": [], "tdigest": [], "hist": []}
+        for (g, c), p in self.profiles.items():
+            rows["group"].append(g)
+            rows["column"].append(c)
+            rows["moments"].append(sketches.dumps(p.moments))
+            rows["tdigest"].append(sketches.dumps(p.tdigest))
+            rows["hist"].append(sketches.dumps(p.hist))
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pq.write_table(pa.table({
+            "group": pa.array(rows["group"], pa.string()),
+            "column": pa.array(rows["column"], pa.string()),
+            "moments": pa.array(rows["moments"], pa.binary()),
+            "tdigest": pa.array(rows["tdigest"], pa.binary()),
+            "hist": pa.array(rows["hist"], pa.binary()),
+        }), path)
+
+    @classmethod
+    def load(cls, path: str) -> "Baseline":
+        t = pq.read_table(path).to_pandas()
+        profiles = {}
+        for _, r in t.iterrows():
+            profiles[(r["group"], r["column"])] = ColumnProfile(
+                r["column"], r["group"], sketches.loads(r["moments"]),
+                sketches.loads(r["tdigest"]), sketches.loads(r["hist"]))
+        return cls(profiles)
+
+
+def drift_report(baseline: "Baseline", profiles: dict, spec: TableSpec) -> list[dict]:
+    """KS + PSI + JS + mean-difference per (group, column) vs the baseline
+    (``DESIGN.md:556-580`` report shape), plus one categorical-drift row per
+    profile column over the GROUP SHARES (e.g. the lang mix), PSI over group
+    row-count frequencies.
+
+    KS statistic comes from the two t-digest ECDFs (scale path, no raw
+    rows); its p-value uses the asymptotic Kolmogorov distribution with the
+    sketch counts.  The numeric gate requires BOTH significance
+    (p < ks_p_threshold) and effect size (stat > ks_stat_threshold, above
+    the sketch approximation error) — or a PSI/JS threshold breach."""
+    rows = []
+    d = spec.drift
+    for (g, c), cur in sorted(profiles.items()):
+        ref = baseline.profiles.get((g, c))
+        if ref is None or ref.moments.n == 0 or cur.moments.n == 0:
+            continue
+        ks_stat = ks_from_digests(ref.tdigest, cur.tdigest)
+        n1, n2 = ref.moments.n, cur.moments.n
+        en = (n1 * n2 / (n1 + n2)) ** 0.5
+        ks_p = _kolmogorov_sf((en + 0.12 + 0.11 / en) * ks_stat)
+        psi_v = psi(ref.hist, cur.hist)
+        js_v = js_divergence(ref.hist, cur.hist)
+        md = mean_difference(ref.moments.mean, ref.moments.std, cur.moments.mean)
+        drifted = bool(
+            (ks_p < d.ks_p_threshold and ks_stat > d.ks_stat_threshold)
+            or psi_v > d.psi_threshold
+            or js_v > d.js_threshold
+        )
+        # small groups are advisory only: PSI/KS on a few hundred rows is
+        # dominated by sampling noise (gate tested in tests/test_drift.py)
+        if g != "" and (n1 < d.min_group_count or n2 < d.min_group_count):
+            drifted = False
+        rows.append({
+            "kind": "numeric", "group": g, "column": c,
+            "ks_stat": round(ks_stat, 6), "ks_p": ks_p,
+            "psi": round(psi_v, 6), "js": round(js_v, 6),
+            "mean_difference": round(md, 6),
+            "ref_count": int(n1), "cur_count": int(n2),
+            "drift_detected": drifted,
+        })
+    # categorical drift: PSI over group-share frequencies per profile column
+    for col in {c for (_, c) in profiles}:
+        ref_counts, cur_counts = [], []
+        groups = sorted({g for (g, c2) in set(profiles) | set(baseline.profiles)
+                         if c2 == col and g != ""})
+        if len(groups) < 2:
+            continue
+        for g in groups:
+            r = baseline.profiles.get((g, col))
+            c2 = profiles.get((g, col))
+            ref_counts.append(r.moments.n if r else 0)
+            cur_counts.append(c2.moments.n if c2 else 0)
+        from .drift import psi_from_counts
+
+        cat_psi = psi_from_counts(np.asarray(ref_counts, dtype=np.float64),
+                                  np.asarray(cur_counts, dtype=np.float64))
+        rows.append({
+            "kind": "categorical", "group": "*", "column": spec.group_column or col,
+            "psi": round(cat_psi, 6),
+            "drift_detected": bool(cat_psi > d.categorical_psi_threshold),
+        })
+    return rows
+
+
+
+# ---------------------------------------------------------------------------
+# window validation + run orchestration (resumable)
+# ---------------------------------------------------------------------------
+
+
+def infer_hist_edges(input_path: str, spec: TableSpec, nbins: int = 32) -> dict[str, np.ndarray]:
+    """Column-pruned min/max pre-pass fixing histogram bin edges.
+
+    Edges must be identical across windows so histogram partials merge and
+    PSI/JS compare.  Heavy-tailed positive columns (hi/lo > 1000, e.g.
+    content length) get log-spaced edges so the mass doesn't collapse into
+    one linear bin."""
+    from ray.data.aggregate import Max, Min
+
+    cols = list(spec.profile_columns)
+    if not cols:
+        return {}
+    ds = rd.read_parquet(input_path, columns=cols)
+    aggs = []
+    for c in cols:
+        aggs += [Min(c, alias_name=f"min_{c}"), Max(c, alias_name=f"max_{c}")]
+    row = ds.aggregate(*aggs)
+    edges: dict[str, np.ndarray] = {}
+    for c in cols:
+        lo, hi = float(row[f"min_{c}"]), float(row[f"max_{c}"])
+        if not (hi > lo):
+            hi = lo + 1.0
+        if lo > 0 and hi / lo > 1000.0:
+            edges[c] = np.geomspace(lo, hi, nbins + 1)
+        else:
+            edges[c] = np.linspace(lo, hi, nbins + 1)
+    return edges
+
+
+def _findings_to_results(table: pa.Table, spec: TableSpec) -> dict[int, WindowResult]:
+    """Group a findings table by window and reduce each to a WindowResult."""
+    results: dict[int, WindowResult] = {}
+    windows = table["window"].to_pandas()
+    for w in sorted(windows.unique()):
+        sub = table.filter(pa.array((windows == w).to_numpy()))
+        counters, violations, profiles, key_hll = merge_findings(sub)
+        results[int(w)] = WindowResult(int(w), int(counters.get("rows", 0)),
+                                       counters, violations, profiles, key_hll)
+    return results
+
+
+def validate_dataset(
+    ds: rd.Dataset,
+    spec: TableSpec,
+    *,
+    window_column: str | None = None,
+    membership: dict[int, object] | None = None,
+    baseline: Baseline | None = None,
+    hist_edges: dict[str, np.ndarray] | None = None,
+    check_uniqueness: bool = True,
+    batch_size: int = 8192,
+    kernel_concurrency=None,
+) -> dict[int, WindowResult]:
+    """ONE streaming pass over the dataset validating every window in it.
+
+    The kernel tags findings rows with the window id, so N windows cost one
+    read + one (tiny) materialized findings table — per-window pipelines
+    would pay N read/launch overheads.  Key uniqueness is table-GLOBAL
+    (a key may not repeat across windows) and reported on window -1 when
+    the input spans windows, matching the engine's pinned semantics."""
+    t0 = time.perf_counter()
+    from .checks import FINDINGS_SCHEMA
+
+    kernel = ValidationKernel(spec, hist_edges=hist_edges, membership=membership,
+                              window_column=window_column)
+    kwargs: dict = {"batch_format": "pyarrow", "batch_size": batch_size}
+    if kernel_concurrency:
+        kwargs["concurrency"] = kernel_concurrency
+    findings = ds.map_batches(kernel, **kwargs).materialize()
+    parts = [t for t in ray.get(findings.to_arrow_refs()) if t.num_rows]
+    table = (pa.concat_tables([t.cast(FINDINGS_SCHEMA) for t in parts])
+             if parts else FINDINGS_SCHEMA.empty_table())
+    results = _findings_to_results(table, spec)
+    if not results:
+        results = {-1: WindowResult(-1, 0, {}, FINDINGS_SCHEMA.empty_table().select(
+            ["check", "column", "row_ref", "detail"]), {}, None)}
+
+    if check_uniqueness and spec.unique_key:
+        dup, extra = uniqueness_violations(ds, spec)
+        scope = min(results)  # single-window input → that window; else first
+        res = results[scope]
+        res.counters["uniqueness|" + "|".join(spec.unique_key)] = extra
+        res.violations = pa.concat_tables([res.violations, dup])
+
+    wall = time.perf_counter() - t0
+    for res in results.values():
+        res.wall_s = wall / max(len(results), 1)
+        if baseline is not None:
+            res.drift_rows = drift_report(baseline, res.profiles, spec)
+            res.drift_detected = any(r["drift_detected"] for r in res.drift_rows)
+    return results
+
+
+def validate_window(
+    ds: rd.Dataset,
+    spec: TableSpec,
+    *,
+    window_id: int = 0,
+    membership: dict[int, object] | None = None,
+    baseline: Baseline | None = None,
+    hist_edges: dict[str, np.ndarray] | None = None,
+    check_uniqueness: bool = True,
+) -> WindowResult:
+    """One window through the full constraint + profile + drift pass."""
+    results = validate_dataset(ds, spec, membership=membership, baseline=baseline,
+                               hist_edges=hist_edges, check_uniqueness=check_uniqueness)
+    res = results.popitem()[1]
+    res.window_id = window_id
+    return res
+
+
+def _window_dir(out_dir: str, window_id: int) -> str:
+    return os.path.join(out_dir, f"window={window_id}")
+
+
+def window_done(out_dir: str, window_id: int) -> bool:
+    return os.path.exists(os.path.join(_window_dir(out_dir, window_id), "_DONE"))
+
+
+def write_window_result(out_dir: str, res: WindowResult) -> None:
+    """Resumable output layout (SURVEY.md §4.2): violations parquet +
+    profile-sketch sidecar + lineage json, then the ``_DONE`` marker LAST so
+    a kill mid-write leaves the window rerunnable, never half-trusted."""
+    wdir = _window_dir(out_dir, res.window_id)
+    os.makedirs(wdir, exist_ok=True)
+    pq.write_table(res.violations, os.path.join(wdir, "violations.parquet"))
+    if res.profiles:
+        Baseline(res.profiles).save(os.path.join(wdir, "profiles.parquet"))
+    lineage = res.verdict_row()
+    lineage["profiles"] = [p.to_row() for p in res.profiles.values()]
+    lineage["drift"] = res.drift_rows
+    lineage["key_hll_estimate"] = res.key_hll_estimate
+    with open(os.path.join(wdir, "lineage.json"), "w") as f:
+        json.dump(lineage, f, default=float)
+    with open(os.path.join(wdir, "_DONE"), "w") as f:
+        f.write("ok\n")
+
+
+def load_lineage(out_dir: str, window_id: int) -> dict:
+    with open(os.path.join(_window_dir(out_dir, window_id), "lineage.json")) as f:
+        return json.load(f)
+
+
+def promote_baseline(out_dir: str, window_id: int, baseline_path: str) -> None:
+    """W6 / DESIGN.md:582-585 ``update_reference``: adopt a completed
+    window's profile sketches as the new baseline."""
+    src = os.path.join(_window_dir(out_dir, window_id), "profiles.parquet")
+    Baseline.load(src).save(baseline_path)
+
+
+def run_validation(
+    input_path: str,
+    out_dir: str,
+    spec: TableSpec,
+    *,
+    window_column: str = "window_id",
+    windows: list[int] | None = None,
+    dim_paths: dict[str, str] | None = None,
+    baseline_path: str | None = None,
+    use_bloom: bool = False,
+    hist_edges: dict[str, np.ndarray] | None = None,
+    check_uniqueness: bool = True,
+    batch_size: int = 8192,
+) -> list[WindowResult]:
+    """Validate every window of a partitioned Parquet table, resumably.
+
+    * dimension keys are collected ONCE and broadcast via ``ray.put``
+      (exact sets at test scale, Bloom filters with ``use_bloom=True``);
+    * all pending windows run in ONE streaming pass (window-tagged
+      findings), then write per-window outputs + ``_DONE`` markers;
+    * windows already bearing ``_DONE`` are skipped — killed-run resume
+      (north_rule);
+    * key uniqueness is checked GLOBALLY over the pending input in the
+      same run (column-pruned shuffle)."""
+    os.makedirs(out_dir, exist_ok=True)
+    membership: dict[int, object] = {}
+    if dim_paths:
+        for i, fk in enumerate(spec.foreign_keys):
+            path = dim_paths.get(fk.dim_table)
+            if path is None:
+                continue
+            dim = rd.read_parquet(path, columns=list(fk.dim_columns))
+            m = build_membership(dim, fk.dim_columns, use_bloom=use_bloom)
+            membership[i] = ray.put(m)
+
+    if windows is None:
+        wvals = rd.read_parquet(input_path, columns=[window_column]).unique(window_column)
+        windows = sorted(int(w) for w in wvals)
+    pending = [w for w in windows if not window_done(out_dir, w)]
+    if not pending:
+        return []
+
+    if hist_edges is None:
+        hist_edges = infer_hist_edges(input_path, spec)
+    baseline = (Baseline.load(baseline_path)
+                if baseline_path and os.path.exists(baseline_path) else None)
+
+    ds = rd.read_parquet(input_path,
+                         filter=pc.field(window_column).isin(pending))
+    results = validate_dataset(ds, spec, window_column=window_column,
+                               membership=membership, baseline=baseline,
+                               hist_edges=hist_edges,
+                               check_uniqueness=check_uniqueness,
+                               batch_size=batch_size)
+    out = []
+    for w in pending:
+        res = results.get(w)
+        if res is None:
+            res = WindowResult(w, 0, {}, pa.table(
+                {"check": pa.array([], pa.string()), "column": pa.array([], pa.string()),
+                 "row_ref": pa.array([], pa.string()), "detail": pa.array([], pa.string())}),
+                {}, None)
+        write_window_result(out_dir, res)
+        out.append(res)
+    return out
