@@ -82,10 +82,14 @@ def row_refs(batch: pa.Table, spec: TableSpec) -> np.ndarray:
 
 
 def join_key(batch: pa.Table, columns) -> np.ndarray:
-    """'|'-joined string key over ``columns`` (vectorized)."""
-    parts = [pc.cast(batch[c], pa.string()) for c in columns]
+    """'|'-joined string key over ``columns`` (vectorized).
+
+    Nulls are filled PER COMPONENT (sentinel "<null>") so two rows that
+    differ only in a non-null component keep distinct keys — matching SQL
+    GROUP BY null semantics column-wise."""
+    parts = [pc.fill_null(pc.cast(batch[c], pa.string()), "<null>") for c in columns]
     joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "|")
-    return np.asarray(pc.fill_null(joined, "\x00null").to_pandas(), dtype=object)
+    return np.asarray(joined.to_pandas(), dtype=object)
 
 
 def _null_or_empty_mask(col: pa.ChunkedArray | pa.Array) -> np.ndarray:

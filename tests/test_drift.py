@@ -1,0 +1,146 @@
+"""Drift kernels: reference-loop conformance + statistical sanity
+(SURVEY.md §5.2 #1, #2)."""
+
+import numpy as np
+import pytest
+
+from driftray.drift import (js_divergence, ks_2sample, ks_from_digests, psi,
+                            psi_from_counts, unusual_ratio_verdicts)
+from driftray.sketches import Histogram, TDigest
+
+rng = np.random.default_rng(11)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python oracle: a literal replay of the reference streaming loop
+# (/root/reference/src/data_sources/iot/sensor.py:160-194 semantics) —
+# window list, constant-divisor ratio, reset only on drift.
+# ---------------------------------------------------------------------------
+
+
+def reference_loop_oracle(unusual_flags, window_size=50, threshold=0.10):
+    window = []
+    alerts = []  # (event_index, unusual_count, ratio)
+    for i, flag in enumerate(unusual_flags):
+        window.append(bool(flag))
+        if len(window) >= window_size:
+            unusual_count = sum(window)
+            ratio = unusual_count / window_size   # constant divisor
+            if ratio > threshold:
+                alerts.append((i, unusual_count, ratio))
+                window = []                        # reset ONLY on drift
+    return alerts
+
+
+class TestReferenceConformance:
+    def _compare(self, flags):
+        oracle = reference_loop_oracle(flags)
+        ours = [v for v in unusual_ratio_verdicts(np.asarray(flags)) if v.drift]
+        assert len(ours) == len(oracle)
+        for v, (i, cnt, ratio) in zip(ours, oracle):
+            assert v.end_row == i
+            assert v.unusual_count == cnt
+            assert v.unusual_ratio == pytest.approx(ratio)
+
+    def test_no_drift(self):
+        self._compare([False] * 500)
+
+    def test_burst_drift(self):
+        flags = [False] * 500
+        for j in range(10, 22):
+            flags[j] = True
+        self._compare(flags)
+
+    def test_growing_window_constant_divisor(self):
+        # 5 unusual in the first 50 (ratio 0.10, NOT > threshold), then one
+        # more at row 60 → ratio 6/50 = 0.12 fires at row 60 with a 61-row
+        # window — the reference's quirky math (sensor.py:188-193).
+        flags = [False] * 200
+        for j in range(5):
+            flags[j] = True
+        flags[60] = True
+        oracle = reference_loop_oracle(flags)
+        assert oracle == [(60, 6, 0.12)]
+        self._compare(flags)
+
+    def test_randomized(self):
+        for seed in range(5):
+            r = np.random.default_rng(seed)
+            flags = (r.random(2000) < 0.08).tolist()
+            self._compare(flags)
+
+    def test_verdict_windows_partition_rows(self):
+        flags = (rng.random(1000) < 0.2)
+        vs = unusual_ratio_verdicts(flags)
+        assert vs[0].start_row == 0
+        for a, b in zip(vs, vs[1:]):
+            assert b.start_row == a.end_row + 1
+        assert vs[-1].end_row == 999
+
+
+class TestKS:
+    def test_identical_samples(self):
+        x = rng.normal(0, 1, 1000)
+        d, p = ks_2sample(x, x)
+        assert d == 0.0 and p == pytest.approx(1.0)
+
+    def test_known_shift_detected(self):
+        a = rng.normal(0, 1, 3000)
+        b = rng.normal(0.4, 1, 3000)
+        d, p = ks_2sample(a, b)
+        assert d > 0.1 and p < 1e-6
+
+    def test_same_distribution_not_detected(self):
+        a = rng.normal(0, 1, 3000)
+        b = rng.normal(0, 1, 3000)
+        d, p = ks_2sample(a, b)
+        assert p > 0.01
+
+    def test_statistic_exact_small(self):
+        # hand-computable: a={1,2,3}, b={4,5,6} → D = 1.0
+        d, _ = ks_2sample([1, 2, 3], [4, 5, 6])
+        assert d == 1.0
+        # a={1,3}, b={2,4} → D = 0.5
+        d, _ = ks_2sample([1, 3], [2, 4])
+        assert d == 0.5
+
+    def test_digest_ks_approximates_exact(self):
+        a = rng.normal(0, 1, 30_000)
+        b = rng.normal(0.5, 1, 30_000)
+        exact, _ = ks_2sample(a, b)
+        approx = ks_from_digests(TDigest().update(a), TDigest().update(b))
+        assert approx == pytest.approx(exact, abs=0.02)
+
+    def test_digest_ks_null_is_small(self):
+        a = rng.normal(0, 1, 30_000)
+        b = rng.normal(0, 1, 30_000)
+        assert ks_from_digests(TDigest().update(a), TDigest().update(b)) < 0.02
+
+
+class TestPSIJS:
+    def _hists(self, mu2):
+        h1 = Histogram(-5, 5, 32).update(rng.normal(0, 1, 20_000))
+        h2 = Histogram(-5, 5, 32).update(rng.normal(mu2, 1, 20_000))
+        return h1, h2
+
+    def test_shift_detected(self):
+        h1, h2 = self._hists(1.0)
+        assert psi(h1, h2) > 0.2
+        assert js_divergence(h1, h2) > 0.05
+
+    def test_null_small(self):
+        h1, h2 = self._hists(0.0)
+        assert psi(h1, h2) < 0.05
+        assert js_divergence(h1, h2) < 0.01
+
+    def test_psi_from_counts_formula(self):
+        # hand check: p=(0.5,0.5), q=(0.25,0.75)
+        v = psi_from_counts(np.array([50, 50]), np.array([25, 75]))
+        expected = (0.25 - 0.5) * np.log(0.25 / 0.5) + (0.75 - 0.5) * np.log(0.75 / 0.5)
+        assert v == pytest.approx(expected, rel=1e-6)
+
+    def test_js_bounded(self):
+        h1 = Histogram(0, 1, 8).update(rng.uniform(0, 0.1, 1000))
+        h2 = Histogram(0, 1, 8).update(rng.uniform(0.9, 1.0, 1000))
+        v = js_divergence(h1, h2)
+        assert 0 < v <= np.log(2) + 1e-9

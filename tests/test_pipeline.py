@@ -1,0 +1,171 @@
+"""End-to-end pipeline over the deterministic repo_files fixture:
+planted-violation recovery, drift windows, resume (SURVEY.md §5.2 #3, #6)."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from driftray.fixtures import RepoFilesConfig, write_repo_files
+from driftray.pipeline import (Baseline, load_lineage, promote_baseline,
+                               run_validation, window_done)
+from driftray.spec import repo_files_spec
+
+N_ROWS = 8000
+CFG = RepoFilesConfig(window_rows=2000, drifted_windows=(3,))
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory, ray_session):
+    d = str(tmp_path_factory.mktemp("repo_files"))
+    write_repo_files(d, N_ROWS, CFG)
+    return d
+
+
+@pytest.fixture(scope="module")
+def first_run(fixture_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out"))
+    dims = {"repos": f"{fixture_dir}/repos.parquet",
+            "commits": f"{fixture_dir}/commits.parquet"}
+    results = run_validation(f"{fixture_dir}/repo_files.parquet", out,
+                             repo_files_spec(), dim_paths=dims)
+    return fixture_dir, out, {r.window_id: r for r in results}
+
+
+def expected_counts(fixture_dir):
+    exp = pq.read_table(f"{fixture_dir}/repo_files_expected.parquet").to_pandas()
+    return exp
+
+
+class TestPlantedViolations:
+    def test_null_paths_recovered(self, first_run):
+        d, out, res = first_run
+        exp = expected_counts(d)
+        for w, r in res.items():
+            want = int(exp[exp.window_id == w]._null_path.sum())
+            assert r.counters.get("completeness|path", 0) == want
+
+    def test_sha256_recovered(self, first_run):
+        d, out, res = first_run
+        exp = expected_counts(d)
+        for w, r in res.items():
+            want = int(exp[exp.window_id == w]._bad_sha.sum())
+            assert r.counters.get("sha256|content", 0) == want
+
+    def test_referential_repo_orphans(self, first_run):
+        d, out, res = first_run
+        exp = expected_counts(d)
+        for w, r in res.items():
+            want = int(exp[exp.window_id == w]._orphan_repo.sum())
+            assert r.counters.get("referential|repo", 0) == want
+
+    def test_bad_commits_flagged(self, first_run):
+        d, out, res = first_run
+        exp = expected_counts(d)
+        for w, r in res.items():
+            # orphan repos also fail the (repo,commit) membership → superset
+            bad = int((exp[exp.window_id == w]._bad_commit
+                       | exp[exp.window_id == w]._orphan_repo).sum())
+            assert r.counters.get("referential|repo|commit", 0) == bad
+
+    def test_uniqueness_extra_rows(self, first_run):
+        d, out, res = first_run
+        # global check, attached to the lowest window; planted dups copy the
+        # previous row's key, so extras ≈ planted count (collisions possible)
+        total_dup = sum(r.counters.get("uniqueness|repo|path|commit", 0)
+                        for r in res.values())
+        exp = expected_counts(d)
+        want = int(exp._dup_key.sum())
+        assert total_dup == pytest.approx(want, abs=3)
+
+    def test_rows_counted(self, first_run):
+        _, _, res = first_run
+        assert all(r.n_rows == CFG.window_rows for r in res.values())
+
+
+class TestProfilesAndHLL:
+    def test_profile_counts_sum(self, first_run):
+        _, _, res = first_run
+        for r in res.values():
+            table_level = r.profiles.get(("", "content_len"))
+            assert table_level is not None
+            assert table_level.moments.n == CFG.window_rows
+            grouped = sum(p.moments.n for (g, _), p in r.profiles.items() if g != "")
+            assert grouped == CFG.window_rows
+
+    def test_hll_close_to_rows(self, first_run):
+        _, _, res = first_run
+        for r in res.values():
+            assert r.key_hll_estimate == pytest.approx(CFG.window_rows, rel=0.05)
+
+
+class TestDrift:
+    def test_drifted_window_detected_clean_not(self, first_run, tmp_path):
+        d, out, res = first_run
+        promote_baseline(out, 0, str(tmp_path / "baseline.parquet"))
+        out2 = str(tmp_path / "out2")
+        dims = {"repos": f"{d}/repos.parquet", "commits": f"{d}/commits.parquet"}
+        r2 = run_validation(f"{d}/repo_files.parquet", out2, repo_files_spec(),
+                            dim_paths=dims, windows=[1, 3],
+                            baseline_path=str(tmp_path / "baseline.parquet"),
+                            check_uniqueness=False)
+        by_w = {r.window_id: r for r in r2}
+        assert not by_w[1].drift_detected
+        assert by_w[3].drift_detected
+        cat = [x for x in by_w[3].drift_rows if x["kind"] == "categorical"]
+        assert cat and cat[0]["drift_detected"]  # lang mix shifted
+
+
+class TestResume:
+    def test_done_markers_skip(self, fixture_dir, tmp_path):
+        out = str(tmp_path / "resume_out")
+        spec = repo_files_spec()
+        r1 = run_validation(f"{fixture_dir}/repo_files.parquet", out, spec,
+                            windows=[0, 1], check_uniqueness=False)
+        assert [r.window_id for r in r1] == [0, 1]
+        assert window_done(out, 0) and not window_done(out, 2)
+        r2 = run_validation(f"{fixture_dir}/repo_files.parquet", out, spec,
+                            check_uniqueness=False)
+        assert [r.window_id for r in r2] == [2, 3]  # only pending ran
+        r3 = run_validation(f"{fixture_dir}/repo_files.parquet", out, spec,
+                            check_uniqueness=False)
+        assert r3 == []
+
+    def test_lineage_readable(self, first_run):
+        _, out, res = first_run
+        for w in res:
+            lin = load_lineage(out, w)
+            assert lin["n_rows"] == CFG.window_rows
+            assert "counters" in lin and "profiles" in lin
+
+    def test_resume_results_identical(self, fixture_dir, tmp_path, first_run):
+        """Kill/resume equivalence: windows computed in separate runs match a
+        single full run's lineage byte-for-byte on verdict fields."""
+        _, out_full, res_full = first_run
+        out = str(tmp_path / "split_out")
+        spec = repo_files_spec()
+        d = fixture_dir
+        dims = {"repos": f"{d}/repos.parquet", "commits": f"{d}/commits.parquet"}
+        run_validation(f"{d}/repo_files.parquet", out, spec, dim_paths=dims,
+                       windows=[0], check_uniqueness=False)
+        run_validation(f"{d}/repo_files.parquet", out, spec, dim_paths=dims,
+                       check_uniqueness=False)
+        for w, r_full in res_full.items():
+            lin = load_lineage(out, w)
+            for key in ("completeness|path", "sha256|content", "referential|repo"):
+                assert lin["counters"].get(key, 0) == r_full.counters.get(key, 0)
+
+
+class TestBaselineStore:
+    def test_save_load_roundtrip(self, first_run, tmp_path):
+        _, _, res = first_run
+        p = str(tmp_path / "b.parquet")
+        Baseline(res[0].profiles).save(p)
+        b = Baseline.load(p)
+        orig = res[0].profiles[("", "content_len")]
+        back = b.profiles[("", "content_len")]
+        assert back.moments.mean == pytest.approx(orig.moments.mean)
+        assert back.tdigest.quantile(0.5) == pytest.approx(orig.tdigest.quantile(0.5))
+        assert (back.hist.counts == orig.hist.counts).all()
