@@ -1,44 +1,49 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the ``driftray`` library) calls ``ray.init()`` /
+``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship validation pipeline over /root/testdata/sf0.001:
+  full constraint + profile + drift pass on the ``documents`` and
+  ``events`` tables, returning the verdict table.
+* ``queries()`` — one entry per implemented operator/pipeline from
+  SURVEY.md §2 plus the training-data ops (dedup, ANN, text analysis,
+  multimodal, drift).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+  (column names match the Ray outputs exactly).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver checks rows>=0)."""
+    import pandas as pd
+
+    from driftray.pipelines.queries import nq_validate_documents, nq_validate_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = nq_validate_documents(sf_dir).assign(table="documents")
+    evts = nq_validate_events(sf_dir).assign(table="events")
+    out = pd.concat([docs, evts], ignore_index=True)
+    return out[["table", "n_rows", "n_violations", "quality_score", "passed"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from driftray.pipelines.queries import ALL_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(ALL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from driftray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

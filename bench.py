@@ -1,0 +1,191 @@
+"""Benchmark driver: headline validation pipeline + representative queries.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "rows_per_sec": ..., "validated_rows": ...}
+
+Headline = the full constraint+profile+drift validation pass (the
+BASELINE.json metric) over a cached deterministic ``repo_files`` fixture
+(~1M rows, ~2.5 GB content) PLUS per-query timings over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1).
+
+``--scaling`` runs the same bench at num_cpus=8 and num_cpus=32 in fresh
+subprocesses on the same (pre-generated, page-warm) input and reports both
+throughputs + scaling efficiency (sandbox protocol for the north rule's
+N vs 4N cluster criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_FIXTURE_DIR = os.environ.get("DRIFTRAY_BENCH_DIR", "/tmp/driftray_bench")
+BENCH_ROWS = int(os.environ.get("DRIFTRAY_BENCH_ROWS", "1000000"))
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",      # grouped aggregate over lineitem (600k rows)
+    "q09_windowed_events",      # windowed groupby over events
+    "q14_dedup_documents",      # exact dedup shuffle
+    "q15_ann_topk",             # brute-force ANN
+    "q17_lang_profiles",        # sketch-based profiles
+    "nq_minhash_dedup",         # MinHash-LSH near-dup
+    "nq_drift_events",          # KS/PSI/JS drift over events
+]
+
+
+def ensure_bench_fixture() -> str:
+    """Generate (once, cached) the bench-scale repo_files fixture in
+    parallel via ray.data.range → pure batch generator → parquet."""
+    import ray.data as rd
+
+    marker = os.path.join(BENCH_FIXTURE_DIR, "_COMPLETE")
+    if os.path.exists(marker):
+        return BENCH_FIXTURE_DIR
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from driftray.fixtures import RepoFilesConfig, dimensions, repo_files_batch
+
+    shutil.rmtree(BENCH_FIXTURE_DIR, ignore_errors=True)
+    os.makedirs(BENCH_FIXTURE_DIR, exist_ok=True)
+    cfg = RepoFilesConfig(window_rows=BENCH_ROWS // 8, drifted_windows=(7,))
+
+    def gen(batch) -> "object":
+        t = repo_files_batch(batch["id"], cfg)
+        return t.select([c for c in t.column_names if not c.startswith("_")])
+
+    (rd.range(BENCH_ROWS, override_num_blocks=64)
+     .map_batches(gen, batch_format="numpy", batch_size=50_000)
+     .write_parquet(os.path.join(BENCH_FIXTURE_DIR, "repo_files")))
+    repos, commits = dimensions(cfg)
+    pq.write_table(repos, os.path.join(BENCH_FIXTURE_DIR, "repos.parquet"))
+    pq.write_table(commits, os.path.join(BENCH_FIXTURE_DIR, "commits.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return BENCH_FIXTURE_DIR
+
+
+def run_headline() -> dict:
+    """Full constraint + profile + drift validation pass over the bench
+    repo_files fixture — the BASELINE.json 'validated rows/sec' metric."""
+    import shutil
+
+    from driftray.pipeline import Baseline, run_validation
+    from driftray.spec import repo_files_spec
+
+    fx = ensure_bench_fixture()
+    out_dir = "/tmp/driftray_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spec = repo_files_spec()
+    dims = {"repos": f"{fx}/repos.parquet", "commits": f"{fx}/commits.parquet"}
+    input_path = f"{fx}/repo_files"
+
+    t0 = time.perf_counter()
+    results = run_validation(input_path, out_dir, spec, dim_paths=dims,
+                             use_bloom=True, batch_size=16384)
+    wall = time.perf_counter() - t0
+    rows = sum(r.n_rows for r in results)
+    # drift pass against a baseline promoted from window 0
+    from driftray.pipeline import promote_baseline
+
+    promote_baseline(out_dir, min(r.window_id for r in results),
+                     f"{out_dir}/baseline.parquet")
+    return {"sec": wall, "rows": rows, "rows_per_sec": rows / wall,
+            "windows": len(results),
+            "total_violations": sum(r.total_violations for r in results)}
+
+
+def run_queries() -> dict[str, float]:
+    from driftray.pipelines.queries import ALL_QUERIES
+
+    times = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = ALL_QUERIES[name](SF_DIR)
+        # force execution for lazy Datasets
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    ensure_bench_fixture()  # untimed: generation + page-cache warm
+    head = run_headline()
+    qtimes = run_queries()
+    out = {
+        "metric": "full constraint+profile+drift validation wall time (repo_files bench fixture)",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "validated_rows": head["rows"],
+        "rows_per_sec": round(head["rows_per_sec"], 1),
+        "windows": head["windows"],
+        "total_violations": head["total_violations"],
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       env=env, capture_output=True, text=True, check=True,
+                       cwd=REPO)
+    return json.loads(p.stdout.strip().splitlines()[-1])
+
+
+def scaling() -> None:
+    # fixture must pre-exist so both runs measure compute, not generation
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    ensure_bench_fixture()
+    ray.shutdown()
+
+    lo = run_subprocess(8)
+    hi = run_subprocess(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    print(json.dumps({
+        "sec_8": t_lo, "sec_32": t_hi,
+        "rows_per_sec_8": lo["rows_per_sec"], "rows_per_sec_32": hi["rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": lo["queries"], "queries_32": hi["queries"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

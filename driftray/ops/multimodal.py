@@ -1,0 +1,133 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with typed metadata columns
+(format, width/height or sample rate, duration).  Decode / resize /
+feature-extract / frame-sample are actor-pool ``map_batches`` stages whose
+Ray-side plumbing — schema, batch sizing, actor signature, output layout —
+is real and tested; the codec itself is STUBBED (this container ships no
+image/audio libraries): ``decoder="fake"`` produces a deterministic
+hash-seeded pixel/sample array, ``decoder="pillow"``/... raise
+``NotImplementedError`` until the library is importable.
+
+Scale notes: binary payloads are large → small ``batch_size`` (64-256) and
+``num_cpus`` sized so decode pools don't starve the read stage; outputs
+carry fixed-size numpy arrays (Arrow tensor-like lists), never Python
+objects.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),           # image | audio | video
+    ("format", pa.string()),         # png | jpeg | wav | mp4 | ...
+    ("payload", pa.binary()),
+    ("width", pa.int32()),           # images/video
+    ("height", pa.int32()),
+    ("sample_rate", pa.int32()),     # audio
+    ("duration_ms", pa.int32()),     # audio/video
+])
+
+
+def synth_media_table(n: int, kind: str = "image", seed: int = 42) -> pa.Table:
+    """Deterministic fake media corpus (payload = seeded bytes) matching
+    MEDIA_SCHEMA — the test/bench stand-in for real blobs."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(n):
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["format"].append("png" if kind == "image" else "wav")
+        size = int(rng.integers(256, 4096))
+        rows["payload"].append(hashlib.sha256(f"{seed}|{i}".encode()).digest() * (size // 32 + 1))
+        rows["width"].append(int(rng.integers(16, 256)) if kind != "audio" else 0)
+        rows["height"].append(int(rng.integers(16, 256)) if kind != "audio" else 0)
+        rows["sample_rate"].append(16000 if kind == "audio" else 0)
+        rows["duration_ms"].append(int(rng.integers(100, 5000)))
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic stand-in decoder: payload hash seeds a tiny image."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(max(h, 1), max(w, 1), 3), dtype=np.uint8)
+
+
+class ImageDecoder:
+    """Actor-pool stage: binary payload → decoded pixels → mean-channel
+    features + optional thumbnail.  Real plumbing, stubbed codec."""
+
+    def __init__(self, decoder: str = "fake", thumb: int = 8):
+        self.thumb = thumb
+        if decoder == "fake":
+            self.decode = _fake_decode
+        else:
+            try:
+                import PIL.Image  # noqa: F401  (absent in this container)
+            except ImportError as e:
+                raise NotImplementedError(
+                    f"decoder={decoder!r} needs an image library not present "
+                    "in this environment; use decoder='fake'") from e
+            raise NotImplementedError("real decode path lands when PIL ships")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        feats, thumbs = [], []
+        for payload, h, w in zip(batch["payload"], batch["height"], batch["width"]):
+            img = self.decode(payload, int(h), int(w))
+            feats.append(img.mean(axis=(0, 1)).astype(np.float32))
+            # nearest-neighbour resize to thumb×thumb — pure numpy
+            ys = np.linspace(0, img.shape[0] - 1, self.thumb).astype(int)
+            xs = np.linspace(0, img.shape[1] - 1, self.thumb).astype(int)
+            thumbs.append(img[np.ix_(ys, xs)].ravel())
+        out = batch[["media_id", "kind", "format"]].copy()
+        out["mean_rgb"] = feats
+        out["thumbnail"] = thumbs
+        return out
+
+
+class FrameSampler:
+    """Video frame-sampling stage: emits ``n_frames`` deterministic frame
+    features per clip (flat_map-shaped: one row per sampled frame)."""
+
+    def __init__(self, n_frames: int = 4, decoder: str = "fake"):
+        self.n = n_frames
+        if decoder != "fake":
+            raise NotImplementedError("only the deterministic fake decoder ships here")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"media_id": [], "frame_idx": [], "frame_ms": [], "mean_rgb": []}
+        for mid, payload, dur in zip(batch["media_id"], batch["payload"],
+                                     batch["duration_ms"]):
+            for f in range(self.n):
+                ms = int(dur) * f // max(self.n - 1, 1)
+                img = _fake_decode(payload + f.to_bytes(2, "little"), 16, 16)
+                out["media_id"].append(mid)
+                out["frame_idx"].append(f)
+                out["frame_ms"].append(ms)
+                out["mean_rgb"].append(img.mean(axis=(0, 1)).astype(np.float32))
+        return pd.DataFrame(out)
+
+
+def decode_images(ds: rd.Dataset, decoder: str = "fake",
+                  batch_size: int = 128, concurrency: int = 4) -> rd.Dataset:
+    """Image decode pipeline: small batches (binary payloads are wide),
+    actor pool so any real codec initializes once per actor."""
+    return ds.map_batches(ImageDecoder, fn_constructor_args=(decoder,),
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def sample_frames(ds: rd.Dataset, n_frames: int = 4,
+                  batch_size: int = 64, concurrency: int = 4) -> rd.Dataset:
+    return ds.map_batches(FrameSampler, fn_constructor_args=(n_frames,),
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)

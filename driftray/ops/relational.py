@@ -1,0 +1,154 @@
+"""Relational operators, Ray-Data-first.
+
+These are the engine's building blocks for the reference's relational
+surface (SURVEY.md §2: windowed groupby-aggregate A1, enrichment join J1,
+dedup D1-D3, sort/limit O1-O4) re-expressed over ``ray.data.Dataset``:
+
+* joins against SMALL sides are broadcast (``ray.put`` once, pandas merge
+  per batch inside ``map_batches``) — never a shuffle;
+* dedup/distinct shuffle ONLY the key columns;
+* top-k never performs a global sort: per-batch local top-k, tiny final
+  merge on the driver.
+
+All operators keep the stream lazy; nothing materializes the full input.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+class BroadcastJoiner:
+    """Actor-pool/batch callable joining each batch against a broadcast
+    dimension table (J1 enrichment / J3 lookup; ``DESIGN.md:246``,
+    ``news.py:92-99``).  The dim table is put in the object store ONCE;
+    each actor/task fetches it once in ``__init__``, not per batch."""
+
+    def __init__(self, dim_ref, on: list[str], how: str, suffix: str = "_dim"):
+        dim = ray.get(dim_ref) if isinstance(dim_ref, ray.ObjectRef) else dim_ref
+        self.dim = dim.to_pandas() if isinstance(dim, pa.Table) else dim
+        self.on = on
+        self.how = how
+        self.suffix = suffix
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if self.how in ("semi", "anti"):
+            key = pd.MultiIndex.from_frame(batch[self.on].astype(object))
+            dimkey = pd.MultiIndex.from_frame(self.dim[self.on].astype(object))
+            mask = key.isin(dimkey)
+            return batch[mask] if self.how == "semi" else batch[~mask]
+        out = batch.merge(self.dim, on=self.on, how=self.how,
+                          suffixes=("", self.suffix))
+        return out
+
+
+def broadcast_join(ds: rd.Dataset, dim: pa.Table | pd.DataFrame, on: list[str],
+                   how: Literal["inner", "left", "semi", "anti"] = "inner",
+                   batch_size: int = 8192) -> rd.Dataset:
+    """Join a big Dataset against a small dimension table without a shuffle."""
+    dim_ref = ray.put(dim)
+    return ds.map_batches(BroadcastJoiner, fn_constructor_args=(dim_ref, on, how),
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=(1, 4))
+
+
+def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """DISTINCT over ``cols``: shuffle only those columns (pruned projection
+    + per-batch local dedup BEFORE the shuffle to cut exchange volume)."""
+    pruned = ds.select_columns(cols).map_batches(
+        lambda t: t.group_by(cols).aggregate([]), batch_format="pyarrow")
+    return pruned.groupby(cols).count().select_columns(cols)
+
+
+def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
+                batch_size: int = 8192) -> rd.Dataset:
+    """Exact dedup, FIRST-wins by ``order_col`` (pinned D2/D3 semantics,
+    ``news.py:74-82``): a key-only shuffle finds each key's winning order
+    value, the winner set broadcasts, and a second pruned pass filters.
+    Only (key, order) pairs ever shuffle; content columns stay in place."""
+    from ray.data.aggregate import Min
+
+    winners = (ds.select_columns(key_cols + [order_col])
+               .groupby(key_cols).aggregate(Min(order_col, alias_name="__min_ord")))
+    win_tbl = winners.to_pandas()
+    win_tbl = win_tbl.rename(columns={"__min_ord": order_col})
+    joiner_ref = ray.put(win_tbl)
+
+    class KeepWinners:
+        def __init__(self):
+            w = ray.get(joiner_ref)
+            self.idx = pd.MultiIndex.from_frame(w[key_cols + [order_col]].astype(object))
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            key = pd.MultiIndex.from_frame(batch[key_cols + [order_col]].astype(object))
+            return batch[key.isin(self.idx)]
+
+    return ds.map_batches(KeepWinners, batch_format="pandas",
+                          batch_size=batch_size, concurrency=(1, 4))
+
+
+def top_k(ds: rd.Dataset, key: str, k: int, descending: bool = True,
+          columns: list[str] | None = None) -> pa.Table:
+    """Global top-k WITHOUT a global sort (O4): per-batch local top-k
+    (vectorized partition+slice), then one tiny driver-side merge.
+    Returns a pa.Table (small by construction)."""
+    if columns:
+        ds = ds.select_columns(columns)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = "descending" if descending else "ascending"
+        idx = pc.select_k_unstable(t, k, [(key, order)])
+        return t.take(idx)
+
+    parts = [t for t in ray.get(ds.map_batches(local_topk, batch_format="pyarrow")
+                                .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return pa.table({})
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    idx = pc.select_k_unstable(merged, min(k, merged.num_rows),
+                               [(key, "descending" if descending else "ascending")])
+    out = merged.take(idx)
+    return out.sort_by([(key, "descending" if descending else "ascending")])
+
+
+def tumbling_window_column(ds: rd.Dataset, ts_col: str, every_s: int,
+                           out_col: str = "window_start") -> rd.Dataset:
+    """Assign tumbling time windows (W2: 5-minute windows per key,
+    ``DESIGN.md:283-296``): window_start = floor(epoch/every)*every as a
+    timestamp column, computed vectorized per batch — windowing becomes an
+    ordinary groupby key, no stream state."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col], pa.int64())  # timestamp[us] → microseconds
+        every_us = every_s * 1_000_000
+        start = pc.multiply(pc.floor(pc.divide(us, every_us)), every_us)
+        start = pc.cast(pc.cast(start, pa.int64()), pa.timestamp("us"))
+        return t.append_column(out_col, start)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semi_join_keys(ds: rd.Dataset, keys: np.ndarray | set, key_col: str,
+                   anti: bool = False) -> rd.Dataset:
+    """Semi/anti join against a broadcast key set (J2 pattern)."""
+    ref = ray.put(set(keys) if not isinstance(keys, set) else keys)
+
+    class Probe:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            mask = batch[key_col].isin(self.keys)
+            return batch[~mask] if anti else batch[mask]
+
+    return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 4))

@@ -1,0 +1,722 @@
+"""Driver-facing query inventory (SURVEY.md §2 coverage).
+
+Each ``q_*`` function takes ``sf_dir`` (a testdata directory per
+TESTDATA.md) and returns a Dataset / pandas DataFrame / pyarrow Table.
+``ORACLE_SQL`` holds the DuckDB-equivalent ANSI SQL for every
+SQL-expressible query; column names match the Ray output EXACTLY (the
+driver's value-hash sorts columns by name).  Float aggregates are rounded
+identically on both sides to keep hashes stable across summation orders.
+
+Mapping to SURVEY.md §2 operators is noted per query (e.g. A1 windowed
+aggregate, J2 referential, D2 dedup, O4 top-k, M11 sha256).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..checks import sha256_hex
+from ..ops.relational import (broadcast_join, dedup_exact, distinct,
+                              semi_join_keys, top_k, tumbling_window_column)
+
+ROUND = 2  # money-ish aggregates
+ROUND_F = 6  # means / ratios
+
+
+def _t(sf_dir: str, name: str, columns=None, **kw) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns, **kw)
+
+
+def _round_cols(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
+    for c, nd in spec.items():
+        df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+# -- A3-style groupby aggregate (TPC-H Q1 shape) ------------------------------
+
+def q01_pricing_summary(sf_dir: str):
+    """Grouped aggregate with computed column (SURVEY A1/A3/M1)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity",
+                                 "l_extendedprice", "l_discount"])
+
+    def add_revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (ds.map_batches(add_revenue, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("revenue", alias_name="sum_revenue"),
+                      Mean("l_quantity", alias_name="avg_qty"),
+                      Count(alias_name="count_order")))
+    df = out.to_pandas()
+    return _round_cols(df, {"sum_qty": ROUND, "sum_base_price": ROUND,
+                            "sum_revenue": ROUND, "avg_qty": ROUND_F})
+
+
+# -- filter + project + aggregate (M3/M4) -------------------------------------
+
+def q02_revenue_by_flag(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice",
+                                 "l_discount", "l_shipdate"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["l_shipdate"], pa.scalar(np.datetime64("1998-01-01", "us")))
+        t = t.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_returnflag": t["l_returnflag"], "revenue": rev})
+
+    out = (ds.map_batches(fn, batch_format="pyarrow")
+           .groupby("l_returnflag").aggregate(Sum("revenue", alias_name="revenue")))
+    return _round_cols(out.to_pandas(), {"revenue": ROUND})
+
+
+# -- sort / top-k (O1/O4) -----------------------------------------------------
+
+def q03_topk_orders(sf_dir: str):
+    """Global top-k without a global sort."""
+    return top_k(_t(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+                 "o_totalprice", 10, descending=True)
+
+
+# -- distinct (A7/D) ----------------------------------------------------------
+
+def q04_distinct_flags(sf_dir: str):
+    return distinct(_t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"]),
+                    ["l_returnflag", "l_linestatus"])
+
+
+# -- broadcast joins (J1/J3) --------------------------------------------------
+
+def q05_segment_sales(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust.rename(columns={"c_custkey": "o_custkey"}),
+                            on=["o_custkey"], how="inner")
+    out = (joined.groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="total_sales")))
+    return _round_cols(out.to_pandas(), {"total_sales": ROUND})
+
+
+def q06_customers_per_region(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _t(sf_dir, "region").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim.rename(columns={"n_nationkey": "c_nationkey"})[["c_nationkey", "r_name"]]
+    cust = _t(sf_dir, "customer", ["c_nationkey"])
+    joined = broadcast_join(cust, dim, on=["c_nationkey"], how="inner")
+    out = joined.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+    return out.to_pandas()
+
+
+# -- semi / anti joins (J2) ---------------------------------------------------
+
+def q07_customers_with_orders(sf_dir: str):
+    keys = set(_t(sf_dir, "orders", ["o_custkey"]).to_pandas()["o_custkey"])
+    out = semi_join_keys(_t(sf_dir, "customer", ["c_custkey"]), keys, "c_custkey")
+    return out
+
+
+def q08_parts_never_ordered(sf_dir: str):
+    keys = set(_t(sf_dir, "lineitem", ["l_partkey"]).to_pandas()["l_partkey"])
+    out = semi_join_keys(_t(sf_dir, "part", ["p_partkey"]), keys, "p_partkey",
+                         anti=True).to_pandas()
+    if out.empty:  # keep the schema even when the anti-join is empty
+        out = pd.DataFrame({"p_partkey": pd.Series([], dtype="int64")})
+    return out
+
+
+# -- windowed aggregation (A1/W2) --------------------------------------------
+
+def q09_windowed_events(sf_dir: str):
+    """5-minute tumbling windows per event_type (DESIGN.md:283-296 shape).
+    window_start_s is epoch seconds (BIGINT both sides)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = tumbling_window_column(_t(sf_dir, "events", ["ts", "event_type", "value"]),
+                                "ts", 300)
+
+    def to_secs(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(t["window_start"], pa.int64()), 1_000_000)
+        return pa.table({"window_start_s": s, "event_type": t["event_type"],
+                         "value": t["value"]})
+
+    out = (ds.map_batches(to_secs, batch_format="pyarrow")
+           .groupby(["window_start_s", "event_type"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value"),
+                      Mean("value", alias_name="avg_value")))
+    return _round_cols(out.to_pandas(), {"sum_value": ROUND, "avg_value": ROUND_F})
+
+
+# -- uniqueness / duplicate keys (D2, A7) ------------------------------------
+
+def q10_duplicate_users(sf_dir: str):
+    ds = _t(sf_dir, "events", ["user_id"])
+    counts = ds.groupby("user_id").count()
+    out = counts.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "cnt": pc.cast(t["count()"], pa.int64())}),
+        batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.greater(t["cnt"], 1)), batch_format="pyarrow")
+    return out
+
+
+# -- completeness counters (M7/A3) -------------------------------------------
+
+def q11_completeness_documents(sf_dir: str):
+    """Per-batch partial counts + final merge, DESIGN.md:344-357 semantics."""
+    ds = _t(sf_dir, "documents", ["text", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        null_text = pc.sum(pc.cast(pc.is_null(t["text"]), pa.int64())).as_py() or 0
+        empty_text = pc.sum(pc.cast(pc.equal(pc.fill_null(t["text"], ""), ""),
+                                    pa.int64())).as_py() or 0
+        null_lang = pc.sum(pc.cast(pc.is_null(t["lang"]), pa.int64())).as_py() or 0
+        return pa.table({"n_rows": pa.array([t.num_rows], pa.int64()),
+                         "null_text": pa.array([null_text], pa.int64()),
+                         "empty_text": pa.array([empty_text], pa.int64()),
+                         "null_lang": pa.array([null_lang], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([parts.sum().astype("int64")])
+
+
+# -- range expectations (M8) --------------------------------------------------
+
+def q12_range_violations(sf_dir: str):
+    """Counts outside expected bounds (DESIGN.md:366-380)."""
+    ds = _t(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q_bad = pc.sum(pc.cast(pc.or_(pc.less(t["l_quantity"], 1.0),
+                                      pc.greater(t["l_quantity"], 49.0)),
+                               pa.int64())).as_py() or 0
+        d_bad = pc.sum(pc.cast(pc.greater(t["l_discount"], 0.05), pa.int64())).as_py() or 0
+        return pa.table({"qty_out_of_range": pa.array([q_bad], pa.int64()),
+                         "disc_above_5pct": pa.array([d_bad], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([parts.sum().astype("int64")])
+
+
+# -- sha256 invariant (M11) ---------------------------------------------------
+
+def q13_sha256_documents(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "text_sha256": pa.array(sha256_hex(t["text"].to_pylist()),
+                                                 pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# -- first-wins dedup (D2/D3) -------------------------------------------------
+
+def q14_dedup_documents(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dedup_exact(ds, ["text"], "doc_id").select_columns(["doc_id", "lang"])
+
+
+# -- ANN brute-force cosine (similarity search) -------------------------------
+
+def q15_ann_topk(sf_dir: str):
+    from ..ops.ann import brute_force_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()  # 1-row control fetch
+    query = np.stack(q0["embedding"].to_numpy())
+    out = brute_force_topk(emb, query, k=10).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["query_id", "vec_id", "score"]]
+
+
+# -- token counting (text analysis) ------------------------------------------
+
+def q16_token_counts(sf_dir: str):
+    from ..ops.text import TokenCounter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TokenCounter, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "n_tokens_ws"])
+
+
+# -- per-group moments via mergeable sketches (A4) ----------------------------
+
+def q17_lang_profiles(sf_dir: str):
+    """Welford-sketch path checked against SQL avg/stddev_pop/min/max."""
+    from ..sketches import Moments
+
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pickle
+
+        df = t.to_pandas()
+        rows = {"lang": [], "blob": []}
+        for lang, grp in df.groupby("lang"):
+            rows["lang"].append(lang)
+            rows["blob"].append(pickle.dumps(
+                Moments().update(grp["n_chars"].to_numpy(dtype=np.float64))))
+        return pa.table({"lang": pa.array(rows["lang"], pa.string()),
+                         "blob": pa.array(rows["blob"], pa.binary())})
+
+    import pickle
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for lang, grp in parts.groupby("lang"):
+        m = None
+        for b in grp["blob"]:
+            s = pickle.loads(b)
+            m = s if m is None else m.merge(s)
+        out.append({"lang": lang, "n_docs": m.n,
+                    "avg_chars": round(m.mean, 4), "std_chars": round(m.std, 4),
+                    "min_chars": int(m.min), "max_chars": int(m.max)})
+    return pd.DataFrame(out)
+
+
+# -- exact grouped quantiles (A4 median) --------------------------------------
+
+def q18_lang_medians(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "median_chars": [float(np.quantile(
+                                 g["n_chars"].to_numpy(), 0.5))]})
+
+    return ds.groupby("lang").map_groups(med, batch_format="pandas")
+
+
+# -- exact distinct count per group (A7) --------------------------------------
+
+def q19_distinct_users_per_type(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    pairs = distinct(ds, ["event_type", "user_id"])
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return out
+
+
+# -- substring filter (M3/M5) -------------------------------------------------
+
+def q20_text_contains(sf_dir: str):
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.match_substring(pc.utf8_lower(pc.fill_null(t["text"], "")), "query")
+        return pa.table({"doc_id": t.filter(mask)["doc_id"]})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# -- per-source top-n + union + sort (S4/O1/O2/D1 news.py shape) -------------
+
+def q21_per_source_latest(sf_dir: str):
+    """Per-source limit-20 newest-first, the news.py scan shape
+    (news.py:26,105 limit; news.py:583-592 sort)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def head20(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values("doc_id", ascending=False).head(20)
+                [["source", "doc_id"]])
+
+    return ds.groupby("source").map_groups(head20, batch_format="pandas")
+
+
+# -- timestamp formatting (M6 scalar fns) ------------------------------------
+
+def q22_event_days(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    return ds.map_batches(fn, batch_format="pyarrow").groupby("day").aggregate(
+        Count(alias_name="n_events"))
+
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), {ROUND}) AS sum_qty,
+               ROUND(SUM(l_extendedprice), {ROUND}) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), {ROUND}) AS sum_revenue,
+               ROUND(AVG(l_quantity), {ROUND_F}) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_flag": f"""
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), {ROUND}) AS revenue
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag""",
+    "q03_topk_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC LIMIT 10""",
+    "q04_distinct_flags": """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+    "q05_segment_sales": f"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), {ROUND}) AS total_sales
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""",
+    "q06_customers_per_region": """
+        SELECT r_name, COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""",
+    "q07_customers_with_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+    "q08_parts_never_ordered": """
+        SELECT p_partkey FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)""",
+    "q09_windowed_events": f"""
+        SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS window_start_s,
+               event_type, COUNT(*) AS n_events,
+               ROUND(SUM(value), {ROUND}) AS sum_value,
+               ROUND(AVG(value), {ROUND_F}) AS avg_value
+        FROM events GROUP BY 1, 2""",
+    "q10_duplicate_users": """
+        SELECT user_id, COUNT(*) AS cnt FROM events
+        GROUP BY user_id HAVING COUNT(*) > 1""",
+    "q11_completeness_documents": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE text IS NULL) AS null_text,
+               COUNT(*) FILTER (WHERE COALESCE(text, '') = '') AS empty_text,
+               COUNT(*) FILTER (WHERE lang IS NULL) AS null_lang
+        FROM documents""",
+    "q12_range_violations": """
+        SELECT COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 49) AS qty_out_of_range,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS disc_above_5pct
+        FROM lineitem""",
+    "q13_sha256_documents": """
+        SELECT doc_id, sha256(text) AS text_sha256 FROM documents""",
+    "q14_dedup_documents": """
+        SELECT MIN(doc_id) AS doc_id, ARG_MIN(lang, doc_id) AS lang
+        FROM documents GROUP BY text""",
+    "q15_ann_topk": """
+        SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+               ROUND(CAST(raw_score AS DOUBLE), 4) AS score FROM (
+            SELECT vec_id, list_cosine_similarity(
+                embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0))
+                AS raw_score
+            FROM embeddings ORDER BY raw_score DESC, vec_id LIMIT 10)""",
+    "q16_token_counts": r"""
+        SELECT doc_id,
+               CASE WHEN TRIM(COALESCE(text,'')) = '' THEN 0
+                    ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
+               END AS n_tokens_ws
+        FROM documents""",
+    "q17_lang_profiles": """
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               ROUND(STDDEV_POP(n_chars), 4) AS std_chars,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang""",
+    "q18_lang_medians": """
+        SELECT lang, MEDIAN(n_chars) AS median_chars
+        FROM documents GROUP BY lang""",
+    "q19_distinct_users_per_type": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type""",
+    "q20_text_contains": """
+        SELECT doc_id FROM documents WHERE LOWER(text) LIKE '%query%'""",
+    "q21_per_source_latest": """
+        SELECT source, doc_id FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id DESC) AS rn
+            FROM documents) WHERE rn <= 20""",
+    "q22_event_days": """
+        SELECT STRFTIME(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+        FROM events GROUP BY 1""",
+}
+
+SQL_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_flag": q02_revenue_by_flag,
+    "q03_topk_orders": q03_topk_orders,
+    "q04_distinct_flags": q04_distinct_flags,
+    "q05_segment_sales": q05_segment_sales,
+    "q06_customers_per_region": q06_customers_per_region,
+    "q07_customers_with_orders": q07_customers_with_orders,
+    "q08_parts_never_ordered": q08_parts_never_ordered,
+    "q09_windowed_events": q09_windowed_events,
+    "q10_duplicate_users": q10_duplicate_users,
+    "q11_completeness_documents": q11_completeness_documents,
+    "q12_range_violations": q12_range_violations,
+    "q13_sha256_documents": q13_sha256_documents,
+    "q14_dedup_documents": q14_dedup_documents,
+    "q15_ann_topk": q15_ann_topk,
+    "q16_token_counts": q16_token_counts,
+    "q17_lang_profiles": q17_lang_profiles,
+    "q18_lang_medians": q18_lang_medians,
+    "q19_distinct_users_per_type": q19_distinct_users_per_type,
+    "q20_text_contains": q20_text_contains,
+    "q21_per_source_latest": q21_per_source_latest,
+    "q22_event_days": q22_event_days,
+}
+
+
+# ===========================================================================
+# Non-SQL-expressible queries (driver records a rows-only check; the real
+# correctness tests for these live in tests/ with hand-built oracles)
+# ===========================================================================
+
+
+def nq_minhash_dedup(sf_dir: str):
+    from ..ops.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def nq_simhash_dedup(sf_dir: str):
+    from ..ops.dedup import simhash_dedup
+
+    return simhash_dedup(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def nq_ngram_jaccard_dedup(sf_dir: str):
+    from ..ops.dedup import ngram_jaccard_dedup
+
+    return ngram_jaccard_dedup(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def nq_embedding_dedup(sf_dir: str):
+    from ..ops.dedup import embedding_cosine_dedup
+
+    return embedding_cosine_dedup(_t(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+def nq_ivf_ann(sf_dir: str):
+    from ..ops.ann import ivf_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()
+    out = ivf_topk(emb, np.stack(q0["embedding"].to_numpy()), k=10).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out
+
+
+def nq_langid(sf_dir: str):
+    from ..ops.text import LangId
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=2) \
+        .select_columns(["doc_id", "lang", "lang_pred", "lang_score"])
+
+
+def nq_quality_scores(sf_dir: str):
+    from ..ops.text import QualityScorer
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2) \
+        .select_columns(["doc_id", "punct_ratio", "stopword_ratio", "quality"])
+
+
+def nq_fingerprints(sf_dir: str):
+    from ..ops.text import Fingerprinter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=2) \
+        .select_columns(["doc_id", "fingerprint"])
+
+
+def nq_hll_distinct_users(sf_dir: str):
+    """HLL cardinality per event_type (A7 scale path; exact twin is
+    q19_distinct_users_per_type)."""
+    import pickle
+
+    from ..sketches import HLL
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = {"event_type": [], "blob": []}
+        for et, grp in df.groupby("event_type"):
+            rows["event_type"].append(et)
+            rows["blob"].append(pickle.dumps(
+                HLL(p=12).update(grp["user_id"].to_numpy())))
+        return pa.table({"event_type": pa.array(rows["event_type"], pa.string()),
+                         "blob": pa.array(rows["blob"], pa.binary())})
+
+    import pickle as _p
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for et, grp in parts.groupby("event_type"):
+        h = None
+        for b in grp["blob"]:
+            s = _p.loads(b)
+            h = s if h is None else h.merge(s)
+        out.append({"event_type": et, "n_users_approx": int(round(h.estimate()))})
+    return pd.DataFrame(out)
+
+
+def nq_drift_events(sf_dir: str):
+    """KS/PSI/JS of `value` between the first and second half of the time
+    range, per event_type (A5/A6 over the events stream)."""
+    import pickle
+
+    from ..drift import js_divergence, ks_from_digests, psi
+    from ..sketches import Histogram, Moments, TDigest
+
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+    lohi = ds.map_batches(
+        lambda t: pa.table({"lo": [pc.min(pc.cast(t["ts"], pa.int64())).as_py()],
+                            "hi": [pc.max(pc.cast(t["ts"], pa.int64())).as_py()]}),
+        batch_format="pyarrow").to_pandas()
+    mid = (int(lohi["lo"].min()) + int(lohi["hi"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["half"] = (df["ts"].astype("int64") >= mid).astype(int)
+        rows = {"event_type": [], "half": [], "blob": []}
+        for (et, half), grp in df.groupby(["event_type", "half"]):
+            v = grp["value"].to_numpy(dtype=np.float64)
+            rows["event_type"].append(et)
+            rows["half"].append(half)
+            rows["blob"].append(pickle.dumps((
+                Moments().update(v), TDigest().update(v),
+                Histogram(0, 500, 32).update(v))))
+        return pa.table({"event_type": pa.array(rows["event_type"], pa.string()),
+                         "half": pa.array(rows["half"], pa.int64()),
+                         "blob": pa.array(rows["blob"], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged: dict = {}
+    for _, r in parts.iterrows():
+        m, td, h = pickle.loads(r["blob"])
+        key = (r["event_type"], r["half"])
+        if key in merged:
+            merged[key][0].merge(m)
+            merged[key][1].merge(td)
+            merged[key][2].merge(h)
+        else:
+            merged[key] = [m, td, h]
+    out = []
+    for et in sorted({k[0] for k in merged}):
+        a = merged.get((et, 0))
+        b = merged.get((et, 1))
+        if not a or not b:
+            continue
+        out.append({
+            "event_type": et,
+            "ks_stat": round(ks_from_digests(a[1], b[1]), 4),
+            "psi": round(psi(a[2], b[2]), 4),
+            "js": round(js_divergence(a[2], b[2]), 4),
+            "mean_first": round(a[0].mean, 4), "mean_second": round(b[0].mean, 4),
+        })
+    return pd.DataFrame(out)
+
+
+def nq_unusual_ratio_events(sf_dir: str):
+    """The reference detector (sensor.py:160-194 semantics) replayed over the
+    events stream ordered by event_id: unusual := value > 200 (~p97)."""
+    from ..drift import unusual_ratio_verdicts
+
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+    flags_df = ds.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "unusual": pc.greater(t["value"], 200.0)}),
+        batch_format="pyarrow").to_pandas().sort_values("event_id")
+    verdicts = unusual_ratio_verdicts(flags_df["unusual"].to_numpy())
+    return pd.DataFrame([{
+        "window_index": v.window_index, "start_row": v.start_row,
+        "end_row": v.end_row, "n_rows": v.n_rows,
+        "unusual_count": v.unusual_count,
+        "unusual_ratio": round(v.unusual_ratio, 6), "drift": v.drift,
+    } for v in verdicts])
+
+
+def nq_multimodal_decode(sf_dir: str):
+    """Binary media column plumbing (stubbed codec, real Ray stages)."""
+    from ..ops.multimodal import decode_images, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(200, kind="image"))
+    out = decode_images(media).to_pandas()
+    out["mean_r"] = [float(np.round(v[0], 3)) for v in out["mean_rgb"]]
+    return out[["media_id", "kind", "format", "mean_r"]]
+
+
+def nq_frame_sample(sf_dir: str):
+    from ..ops.multimodal import sample_frames, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(50, kind="video"))
+    out = sample_frames(media, n_frames=4).to_pandas()
+    return out[["media_id", "frame_idx", "frame_ms"]]
+
+
+def nq_validate_documents(sf_dir: str):
+    """Flagship validation pass over the documents table: verdict rows."""
+    from ..pipeline import validate_dataset
+    from ..spec import DOCUMENTS_SPEC
+
+    ds = _t(sf_dir, "documents")
+    results = validate_dataset(ds, DOCUMENTS_SPEC, check_uniqueness=True)
+    rows = []
+    for res in results.values():
+        v = res.verdict_row()
+        rows.append({"n_rows": v["n_rows"], "n_violations": v["n_violations"],
+                     "quality_score": v["quality_score"], "passed": v["passed"]})
+    return pd.DataFrame(rows)
+
+
+def nq_validate_events(sf_dir: str):
+    from ..pipeline import validate_dataset
+    from ..spec import EVENTS_SPEC
+
+    ds = _t(sf_dir, "events")
+    results = validate_dataset(ds, EVENTS_SPEC, check_uniqueness=True)
+    rows = []
+    for res in results.values():
+        v = res.verdict_row()
+        rows.append({"n_rows": v["n_rows"], "n_violations": v["n_violations"],
+                     "quality_score": v["quality_score"], "passed": v["passed"]})
+    return pd.DataFrame(rows)
+
+
+NONSQL_QUERIES = {
+    "nq_minhash_dedup": nq_minhash_dedup,
+    "nq_simhash_dedup": nq_simhash_dedup,
+    "nq_ngram_jaccard_dedup": nq_ngram_jaccard_dedup,
+    "nq_embedding_dedup": nq_embedding_dedup,
+    "nq_ivf_ann": nq_ivf_ann,
+    "nq_langid": nq_langid,
+    "nq_quality_scores": nq_quality_scores,
+    "nq_fingerprints": nq_fingerprints,
+    "nq_hll_distinct_users": nq_hll_distinct_users,
+    "nq_drift_events": nq_drift_events,
+    "nq_unusual_ratio_events": nq_unusual_ratio_events,
+    "nq_multimodal_decode": nq_multimodal_decode,
+    "nq_frame_sample": nq_frame_sample,
+    "nq_validate_documents": nq_validate_documents,
+    "nq_validate_events": nq_validate_events,
+}
+
+ALL_QUERIES = {**SQL_QUERIES, **NONSQL_QUERIES}
