@@ -21,9 +21,10 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant for 2nd hash
 
 
 class BloomFilter:
-    __slots__ = ("n_bits", "k", "bits")
+    __slots__ = ("n_bits", "k", "bits", "hashed")
 
     def __init__(self, capacity: int, fpr: float = 1e-3) -> None:
+        self.hashed = False  # True ⇒ built from uint64 key hashes (probe with hash_keys)
         capacity = max(int(capacity), 1)
         n_bits = int(-capacity * math.log(fpr) / (math.log(2) ** 2))
         self.n_bits = max(64, n_bits)

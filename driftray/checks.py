@@ -92,6 +92,19 @@ def join_key(batch: pa.Table, columns) -> np.ndarray:
     return np.asarray(joined.to_pandas(), dtype=object)
 
 
+def hash_keys(batch: pa.Table, columns) -> np.ndarray:
+    """Combined uint64 hash over key columns WITHOUT building row strings —
+    per-column vectorized hashing folded with an FNV-style mix.  This is
+    what shuffles in place of the raw key at scale (8 bytes/row)."""
+    from .sketches import hash64
+
+    h = np.full(batch.num_rows, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    for c in columns:
+        col = np.asarray(batch[c].to_pandas(), dtype=object)
+        h = (h * np.uint64(1099511628211)) ^ hash64(col)
+    return h
+
+
 def _null_or_empty_mask(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """DESIGN.md:344-357 completeness semantics, vectorized."""
     mask = pc.is_null(col)
@@ -101,7 +114,8 @@ def _null_or_empty_mask(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     elif pa.types.is_floating(typ):
         mask = pc.or_kleene(mask, pc.is_nan(col))
     mask = pc.fill_null(mask, True)
-    return np.asarray(mask.to_pandas(), dtype=bool)
+    return np.asarray(mask.to_numpy(zero_copy_only=False), dtype=bool)
+
 
 
 def sha256_hex(values: list[str]) -> list[str]:
@@ -113,6 +127,32 @@ def sha256_hex(values: list[str]) -> list[str]:
             out.append(None)
         else:
             out.append(hashlib.sha256(s.encode("utf-8", "surrogatepass")).hexdigest())
+    return out
+
+
+def sha256_hex_arrow(col: pa.ChunkedArray | pa.Array) -> list[str]:
+    """sha256 hex straight from the Arrow string buffers — hashes UTF-8
+    bytes via zero-copy memoryview slices, never materializing Python str
+    objects (the content column is the widest thing in the table; skipping
+    the str round-trip halves the kernel's memory traffic)."""
+    out: list = []
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for chunk in chunks:
+        if chunk.null_count:
+            # rare path: fall back per-chunk when nulls are present
+            out.extend(sha256_hex(chunk.to_pylist()))
+            continue
+        if pa.types.is_large_string(chunk.type):
+            odt, width = np.int64, 8
+        else:
+            odt, width = np.int32, 4
+        bufs = chunk.buffers()
+        offsets = np.frombuffer(bufs[1], dtype=odt, count=len(chunk) + 1,
+                                offset=chunk.offset * width)
+        data = memoryview(bufs[2])
+        sha = hashlib.sha256
+        out.extend(sha(data[offsets[i]:offsets[i + 1]]).hexdigest()
+                   for i in range(len(chunk)))
     return out
 
 
@@ -171,8 +211,15 @@ class ValidationKernel:
         _append(out, "counter", "rows", n=n_rows)
         if n_rows == 0:
             return findings_table(out, window)
-        refs = row_refs(batch, spec)
         budget = [self.cap]
+        refs_cache: list = [None]
+
+        def refs_at(idx: np.ndarray) -> np.ndarray:
+            # row refs built LAZILY and only for violating rows — avoids a
+            # per-batch object-string materialization on the clean path
+            if refs_cache[0] is None:
+                refs_cache[0] = row_refs(batch, spec)
+            return refs_cache[0][idx]
 
         def emit_violations(mask: np.ndarray, check: str, column: str, detail: str) -> None:
             cnt = int(mask.sum())
@@ -181,9 +228,9 @@ class ValidationKernel:
                 return
             idx = np.flatnonzero(mask)[: budget[0]]
             budget[0] -= idx.size
-            for i in idx:
+            for r in refs_at(idx):
                 _append(out, "violation", check, column=column,
-                        row_ref=str(refs[i]), detail=detail)
+                        row_ref=str(r), detail=detail)
 
         # -- completeness (M7) ------------------------------------------------
         for cs in spec.required_columns:
@@ -217,9 +264,10 @@ class ValidationKernel:
         hi = spec.hash_invariant
         if hi is not None and hi.content_column in batch.column_names \
                 and hi.hash_column in batch.column_names:
-            actual = sha256_hex(batch[hi.content_column].to_pylist())
+            actual = sha256_hex_arrow(batch[hi.content_column])
             expected = batch[hi.hash_column].to_pylist()
-            mask = np.array([a != e for a, e in zip(actual, expected)], dtype=bool)
+            mask = np.fromiter((a != e for a, e in zip(actual, expected)),
+                               dtype=bool, count=len(actual))
             emit_violations(mask, "sha256", hi.content_column, "content hash mismatch")
 
         # -- referential integrity (J2): probe broadcast membership -----------
@@ -227,11 +275,20 @@ class ValidationKernel:
             member = self.membership.get(i)
             if member is None or not all(c in batch.column_names for c in fk.columns):
                 continue
-            keys = join_key(batch, fk.columns)
+            if getattr(member, "hashed", False) or (
+                    isinstance(member, (set, frozenset)) and member
+                    and isinstance(next(iter(member)), (int, np.integer))):
+                # hashed membership (scale path): probe 8-byte key hashes,
+                # never building per-row key strings
+                keys = hash_keys(batch, fk.columns)
+            else:
+                keys = join_key(batch, fk.columns)
             if hasattr(member, "contains"):  # BloomFilter: no false negatives
                 present = member.contains(keys)
             else:
-                present = np.array([k in member for k in keys], dtype=bool)
+                kl = keys.tolist()
+                present = np.fromiter((k in member for k in kl), dtype=bool,
+                                      count=len(kl))
             emit_violations(~present, "referential", "|".join(fk.columns),
                             f"not in {fk.dim_table}({','.join(fk.dim_columns)})")
 
@@ -240,18 +297,29 @@ class ValidationKernel:
             if col_name not in batch.column_names:
                 continue
             values = np.asarray(
-                pc.cast(batch[col_name], pa.float64()).to_pandas(), dtype=np.float64
-            )
+                pc.cast(batch[col_name], pa.float64()).to_numpy(zero_copy_only=False),
+                dtype=np.float64)
             self._emit_sketches(out, col_name, "", values)
             if spec.group_column and spec.group_column in batch.column_names:
-                groups = batch[spec.group_column].to_pandas()
-                for g in sorted(groups.dropna().unique()):
-                    mask = (groups == g).to_numpy()
-                    self._emit_sketches(out, col_name, str(g), values[mask])
+                # dictionary-encode once: per-group masks become int compares
+                dic = pc.dictionary_encode(
+                    batch[spec.group_column].combine_chunks()
+                    if isinstance(batch[spec.group_column], pa.ChunkedArray)
+                    else batch[spec.group_column])
+                if isinstance(dic, pa.ChunkedArray):
+                    dic = dic.combine_chunks()
+                codes = np.asarray(dic.indices.to_numpy(zero_copy_only=False))
+                labels = dic.dictionary.to_pylist()
+                for code in np.argsort(np.array(labels, dtype=object)):
+                    g = labels[code]
+                    if g is None:
+                        continue
+                    self._emit_sketches(out, col_name, str(g),
+                                        values[codes == code])
 
         # -- approximate key uniqueness (A7: HLL over the unique key) ---------
         if spec.unique_key and all(c in batch.column_names for c in spec.unique_key):
-            hll = HLL().update(refs)
+            hll = HLL().update(hash_keys(batch, spec.unique_key))
             _append(out, "sketch", "uniqueness", column="|".join(spec.unique_key),
                     detail="hll", blob=sketches.dumps(hll))
 

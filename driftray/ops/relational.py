@@ -129,7 +129,8 @@ def tumbling_window_column(ds: rd.Dataset, ts_col: str, every_s: int,
     ordinary groupby key, no stream state."""
 
     def assign(t: pa.Table) -> pa.Table:
-        us = pc.cast(t[ts_col], pa.int64())  # timestamp[us] → microseconds
+        # normalize to µs first — pandas-sourced columns arrive as ns
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
         every_us = every_s * 1_000_000
         start = pc.multiply(pc.floor(pc.divide(us, every_us)), every_us)
         start = pc.cast(pc.cast(start, pa.int64()), pa.timestamp("us"))

@@ -123,21 +123,29 @@ def build_membership(dim_ds: rd.Dataset | pa.Table, columns, *, use_bloom: bool 
 
     The dimension side is small relative to the fact table (repos, commit
     pairs) — it is aggregated to a single object and broadcast with
-    ``ray.put``; probes happen inside the fact kernel (no shuffle)."""
-    keys: list = []
+    ``ray.put``; probes happen inside the fact kernel (no shuffle).
+
+    Keys are stored as uint64 HASHES of the joined key columns (matching
+    ``checks.hash_keys``), so fact-side probes never build per-row key
+    strings.  A hash collision can only mask a violation (never invent
+    one) with probability ~n_dim/2^64 per probed row — negligible next to
+    the Bloom FPR this degrades to at scale anyway."""
+    from .checks import hash_keys
+
     if isinstance(dim_ds, pa.Table):
         batches = [dim_ds]
     else:
         batches = dim_ds.select_columns(list(columns)).iter_batches(
             batch_size=65536, batch_format="pyarrow")
-    arrays = [join_key(pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b,
-                       columns) for b in batches]
-    all_keys = np.concatenate(arrays) if arrays else np.array([], dtype=object)
+    arrays = [hash_keys(pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b,
+                        columns) for b in batches]
+    all_keys = np.concatenate(arrays) if arrays else np.array([], dtype=np.uint64)
     if use_bloom:
         bf = BloomFilter(capacity_hint or max(len(all_keys), 1), fpr)
         bf.add(all_keys)
+        bf.hashed = True
         return bf
-    return set(all_keys.tolist())
+    return set(int(k) for k in all_keys)
 
 
 def merge_findings(findings: pa.Table) -> tuple[dict, pa.Table, dict, float | None]:
@@ -180,17 +188,24 @@ def merge_findings(findings: pa.Table) -> tuple[dict, pa.Table, dict, float | No
 # ---------------------------------------------------------------------------
 
 
-def uniqueness_violations(ds: rd.Dataset, spec: TableSpec) -> tuple[pa.Table, int]:
-    """Duplicate-key detection (the one shuffle-shaped check).
+def uniqueness_violations(ds: rd.Dataset | str, spec: TableSpec,
+                          read_filter=None) -> tuple[pa.Table, int]:
+    """Duplicate-key detection (the one shuffle-shaped check), two-tier:
 
-    Reads ONLY the key columns, pre-hashes them into a single string key in
-    a vectorized ``map_batches``, then a native hash-shuffle
-    ``groupby(key).count()`` — no per-group Python.  Returns one violation
-    row per duplicated key (detail = occurrence count) plus the exact count
-    of EXTRA rows (total - distinct), i.e. rows beyond the kept-first
+    1. Shuffle 8-byte key HASHES, not key strings: per-batch vectorized
+       ``hash_keys`` → ``groupby(hash).count()`` — the exchange carries
+       one uint64 per row instead of a ~100-byte composite key.
+    2. Hash-level duplicates (a tiny candidate set: real dups + ~n²/2⁶⁴
+       collisions) are verified EXACTLY: candidate rows are re-read with a
+       broadcast hash filter and grouped on their full key strings.
+
+    Returns one violation row per duplicated key (detail = occurrence
+    count) plus the exact count of EXTRA rows beyond the kept-first
     (first-wins by sorted order, the pinned resolution of the reference's
     first-wins/last-wins inconsistency, ``news.py:74-82`` vs
     ``news.py:349-356``; SURVEY.md D2/D3)."""
+    from .checks import hash_keys
+
     key_cols = list(spec.unique_key or ())
     empty = pa.table({"check": pa.array([], pa.string()),
                       "column": pa.array([], pa.string()),
@@ -198,24 +213,50 @@ def uniqueness_violations(ds: rd.Dataset, spec: TableSpec) -> tuple[pa.Table, in
                       "detail": pa.array([], pa.string())})
     if not key_cols:
         return empty, 0
-    keyed = ds.select_columns(key_cols).map_batches(
-        lambda b: pa.table({"key": pa.array(join_key(b, key_cols))}),
-        batch_format="pyarrow",
-    )
-    counts = keyed.groupby("key").count()
-    dup = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["count()"], 1)), batch_format="pyarrow")
-    pdf = dup.to_pandas()
-    if len(pdf) == 0:
+
+    def keys_ds() -> rd.Dataset:
+        # a string input gets a fresh COLUMN-PRUNED read per pass (reading
+        # 3 key columns, not the multi-KB content rows)
+        if isinstance(ds, str):
+            return rd.read_parquet(ds, columns=key_cols, filter=read_filter)
+        return ds.select_columns(key_cols)
+
+    hashed = keys_ds().map_batches(
+        lambda b: pa.table({"kh": pa.array(hash_keys(b, key_cols).astype(np.int64))}),
+        batch_format="pyarrow")
+    counts = hashed.groupby("kh").count()
+    dup_h = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["count()"], 1)),
+        batch_format="pyarrow").to_pandas()
+    if len(dup_h) == 0:
         return empty, 0
-    n = len(pdf)
-    extra = int((pdf["count()"] - 1).sum())
+
+    cand_ref = ray.put(set(dup_h["kh"].astype(np.int64).tolist()))
+
+    class FetchCandidates:
+        def __init__(self):
+            self.cand = ray.get(cand_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            kh = hash_keys(b, key_cols).astype(np.int64)
+            mask = pa.array(np.fromiter((int(h) in self.cand for h in kh),
+                                        dtype=bool, count=len(kh)))
+            sub = b.filter(mask)
+            return pa.table({"key": pa.array(join_key(sub, key_cols))})
+
+    cand = keys_ds().map_batches(
+        FetchCandidates, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    vc = cand["key"].value_counts()
+    vc = vc[vc > 1]
+    if len(vc) == 0:
+        return empty, 0
+    extra = int((vc - 1).sum())
     colname = "|".join(key_cols)
     return pa.table({
-        "check": pa.array(["uniqueness"] * n),
-        "column": pa.array([colname] * n),
-        "row_ref": pa.array(pdf["key"].astype(str).tolist(), pa.string()),
-        "detail": pa.array([f"{c} occurrences (kept first by order)" for c in pdf["count()"]],
+        "check": pa.array(["uniqueness"] * len(vc)),
+        "column": pa.array([colname] * len(vc)),
+        "row_ref": pa.array(vc.index.astype(str).tolist(), pa.string()),
+        "detail": pa.array([f"{int(c)} occurrences (kept first by order)" for c in vc],
                            pa.string()),
     }), extra
 
@@ -382,8 +423,10 @@ def validate_dataset(
     baseline: Baseline | None = None,
     hist_edges: dict[str, np.ndarray] | None = None,
     check_uniqueness: bool = True,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
     kernel_concurrency=None,
+    uniqueness_input: str | None = None,
+    uniqueness_filter=None,
 ) -> dict[int, WindowResult]:
     """ONE streaming pass over the dataset validating every window in it.
 
@@ -393,13 +436,26 @@ def validate_dataset(
     (a key may not repeat across windows) and reported on window -1 when
     the input spans windows, matching the engine's pinned semantics."""
     t0 = time.perf_counter()
+    from concurrent.futures import ThreadPoolExecutor
+
     from .checks import FINDINGS_SCHEMA
 
     kernel = ValidationKernel(spec, hist_edges=hist_edges, membership=membership,
                               window_column=window_column)
-    kwargs: dict = {"batch_format": "pyarrow", "batch_size": batch_size}
+    kwargs: dict = {"batch_format": "pyarrow", "batch_size": batch_size,
+                    "zero_copy_batch": True}
     if kernel_concurrency:
         kwargs["concurrency"] = kernel_concurrency
+
+    # the uniqueness shuffle runs CONCURRENTLY with the kernel pass (its own
+    # Ray Data execution from a second driver thread) — the two pipelines
+    # interleave under the streaming executor instead of serializing
+    uniq_future = None
+    pool = ThreadPoolExecutor(1)
+    if check_uniqueness and spec.unique_key:
+        uniq_future = pool.submit(uniqueness_violations, uniqueness_input or ds,
+                                  spec, uniqueness_filter)
+
     findings = ds.map_batches(kernel, **kwargs).materialize()
     parts = [t for t in ray.get(findings.to_arrow_refs()) if t.num_rows]
     table = (pa.concat_tables([t.cast(FINDINGS_SCHEMA) for t in parts])
@@ -409,12 +465,13 @@ def validate_dataset(
         results = {-1: WindowResult(-1, 0, {}, FINDINGS_SCHEMA.empty_table().select(
             ["check", "column", "row_ref", "detail"]), {}, None)}
 
-    if check_uniqueness and spec.unique_key:
-        dup, extra = uniqueness_violations(ds, spec)
+    if uniq_future is not None:
+        dup, extra = uniq_future.result()
         scope = min(results)  # single-window input → that window; else first
         res = results[scope]
         res.counters["uniqueness|" + "|".join(spec.unique_key)] = extra
         res.violations = pa.concat_tables([res.violations, dup])
+    pool.shutdown(wait=False)
 
     wall = time.perf_counter() - t0
     for res in results.values():
@@ -494,7 +551,7 @@ def run_validation(
     use_bloom: bool = False,
     hist_edges: dict[str, np.ndarray] | None = None,
     check_uniqueness: bool = True,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
 ) -> list[WindowResult]:
     """Validate every window of a partitioned Parquet table, resumably.
 
@@ -529,13 +586,15 @@ def run_validation(
     baseline = (Baseline.load(baseline_path)
                 if baseline_path and os.path.exists(baseline_path) else None)
 
-    ds = rd.read_parquet(input_path,
-                         filter=pc.field(window_column).isin(pending))
+    wfilter = pc.field(window_column).isin(pending)
+    ds = rd.read_parquet(input_path, filter=wfilter)
     results = validate_dataset(ds, spec, window_column=window_column,
                                membership=membership, baseline=baseline,
                                hist_edges=hist_edges,
                                check_uniqueness=check_uniqueness,
-                               batch_size=batch_size)
+                               batch_size=batch_size,
+                               uniqueness_input=input_path,
+                               uniqueness_filter=wfilter)
     out = []
     for w in pending:
         res = results.get(w)

@@ -256,27 +256,18 @@ class TDigest:
         order = np.argsort(vs, kind="stable")
         vs, ws = vs[order], ws[order]
         total = ws.sum()
-        out_m: list[float] = []
-        out_w: list[float] = []
-        cur_m, cur_w = vs[0], ws[0]
-        q0 = 0.0
-        k_lo = _k_scale(np.array([q0]), self.delta)[0]
-        for i in range(1, vs.size):
-            q_next = q0 + (cur_w + ws[i]) / total
-            if _k_scale(np.array([q_next]), self.delta)[0] - k_lo <= 1.0:
-                # absorb into current centroid
-                cur_m += (vs[i] - cur_m) * ws[i] / (cur_w + ws[i])
-                cur_w += ws[i]
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                q0 += cur_w / total
-                k_lo = _k_scale(np.array([q0]), self.delta)[0]
-                cur_m, cur_w = vs[i], ws[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.asarray(out_m)
-        self.weights = np.asarray(out_w)
+        # Vectorized compression: each sorted point's quantile midpoint maps
+        # through the k1 scale; points sharing floor(k) merge into one
+        # centroid (each cluster spans ≤ 1 k-unit — the t-digest invariant).
+        q = (np.cumsum(ws) - ws / 2.0) / total
+        k = _k_scale(q, self.delta)
+        cluster = np.floor(k - k[0]).astype(np.int64)
+        # weighted mean per cluster via bincount — O(n) numpy, no Python loop
+        w_sum = np.bincount(cluster, weights=ws)
+        vw_sum = np.bincount(cluster, weights=vs * ws)
+        keep = w_sum > 0
+        self.means = vw_sum[keep] / w_sum[keep]
+        self.weights = w_sum[keep]
 
     def quantile(self, q: float) -> float:
         self._flush()
