@@ -324,3 +324,70 @@ def sensor_readings(n: int, seed: int = 42, unusual_probability: float = 0.05) -
         ("contaminant_level", pa.int64()), ("unusual", pa.bool_()),
     ])
     return pa.Table.from_pydict(cols, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# headlines — dedup / filter / sort semantics fixture (news.py; FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+_HEADLINE_TEMPLATES = [
+    "Breaking news about {} today",
+    "Officials announce {} development",
+    "New report on {} released",
+    "Experts discuss the future of {}",
+    "Local community reacts to {}",
+]
+_TOPICS = ["economy", "transit", "weather", "technology", "health", "sports"]
+_SOURCES = ["DemoWire", "CityPress", "GlobalNews", "MetroDaily", "TheLocal"]
+_LOCATIONS = ["springfield", "rivertown", "lakeside", None]
+
+
+def headlines(n_scans: int = 5, per_scan: int = 80, seed: int = 42) -> pa.Table:
+    """Deterministic multi-scan headline stream mirroring the demo generator
+    (``news.py:415-474``) with PLANTED duplicates: exact ``title|url`` dups
+    within a scan, ``title|source`` dups across sources, and repeats of
+    earlier scans' keys in later scans (for incremental-dedup tests,
+    ``news.py:560-573``)."""
+    rng = np.random.default_rng(seed)
+    cols = {k: [] for k in ["seq", "scan_id", "title", "source", "url",
+                            "published_date", "description", "category", "location"]}
+    history: list[tuple] = []
+    for scan in range(n_scans):
+        for i in range(per_scan):
+            r = rng.random()
+            if r < 0.10 and history:        # repeat an earlier scan's row
+                t, s, u, loc = history[int(rng.integers(0, len(history)))]
+            else:
+                topic = _TOPICS[int(rng.integers(0, len(_TOPICS)))]
+                tmpl = _HEADLINE_TEMPLATES[int(rng.integers(0, len(_HEADLINE_TEMPLATES)))]
+                t = tmpl.format(topic)
+                s = _SOURCES[int(rng.integers(0, len(_SOURCES)))]
+                u = f"https://example.com/{scan}/{i}/{int(rng.integers(0, 1 << 30)):x}"
+                loc = _LOCATIONS[int(rng.integers(0, len(_LOCATIONS)))]
+                if rng.random() < 0.08 and cols["title"]:   # same-scan dup (title|url)
+                    j = len(cols["title"]) - 1
+                    t, u = cols["title"][j], cols["url"][j]
+                    s = _SOURCES[int(rng.integers(0, len(_SOURCES)))]
+            history.append((t, s, u, loc))
+            day = 1 + int(rng.integers(0, 28))
+            date = (f"2025-03-{day:02d}T{int(rng.integers(0, 24)):02d}:00:00"
+                    if rng.random() > 0.05 else None)   # some NULL dates
+            desc = (f"story from {loc} about things" if loc and rng.random() > 0.3
+                    else "a story without location mention")
+            cols["seq"].append(scan * per_scan + i)   # arrival order
+            cols["scan_id"].append(scan)
+            cols["title"].append(t)
+            cols["source"].append(s)
+            cols["url"].append(u)
+            cols["published_date"].append(date)
+            cols["description"].append(desc if rng.random() > 0.05 else None)
+            cols["category"].append(_TOPICS[int(rng.integers(0, len(_TOPICS)))])
+            cols["location"].append(loc)
+    schema = pa.schema([
+        ("seq", pa.int64()),
+        ("scan_id", pa.int64()), ("title", pa.string()), ("source", pa.string()),
+        ("url", pa.string()), ("published_date", pa.string()),
+        ("description", pa.string()), ("category", pa.string()),
+        ("location", pa.string()),
+    ])
+    return pa.Table.from_pydict(cols, schema=schema)
