@@ -279,7 +279,8 @@ def sensor_readings(n: int, seed: int = 42, unusual_probability: float = 0.05) -
     """
     rng = np.random.default_rng(seed)
     cols: dict[str, list] = {k: [] for k in [
-        "sensor_id", "type", "timestamp", "zip", "vehicle_count", "avg_speed",
+        "sensor_id", "type", "timestamp", "timestamp_raw", "zip",
+        "vehicle_count", "avg_speed",
         "temperature", "humidity", "air_quality_index", "consumption",
         "voltage", "current", "pH", "turbidity", "contaminant_level", "unusual"]}
     base_ts = np.datetime64("2025-01-01T00:00:00", "us")
@@ -288,7 +289,11 @@ def sensor_readings(n: int, seed: int = 42, unusual_probability: float = 0.05) -
         row: dict[str, object] = {k: None for k in cols}
         row["type"] = typ
         row["sensor_id"] = f"{typ}_{int(rng.integers(1, 101))}"
-        row["timestamp"] = base_ts + np.timedelta64(i, "s")
+        ts = base_ts + np.timedelta64(i, "s")
+        row["timestamp"] = ts
+        # reference emits ISO-8601 strings (sensor.py:12); the raw variant
+        # exercises the engine's parse/normalize stage (M6)
+        row["timestamp_raw"] = str(ts)
         row["zip"] = f"{int(rng.integers(1, 101)):03d}"
         if typ == "traffic":
             row["vehicle_count"] = int(rng.integers(0, 501))
@@ -315,7 +320,8 @@ def sensor_readings(n: int, seed: int = 42, unusual_probability: float = 0.05) -
             cols[k].append(row[k])
     schema = pa.schema([
         ("sensor_id", pa.string()), ("type", pa.string()),
-        ("timestamp", pa.timestamp("us")), ("zip", pa.string()),
+        ("timestamp", pa.timestamp("us")), ("timestamp_raw", pa.string()),
+        ("zip", pa.string()),
         ("vehicle_count", pa.int64()), ("avg_speed", pa.float64()),
         ("temperature", pa.float64()), ("humidity", pa.int64()),
         ("air_quality_index", pa.int64()), ("consumption", pa.float64()),

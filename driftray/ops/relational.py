@@ -153,3 +153,70 @@ def semi_join_keys(ds: rd.Dataset, keys: np.ndarray | set, key_col: str,
             return batch[~mask] if anti else batch[mask]
 
     return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 4))
+
+
+def salted_groupby_agg(ds: rd.Dataset, keys: list[str], aggs: dict[str, str],
+                       n_salts: int = 16, salt_source: str | None = None) -> rd.Dataset:
+    """Skew-safe grouped aggregation (SURVEY.md §4.2): a hot key (the Zipf
+    giant repo) would make one reducer the straggler in a plain
+    ``groupby(keys)``; salting splits every key into ``n_salts`` sub-groups
+    for the wide first phase, then a tiny second groupby folds the partials.
+
+    ``aggs`` maps column → one of sum|count|min|max|mean.  Results are
+    identical to the unsalted groupby (property-tested): every agg here is
+    algebraic — partials fold losslessly.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..sketches import hash64
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        src = (np.asarray(t[salt_source].to_pandas(), dtype=object)
+               if salt_source and salt_source in t.column_names
+               else np.arange(t.num_rows))
+        salt = (hash64(src) % np.uint64(n_salts)).astype(np.int64)
+        return t.append_column("__salt", pa.array(salt))
+
+    phase1_aggs = []
+    for col, how in aggs.items():
+        if how in ("sum", "mean"):
+            phase1_aggs.append(Sum(col, alias_name=f"__sum_{col}"))
+        if how in ("count", "mean"):
+            phase1_aggs.append(Count(alias_name=f"__cnt_{col}"))
+        if how == "min":
+            phase1_aggs.append(Min(col, alias_name=f"__min_{col}"))
+        if how == "max":
+            phase1_aggs.append(Max(col, alias_name=f"__max_{col}"))
+    partial = (ds.map_batches(add_salt, batch_format="pyarrow")
+               .groupby(keys + ["__salt"]).aggregate(*phase1_aggs))
+
+    phase2_aggs = []
+    for col, how in aggs.items():
+        if how in ("sum", "mean"):
+            phase2_aggs.append(Sum(f"__sum_{col}", alias_name=f"__sum_{col}"))
+        if how in ("count", "mean"):
+            phase2_aggs.append(Sum(f"__cnt_{col}", alias_name=f"__cnt_{col}"))
+        if how == "min":
+            phase2_aggs.append(Min(f"__min_{col}", alias_name=f"__min_{col}"))
+        if how == "max":
+            phase2_aggs.append(Max(f"__max_{col}", alias_name=f"__max_{col}"))
+    folded = partial.groupby(keys).aggregate(*phase2_aggs)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        out: dict = {k: t[k] for k in keys}
+        for col, how in aggs.items():
+            if how == "sum":
+                out[f"sum_{col}"] = t[f"__sum_{col}"]
+            elif how == "count":
+                out[f"count_{col}"] = t[f"__cnt_{col}"]
+            elif how == "mean":
+                out[f"mean_{col}"] = pc.divide(
+                    pc.cast(t[f"__sum_{col}"], pa.float64()),
+                    pc.cast(t[f"__cnt_{col}"], pa.float64()))
+            elif how == "min":
+                out[f"min_{col}"] = t[f"__min_{col}"]
+            elif how == "max":
+                out[f"max_{col}"] = t[f"__max_{col}"]
+        return pa.table(out)
+
+    return folded.map_batches(finalize, batch_format="pyarrow")

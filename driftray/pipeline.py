@@ -605,4 +605,11 @@ def run_validation(
                 {}, None)
         write_window_result(out_dir, res)
         out.append(res)
+
+    # threshold alerting over the fresh verdicts (T5, DESIGN.md:674-747);
+    # history appends under out_dir/alerts/
+    from .alerts import AlertManager
+
+    AlertManager(history_path=os.path.join(out_dir, "alerts")).evaluate(
+        [r.verdict_row() for r in out])
     return out

@@ -146,3 +146,34 @@ def repo_files_spec(max_content_len: int = 1 << 20) -> TableSpec:
         group_column="lang",
         order_column="path",
     )
+
+
+def spec_from_dict(d: dict) -> TableSpec:
+    """Build a TableSpec from a plain config dict (the engine's version of
+    the reference's config-driven rules, ``DESIGN.md:680-721`` /
+    SURVEY.md §2.10) — YAML-loadable, no code change to add a constraint."""
+    cols = [
+        ColumnSpec(
+            name=c["name"],
+            required=bool(c.get("required", False)),
+            min_value=c.get("min"),
+            max_value=c.get("max"),
+            when=tuple(c["when"]) if c.get("when") else None,
+        )
+        for c in d.get("columns", [])
+    ]
+    fks = [ForeignKey(tuple(f["columns"]), f["dim_table"], tuple(f["dim_columns"]))
+           for f in d.get("foreign_keys", [])]
+    hi = d.get("hash_invariant")
+    drift_cfg = d.get("drift", {})
+    return TableSpec(
+        name=d["name"],
+        columns=cols,
+        unique_key=tuple(d["unique_key"]) if d.get("unique_key") else None,
+        foreign_keys=fks,
+        hash_invariant=HashInvariant(hi["content_column"], hi["hash_column"]) if hi else None,
+        profile_columns=tuple(d.get("profile_columns", ())),
+        group_column=d.get("group_column"),
+        order_column=d.get("order_column"),
+        drift=DriftSpec(**drift_cfg) if drift_cfg else DriftSpec(),
+    )
