@@ -120,9 +120,12 @@ def run_headline() -> dict:
 
     promote_baseline(out_dir, min(r.window_id for r in results),
                      f"{out_dir}/baseline.parquet")
+    from driftray.pipeline import load_table_report
+
+    table_extra = int(load_table_report(out_dir).get("extra_rows", 0))
     return {"sec": wall, "rows": rows, "rows_per_sec": rows / wall,
             "windows": len(results),
-            "total_violations": sum(r.total_violations for r in results)}
+            "total_violations": sum(r.total_violations for r in results) + table_extra}
 
 
 def run_queries() -> dict[str, float]:

@@ -552,17 +552,18 @@ def run_validation(
     hist_edges: dict[str, np.ndarray] | None = None,
     check_uniqueness: bool = True,
     batch_size: int | None = None,
+    windows_per_pass: int = 4,
 ) -> list[WindowResult]:
     """Validate every window of a partitioned Parquet table, resumably.
 
     * dimension keys are collected ONCE and broadcast via ``ray.put``
       (exact sets at test scale, Bloom filters with ``use_bloom=True``);
-    * all pending windows run in ONE streaming pass (window-tagged
-      findings), then write per-window outputs + ``_DONE`` markers;
-    * windows already bearing ``_DONE`` are skipped — killed-run resume
-      (north_rule);
-    * key uniqueness is checked GLOBALLY over the pending input in the
-      same run (column-pruned shuffle)."""
+    * pending windows run in CHUNKED streaming passes of
+      ``windows_per_pass`` (window-tagged findings), each chunk writing
+      per-window outputs + ``_DONE`` markers — a killed run loses at most
+      one chunk and resumes past everything marked done (north_rule);
+    * key uniqueness is a TABLE-level check (global across windows),
+      checkpointed once under ``out_dir/table/`` with its own marker."""
     os.makedirs(out_dir, exist_ok=True)
     membership: dict[int, object] = {}
     if dim_paths:
@@ -578,6 +579,23 @@ def run_validation(
         wvals = rd.read_parquet(input_path, columns=[window_column]).unique(window_column)
         windows = sorted(int(w) for w in wvals)
     pending = [w for w in windows if not window_done(out_dir, w)]
+
+    # table-level uniqueness: GLOBAL across all windows, checkpointed under
+    # out_dir/table/ with its own _DONE (a key may not repeat anywhere in
+    # the table, so this check cannot be chunked per window)
+    tdir = os.path.join(out_dir, "table")
+    if check_uniqueness and spec.unique_key and             not os.path.exists(os.path.join(tdir, "_DONE")):
+        dup, extra = uniqueness_violations(input_path, spec)
+        os.makedirs(tdir, exist_ok=True)
+        pq.write_table(dup, os.path.join(tdir, "uniqueness_violations.parquet"))
+        with open(os.path.join(tdir, "lineage.json"), "w") as f:
+            json.dump({"check": "uniqueness",
+                       "key": "|".join(spec.unique_key),
+                       "extra_rows": int(extra),
+                       "duplicate_keys": dup.num_rows}, f)
+        with open(os.path.join(tdir, "_DONE"), "w") as f:
+            f.write("ok\n")
+
     if not pending:
         return []
 
@@ -586,25 +604,28 @@ def run_validation(
     baseline = (Baseline.load(baseline_path)
                 if baseline_path and os.path.exists(baseline_path) else None)
 
-    wfilter = pc.field(window_column).isin(pending)
-    ds = rd.read_parquet(input_path, filter=wfilter)
-    results = validate_dataset(ds, spec, window_column=window_column,
-                               membership=membership, baseline=baseline,
-                               hist_edges=hist_edges,
-                               check_uniqueness=check_uniqueness,
-                               batch_size=batch_size,
-                               uniqueness_input=input_path,
-                               uniqueness_filter=wfilter)
+    # chunked passes: a killed run loses at most windows_per_pass windows
+    # of work — everything behind a _DONE marker is skipped on resume
     out = []
-    for w in pending:
-        res = results.get(w)
-        if res is None:
-            res = WindowResult(w, 0, {}, pa.table(
-                {"check": pa.array([], pa.string()), "column": pa.array([], pa.string()),
-                 "row_ref": pa.array([], pa.string()), "detail": pa.array([], pa.string())}),
-                {}, None)
-        write_window_result(out_dir, res)
-        out.append(res)
+    for lo in range(0, len(pending), windows_per_pass):
+        chunk = pending[lo: lo + windows_per_pass]
+        wfilter = pc.field(window_column).isin(chunk)
+        ds = rd.read_parquet(input_path, filter=wfilter)
+        results = validate_dataset(ds, spec, window_column=window_column,
+                                   membership=membership, baseline=baseline,
+                                   hist_edges=hist_edges,
+                                   check_uniqueness=False,
+                                   batch_size=batch_size)
+        for w in chunk:
+            res = results.get(w)
+            if res is None:
+                res = WindowResult(w, 0, {}, pa.table(
+                    {"check": pa.array([], pa.string()),
+                     "column": pa.array([], pa.string()),
+                     "row_ref": pa.array([], pa.string()),
+                     "detail": pa.array([], pa.string())}), {}, None)
+            write_window_result(out_dir, res)
+            out.append(res)
 
     # threshold alerting over the fresh verdicts (T5, DESIGN.md:674-747);
     # history appends under out_dir/alerts/
@@ -613,3 +634,12 @@ def run_validation(
     AlertManager(history_path=os.path.join(out_dir, "alerts")).evaluate(
         [r.verdict_row() for r in out])
     return out
+
+
+def load_table_report(out_dir: str) -> dict:
+    """Table-level (cross-window) check lineage — currently uniqueness."""
+    path = os.path.join(out_dir, "table", "lineage.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)

@@ -71,14 +71,17 @@ class TestPlantedViolations:
             assert r.counters.get("referential|repo|commit", 0) == bad
 
     def test_uniqueness_extra_rows(self, first_run):
+        from driftray.pipeline import load_table_report
+
         d, out, res = first_run
-        # global check, attached to the lowest window; planted dups copy the
-        # previous row's key, so extras ≈ planted count (collisions possible)
-        total_dup = sum(r.counters.get("uniqueness|repo|path|commit", 0)
-                        for r in res.values())
+        # table-level global check: its own lineage under out/table/
+        report = load_table_report(out)
+        assert report["check"] == "uniqueness"
         exp = expected_counts(d)
         want = int(exp._dup_key.sum())
-        assert total_dup == pytest.approx(want, abs=3)
+        # planted dups copy the previous row's key; a few planted rows get
+        # their key re-mutated by other planted violations → small slack
+        assert report["extra_rows"] == pytest.approx(want, abs=3)
 
     def test_rows_counted(self, first_run):
         _, _, res = first_run
