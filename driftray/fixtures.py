@@ -261,6 +261,7 @@ def write_repo_files(out_dir: str, n_rows: int, cfg: RepoFilesConfig | None = No
 # ---------------------------------------------------------------------------
 
 SENSOR_TYPES = ["traffic", "environment", "utility", "water"]
+VEHICLE_TYPES = ["car", "truck", "bus", "motorcycle", "bicycle"]
 _NUMERIC_FIELDS = {
     "traffic": ["vehicle_count", "avg_speed"],
     "environment": ["temperature", "humidity", "air_quality_index"],
@@ -280,7 +281,7 @@ def sensor_readings(n: int, seed: int = 42, unusual_probability: float = 0.05) -
     rng = np.random.default_rng(seed)
     cols: dict[str, list] = {k: [] for k in [
         "sensor_id", "type", "timestamp", "timestamp_raw", "zip",
-        "vehicle_count", "avg_speed",
+        "vehicle_count", "avg_speed", "vehicle_distribution",
         "temperature", "humidity", "air_quality_index", "consumption",
         "voltage", "current", "pH", "turbidity", "contaminant_level", "unusual"]}
     base_ts = np.datetime64("2025-01-01T00:00:00", "us")
@@ -296,7 +297,11 @@ def sensor_readings(n: int, seed: int = 42, unusual_probability: float = 0.05) -
         row["timestamp_raw"] = str(ts)
         row["zip"] = f"{int(rng.integers(1, 101)):03d}"
         if typ == "traffic":
-            row["vehicle_count"] = int(rng.integers(0, 501))
+            # nested map column (sensor.py:41-43): vehicle_count is the SUM
+            # of the per-type distribution — an invariant tests can check
+            dist = [(v, int(rng.integers(0, 101))) for v in VEHICLE_TYPES]
+            row["vehicle_distribution"] = dist
+            row["vehicle_count"] = sum(c for _, c in dist)
             row["avg_speed"] = round(float(rng.uniform(20, 80)), 2)
         elif typ == "environment":
             row["temperature"] = round(float(rng.uniform(-10, 40)), 2)
@@ -323,6 +328,7 @@ def sensor_readings(n: int, seed: int = 42, unusual_probability: float = 0.05) -
         ("timestamp", pa.timestamp("us")), ("timestamp_raw", pa.string()),
         ("zip", pa.string()),
         ("vehicle_count", pa.int64()), ("avg_speed", pa.float64()),
+        ("vehicle_distribution", pa.map_(pa.string(), pa.int64())),
         ("temperature", pa.float64()), ("humidity", pa.int64()),
         ("air_quality_index", pa.int64()), ("consumption", pa.float64()),
         ("voltage", pa.float64()), ("current", pa.float64()),

@@ -358,6 +358,68 @@ def q22_event_days(sf_dir: str):
         Count(alias_name="n_events"))
 
 
+# -- union fan-in (D1) ---------------------------------------------------------
+
+def q23_union_counts(sf_dir: str):
+    """Two source slices unioned then aggregated (news.py:321-347 fan-in)."""
+    from ray.data.aggregate import Count
+
+    a = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_totalprice"], 100_000.0)),
+        batch_format="pyarrow")
+    b = _t(sf_dir, "orders", ["o_orderstatus", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["o_totalprice"], 100_000.0)),
+        batch_format="pyarrow")
+    out = a.union(b).groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+    return out
+
+
+# -- left join with null fill (J1) ---------------------------------------------
+
+def q24_part_order_counts(sf_dir: str):
+    """part LEFT JOIN per-part lineitem counts; unmatched parts -> 0."""
+    from ray.data.aggregate import Count
+
+    li = (_t(sf_dir, "lineitem", ["l_partkey"])
+          .groupby("l_partkey").aggregate(Count(alias_name="n_li")).to_pandas())
+    li = li.rename(columns={"l_partkey": "p_partkey"})
+    parts = _t(sf_dir, "part", ["p_partkey"])
+    joined = broadcast_join(parts, li, on=["p_partkey"], how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "n_li": pc.fill_null(pc.cast(t["n_li"], pa.int64()), 0)})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# -- broadcast dict mapper (M9 country-code lookup shape) -----------------------
+
+_SOURCE_TIER = {f"src{i}": ("low" if i < 10 else "high") for i in range(20)}
+
+
+def q25_source_tiers(sf_dir: str):
+    """Tiny in-code map applied per batch (news.py:92-99 country mapper)."""
+    from ray.data.aggregate import Count
+
+    import ray as _ray
+
+    ref = _ray.put(_SOURCE_TIER)
+
+    class Mapper:
+        def __init__(self):
+            self.m = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            src = t["source"].to_pylist()
+            tier = pa.array([self.m.get(x, "unknown") for x in src], pa.string())
+            return pa.table({"tier": tier})
+
+    ds = _t(sf_dir, "documents", ["source"])
+    return (ds.map_batches(Mapper, batch_format="pyarrow", concurrency=(1, 2))
+            .groupby("tier").aggregate(Count(alias_name="n_docs")))
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -454,6 +516,22 @@ ORACLE_SQL: dict[str, str] = {
     "q22_event_days": """
         SELECT STRFTIME(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
         FROM events GROUP BY 1""",
+    "q23_union_counts": """
+        SELECT o_orderstatus, COUNT(*) AS n FROM (
+            SELECT o_orderstatus FROM orders WHERE o_totalprice < 100000
+            UNION ALL
+            SELECT o_orderstatus FROM orders WHERE o_totalprice >= 100000
+        ) GROUP BY o_orderstatus""",
+    "q24_part_order_counts": """
+        SELECT p_partkey, COALESCE(n_li, 0) AS n_li
+        FROM part LEFT JOIN (
+            SELECT l_partkey, COUNT(*) AS n_li FROM lineitem GROUP BY l_partkey
+        ) ON p_partkey = l_partkey""",
+    "q25_source_tiers": """
+        SELECT CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 10
+                    THEN 'low' ELSE 'high' END AS tier,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1""",
 }
 
 SQL_QUERIES = {
@@ -479,6 +557,9 @@ SQL_QUERIES = {
     "q20_text_contains": q20_text_contains,
     "q21_per_source_latest": q21_per_source_latest,
     "q22_event_days": q22_event_days,
+    "q23_union_counts": q23_union_counts,
+    "q24_part_order_counts": q24_part_order_counts,
+    "q25_source_tiers": q25_source_tiers,
 }
 
 

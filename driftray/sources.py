@@ -1,0 +1,77 @@
+"""Source registry: pluggable per-format readers (SURVEY.md §2.10).
+
+The reference fans out over whatever sources are configured
+(``/root/reference/src/data_sources/web/news.py:321-336``; "make it modular
+so that we could add redundant/fallback sources", ``DESIGN.md:135-137``).
+The engine's version: a format → reader registry producing
+``ray.data.Dataset``s, plus a ``read_any`` that dispatches on extension.
+Adding a format = one ``@register_source`` function.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import ray.data as rd
+
+_READERS: dict[str, Callable[..., rd.Dataset]] = {}
+
+
+def register_source(fmt: str):
+    def deco(fn):
+        _READERS[fmt] = fn
+        return fn
+    return deco
+
+
+@register_source("parquet")
+def read_parquet(path: str, columns=None, **kw) -> rd.Dataset:
+    return rd.read_parquet(path, columns=columns, **kw)
+
+
+@register_source("csv")
+def read_csv(path: str, columns=None, **kw) -> rd.Dataset:
+    ds = rd.read_csv(path, **kw)
+    return ds.select_columns(columns) if columns else ds
+
+
+@register_source("json")
+def read_json(path: str, columns=None, **kw) -> rd.Dataset:
+    ds = rd.read_json(path, **kw)
+    return ds.select_columns(columns) if columns else ds
+
+
+@register_source("text")
+def read_text(path: str, columns=None, **kw) -> rd.Dataset:
+    return rd.read_text(path, **kw)
+
+
+@register_source("binary")
+def read_binary(path: str, columns=None, **kw) -> rd.Dataset:
+    return rd.read_binary_files(path, include_paths=True, **kw)
+
+
+def formats() -> list[str]:
+    return sorted(_READERS)
+
+
+def read_any(path: str, fmt: str | None = None, **kw) -> rd.Dataset:
+    """Dispatch on explicit format or file extension."""
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt = {"pq": "parquet", "jsonl": "json", "txt": "text"}.get(ext, ext)
+    if fmt not in _READERS:
+        raise ValueError(f"no reader for format {fmt!r}; known: {formats()}")
+    return _READERS[fmt](path, **kw)
+
+
+def union_sources(datasets: list[rd.Dataset], limit_per_source: int | None = None) -> rd.Dataset:
+    """Fan-in over redundant sources (D1: ``news.py:321-347``), optional
+    per-source limit (O2) applied BEFORE the union."""
+    if limit_per_source:
+        datasets = [d.limit(limit_per_source) for d in datasets]
+    out = datasets[0]
+    for d in datasets[1:]:
+        out = out.union(d)
+    return out

@@ -1,0 +1,109 @@
+"""Source registry (per-format readers, union fan-in) and nested-type
+(map column) support through Ray Data (SURVEY §1.2 / §2.1)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from driftray.fixtures import sensor_readings
+from driftray.sources import formats, read_any, union_sources
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("src")
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    pq.write_table(pa.Table.from_pandas(df), str(d / "t.parquet"))
+    df.to_csv(str(d / "t.csv"), index=False)
+    with open(str(d / "t.json"), "w") as f:
+        for r in df.to_dict("records"):
+            f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+class TestSources:
+    def test_formats_registered(self):
+        assert {"parquet", "csv", "json", "text", "binary"} <= set(formats())
+
+    @pytest.mark.parametrize("name", ["t.parquet", "t.csv", "t.json"])
+    def test_read_any_by_extension(self, files, name):
+        ds = read_any(os.path.join(files, name))
+        out = ds.to_pandas().sort_values("a").reset_index(drop=True)
+        assert list(out["a"]) == [1, 2, 3]
+        assert list(out["b"]) == ["x", "y", "z"]
+
+    def test_unknown_format_raises(self, files):
+        with pytest.raises(ValueError, match="no reader"):
+            read_any(os.path.join(files, "t.xyz"))
+
+    def test_union_with_per_source_limit(self, files, ray_session):
+        import ray.data as rd
+
+        a = rd.from_items([{"v": i} for i in range(10)])
+        b = rd.from_items([{"v": i + 100} for i in range(10)])
+        out = union_sources([a, b], limit_per_source=3)
+        assert out.count() == 6
+
+
+class TestNestedMapColumn:
+    def test_map_column_roundtrip_and_kernel(self, ray_session, tmp_path):
+        """vehicle_distribution (map<string,int64>, sensor.py:41-42) must
+        survive parquet + Ray Data + a pyarrow map_batches that unpacks it:
+        vehicle_count == sum(distribution values) per traffic row."""
+        import ray.data as rd
+
+        table = sensor_readings(400, seed=3)
+        path = str(tmp_path / "sensors.parquet")
+        pq.write_table(table, path)
+        ds = rd.read_parquet(path)
+
+        def check(t: pa.Table) -> pa.Table:
+            df = t.select(["type", "vehicle_count", "vehicle_distribution",
+                           "unusual"]).to_pandas()
+            # the anomaly injector multiplies vehicle_count on `unusual` rows
+            # (sensor.py:127-131), deliberately breaking the invariant there
+            tr = df[(df["type"] == "traffic") & (df["unusual"].isna())]
+            sums = tr["vehicle_distribution"].map(
+                lambda kv: sum(v for _, v in kv) if kv is not None else None)
+            ok = (sums == tr["vehicle_count"]).all()
+            return pa.table({"n_traffic": pa.array([len(tr)], pa.int64()),
+                             "invariant_ok": pa.array([bool(ok)])})
+
+        out = ds.map_batches(check, batch_format="pyarrow").to_pandas()
+        assert out["invariant_ok"].all()
+        assert out["n_traffic"].sum() > 0
+
+    def test_map_values_aggregate(self, ray_session):
+        """Vectorized map unpack: flatten map entries → per-vehicle totals."""
+        import ray.data as rd
+
+        table = sensor_readings(400, seed=3)
+        ds = rd.from_arrow(table)
+
+        def explode(t: pa.Table) -> pa.Table:
+            col = t["vehicle_distribution"]
+            chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+            keys, vals = [], []
+            for ch in chunks:
+                keys.extend(ch.keys.to_pylist())    # MapArray accessors
+                vals.extend(ch.items.to_pylist())
+            return pa.table({"vehicle": pa.array(keys, pa.string()),
+                             "count": pa.array(vals, pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        out = (ds.map_batches(explode, batch_format="pyarrow")
+               .groupby("vehicle").aggregate(Sum("count", alias_name="total"))
+               .to_pandas())
+        pdf = table.to_pandas()
+        want = {}
+        for kv in pdf["vehicle_distribution"].dropna():
+            for k, v in kv:
+                want[k] = want.get(k, 0) + v
+        got = dict(zip(out["vehicle"], out["total"]))
+        assert got == want
