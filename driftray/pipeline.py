@@ -565,6 +565,13 @@ def run_validation(
     * key uniqueness is a TABLE-level check (global across windows),
       checkpointed once under ``out_dir/table/`` with its own marker."""
     os.makedirs(out_dir, exist_ok=True)
+    t_run0 = time.perf_counter()
+    stage_s: dict[str, float] = {}
+
+    def _mark(name: str, t0: float) -> None:
+        stage_s[name] = round(stage_s.get(name, 0.0) + time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
     membership: dict[int, object] = {}
     if dim_paths:
         for i, fk in enumerate(spec.foreign_keys):
@@ -575,10 +582,14 @@ def run_validation(
             m = build_membership(dim, fk.dim_columns, use_bloom=use_bloom)
             membership[i] = ray.put(m)
 
+    _mark("membership", t0)
+    t0 = time.perf_counter()
     if windows is None:
         wvals = rd.read_parquet(input_path, columns=[window_column]).unique(window_column)
         windows = sorted(int(w) for w in wvals)
     pending = [w for w in windows if not window_done(out_dir, w)]
+    _mark("window_discovery", t0)
+    t0 = time.perf_counter()
 
     # table-level uniqueness: GLOBAL across all windows, checkpointed under
     # out_dir/table/ with its own _DONE (a key may not repeat anywhere in
@@ -596,11 +607,14 @@ def run_validation(
         with open(os.path.join(tdir, "_DONE"), "w") as f:
             f.write("ok\n")
 
+    _mark("uniqueness", t0)
     if not pending:
         return []
 
+    t0 = time.perf_counter()
     if hist_edges is None:
         hist_edges = infer_hist_edges(input_path, spec)
+    _mark("hist_edges", t0)
     baseline = (Baseline.load(baseline_path)
                 if baseline_path and os.path.exists(baseline_path) else None)
 
@@ -633,6 +647,22 @@ def run_validation(
 
     AlertManager(history_path=os.path.join(out_dir, "alerts")).evaluate(
         [r.verdict_row() for r in out])
+
+    # run-level stage metrics (A8: per-stage wall time + rows/s) — appended
+    # per submission so resumed runs keep their history
+    stage_s["validate_chunks"] = round(
+        time.perf_counter() - t_run0 - sum(stage_s.values()), 3)
+    run_lineage = {
+        "windows_validated": [r.window_id for r in out],
+        "rows": int(sum(r.n_rows for r in out)),
+        "total_s": round(time.perf_counter() - t_run0, 3),
+        "stages_s": stage_s,
+    }
+    run_lineage["rows_per_sec"] = round(
+        run_lineage["rows"] / max(run_lineage["total_s"], 1e-9), 1)
+    hist_file = os.path.join(out_dir, "run_lineage.jsonl")
+    with open(hist_file, "a") as f:
+        f.write(json.dumps(run_lineage) + "\n")
     return out
 
 

@@ -107,3 +107,51 @@ class TestNestedMapColumn:
                 want[k] = want.get(k, 0) + v
         got = dict(zip(out["vehicle"], out["total"]))
         assert got == want
+
+
+class TestQuotes:
+    def test_parse_serialize_roundtrip(self, ray_session):
+        """M6 quote normalize: JSON → typed columns → JSON, value-identical
+        (security.py:20-49 serialization semantics)."""
+        import json
+
+        import ray.data as rd
+
+        from driftray.ops.quotes import (parse_quotes, serialize_quotes,
+                                         synth_quote_payloads)
+
+        raw = synth_quote_payloads(200)
+        parsed = parse_quotes(rd.from_arrow(raw))
+        pdf = parsed.to_pandas()
+        assert str(pdf["timestamp"].dtype).startswith("datetime64")
+        assert (pdf["ask_price"] > pdf["bid_price"]).all()
+        back = serialize_quotes(parse_quotes(rd.from_arrow(raw))).to_pandas()
+        orig = [json.loads(p) for p in raw["payload"].to_pylist()]
+        got = [json.loads(p) for p in back["payload"]]
+        for o, g in zip(orig, got):
+            assert o["symbol"] == g["symbol"]
+            assert o["bid_price"] == g["bid_price"]
+            assert o["timestamp"].startswith(g["timestamp"][:19])
+
+
+class TestRunLineage:
+    def test_stage_metrics_appended(self, ray_session, tmp_path):
+        import json
+        import os
+
+        from driftray.fixtures import RepoFilesConfig, write_repo_files
+        from driftray.pipeline import run_validation
+        from driftray.spec import repo_files_spec
+
+        d = str(tmp_path / "fx")
+        write_repo_files(d, 2000, RepoFilesConfig(window_rows=1000))
+        out = str(tmp_path / "out")
+        run_validation(f"{d}/repo_files.parquet", out, repo_files_spec(),
+                       check_uniqueness=False)
+        path = os.path.join(out, "run_lineage.jsonl")
+        assert os.path.exists(path)
+        rec = json.loads(open(path).readline())
+        assert rec["rows"] == 2000
+        assert {"membership", "window_discovery", "hist_edges",
+                "validate_chunks"} <= set(rec["stages_s"])
+        assert rec["rows_per_sec"] > 0
