@@ -17,7 +17,6 @@ vs the reference loop is proven row-for-row in tests/test_sensor.py.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc

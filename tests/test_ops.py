@@ -256,3 +256,27 @@ class TestMultimodal:
         out = sample_frames(media, n_frames=3).to_pandas()
         assert len(out) == 15
         assert set(out["frame_idx"]) == {0, 1, 2}
+
+
+class TestIVFRecall:
+    def test_recall_at_10_vs_brute_force(self, rds):
+        """IVF is approximate; assert recall@10 >= 0.8 against the exact
+        baseline over a realistic corpus (the documented quality bar)."""
+        from driftray.ops.ann import brute_force_topk, ivf_topk
+
+        rng = np.random.default_rng(77)
+        # clustered corpus (IVF's favorable + realistic regime)
+        centers = rng.normal(0, 1, (8, 32))
+        V = np.vstack([c + rng.normal(0, 0.3, (250, 32)) for c in centers])
+        df = pd.DataFrame({"vec_id": np.arange(len(V)),
+                           "embedding": [v.astype(np.float32) for v in V]})
+        queries = V[rng.choice(len(V), 5, replace=False)]
+        exact = brute_force_topk(rds.from_pandas(df), queries, k=10).to_pandas()
+        approx = ivf_topk(rds.from_pandas(df), queries, k=10, n_clusters=8,
+                          nprobe=3).to_pandas()
+        recalls = []
+        for qi in range(5):
+            e = set(exact[exact.query_id == qi]["vec_id"])
+            a = set(approx[approx.query_id == qi]["vec_id"])
+            recalls.append(len(e & a) / 10)
+        assert np.mean(recalls) >= 0.8, recalls
