@@ -672,3 +672,64 @@ def load_table_report(out_dir: str) -> dict:
         return {}
     with open(path) as f:
         return json.load(f)
+
+
+def materialize_silver(
+    input_path: str,
+    out_dir: str,
+    spec: TableSpec,
+    *,
+    window_column: str = "window_id",
+    silver_dir: str | None = None,
+) -> int:
+    """Lakehouse "silver" layer (S8, ``DESIGN.md:394-433``): rows that
+    passed every per-row check, written as Parquet partitioned by window.
+
+    The violating row set is tiny (counters prove it), so it broadcasts as
+    a set of row-key hashes; one streaming filter pass writes the clean
+    rows — bronze (raw input) is never rewritten, gold is the per-window
+    lineage/profile layer already emitted by ``run_validation``.
+
+    Returns the number of silver rows written."""
+    import glob as _glob
+
+    from .checks import hash_keys
+
+    silver_dir = silver_dir or os.path.join(out_dir, "silver")
+    bad_refs: list[str] = []
+    for vf in sorted(_glob.glob(os.path.join(out_dir, "window=*", "violations.parquet"))):
+        t = pq.read_table(vf, columns=["row_ref"])
+        bad_refs.extend(t["row_ref"].to_pylist())
+    tdir = os.path.join(out_dir, "table", "uniqueness_violations.parquet")
+    if os.path.exists(tdir):
+        bad_refs.extend(pq.read_table(tdir, columns=["row_ref"])["row_ref"].to_pylist())
+    key_cols = list(spec.unique_key or ())
+
+    # violating rows are addressed by their key-ref string; hash both sides
+    from .sketches import hash64
+
+    bad_hashes = set(int(h) for h in hash64(np.array(bad_refs, dtype=object))) \
+        if bad_refs else set()
+    ref = ray.put(bad_hashes)
+
+    class DropViolating:
+        def __init__(self):
+            self.bad = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if not self.bad or not key_cols:
+                return t
+            from .checks import row_refs
+
+            refs = row_refs(t, spec)
+            kh = hash64(refs)
+            mask = np.fromiter((int(h) not in self.bad for h in kh),
+                               dtype=bool, count=len(kh))
+            return t.filter(pa.array(mask))
+
+    ds = rd.read_parquet(input_path)
+    clean = ds.map_batches(DropViolating, batch_format="pyarrow",
+                           concurrency=(1, 8))
+    clean.write_parquet(silver_dir, partition_cols=[window_column])
+    n = rd.read_parquet(silver_dir).count()
+    return int(n)
