@@ -147,6 +147,33 @@ def build_membership(dim_ds: rd.Dataset | pa.Table, columns, *, use_bloom: bool 
     return set(int(k) for k in all_keys)
 
 
+def build_membership_distributed(dim_ds: rd.Dataset, columns, *,
+                                 capacity: int, fpr: float = 1e-4) -> BloomFilter:
+    """Scale path for BIG dimension sides (e.g. 10^10 commit pairs): each
+    block builds a partial Bloom over its key hashes in ``map_batches``;
+    partials OR-merge on the driver (bit arrays, order-insensitive).  The
+    driver never sees raw keys — only ``n_blocks`` bit arrays of the final
+    filter's size."""
+    from .checks import hash_keys
+
+    proto = BloomFilter(capacity, fpr)
+    n_bits, k = proto.n_bits, proto.k
+
+    def partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(capacity, fpr)
+        assert bf.n_bits == n_bits and bf.k == k
+        bf.add(hash_keys(t, columns))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], pa.binary())})
+
+    parts = dim_ds.select_columns(list(columns)).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    for raw in parts["bits"]:
+        np.bitwise_or(proto.bits, np.frombuffer(raw, dtype=np.uint64),
+                      out=proto.bits)
+    proto.hashed = True
+    return proto
+
+
 def merge_findings(findings: pa.Table) -> tuple[dict, pa.Table, dict, float | None]:
     """Split + reduce a materialized findings table (tiny vs the input).
 

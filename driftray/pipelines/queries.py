@@ -420,6 +420,19 @@ def q25_source_tiers(sf_dir: str):
             .groupby("tier").aggregate(Count(alias_name="n_docs")))
 
 
+# -- skew-safe salted aggregation (SURVEY §4.2), oracle-checked ----------------
+
+def q26_salted_revenue_stats(sf_dir: str):
+    """Two-phase salted groupby == plain groupby, proven against SQL."""
+    from ..ops.relational import salted_groupby_agg
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    out = salted_groupby_agg(ds, ["l_returnflag"],
+                             {"l_extendedprice": "mean"}, n_salts=16).to_pandas()
+    out["mean_l_extendedprice"] = out["mean_l_extendedprice"].round(ROUND_F)
+    return out
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -532,6 +545,10 @@ ORACLE_SQL: dict[str, str] = {
                     THEN 'low' ELSE 'high' END AS tier,
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1""",
+    "q26_salted_revenue_stats": f"""
+        SELECT l_returnflag,
+               ROUND(AVG(l_extendedprice), {ROUND_F}) AS mean_l_extendedprice
+        FROM lineitem GROUP BY l_returnflag""",
 }
 
 SQL_QUERIES = {
@@ -560,6 +577,7 @@ SQL_QUERIES = {
     "q23_union_counts": q23_union_counts,
     "q24_part_order_counts": q24_part_order_counts,
     "q25_source_tiers": q25_source_tiers,
+    "q26_salted_revenue_stats": q26_salted_revenue_stats,
 }
 
 
