@@ -800,7 +800,38 @@ def nq_validate_events(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def nq_curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation over documents: quality scoring →
+    threshold filter → MinHash near-dup removal (keep cluster
+    representative) → token accounting.  The composite shape a 100 TB
+    pretraining-data pipeline runs per shard."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.dedup import minhash_lsh_dedup
+    from ..ops.text import QualityScorer, TokenCounter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = ds.map_batches(QualityScorer(), batch_format="pandas")
+    kept = scored.map_batches(lambda b: b[b["quality"] >= 0.5],
+                              batch_format="pandas")
+    clusters = minhash_lsh_dedup(kept, jaccard_threshold=0.8).to_pandas()
+    reps = set(clusters.loc[~clusters["is_duplicate"], "doc_id"])
+    import ray as _ray
+
+    ref = _ray.put(reps)
+
+    def keep_reps(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["doc_id"].isin(_ray.get(ref))]
+
+    final = kept.map_batches(keep_reps, batch_format="pandas")         .map_batches(TokenCounter(), batch_format="pandas")
+    out = (final.groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_tokens_ws", alias_name="total_tokens")))
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
 NONSQL_QUERIES = {
+    "nq_curation_pipeline": nq_curation_pipeline,
     "nq_minhash_dedup": nq_minhash_dedup,
     "nq_simhash_dedup": nq_simhash_dedup,
     "nq_ngram_jaccard_dedup": nq_ngram_jaccard_dedup,
