@@ -92,16 +92,52 @@ def join_key(batch: pa.Table, columns) -> np.ndarray:
     return np.asarray(joined.to_pandas(), dtype=object)
 
 
-def hash_keys(batch: pa.Table, columns) -> np.ndarray:
-    """Combined uint64 hash over key columns WITHOUT building row strings —
-    per-column vectorized hashing folded with an FNV-style mix.  This is
-    what shuffles in place of the raw key at scale (8 bytes/row)."""
+# fixed sentinel hash for null values — chosen once so a null hashes the
+# same in every batch and on both sides of a membership build/probe
+_NULL_HASH = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Null-STABLE vectorized uint64 hash of one Arrow column.
+
+    Non-null values must hash identically whether or not the batch happens
+    to contain nulls: the naive ``to_pandas()`` path promotes an int64
+    column with any null to float64, silently changing every hash in that
+    batch (missed duplicates, skewed HLLs, false referential violations).
+    Here each type hashes from a fill_null'ed typed numpy array, then null
+    positions are overwritten with a fixed sentinel."""
     from .sketches import hash64
 
+    typ = col.type
+    nulls = np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False), dtype=bool)
+    has_nulls = bool(nulls.any())
+    if pa.types.is_integer(typ) or pa.types.is_temporal(typ):
+        vals = pc.fill_null(pc.cast(col, pa.int64()), 0)
+        h = hash64(np.asarray(vals.to_numpy(zero_copy_only=False), dtype=np.int64))
+    elif pa.types.is_floating(typ):
+        vals = pc.fill_null(pc.cast(col, pa.float64()), 0.0)
+        h = hash64(np.asarray(vals.to_numpy(zero_copy_only=False), dtype=np.float64))
+    elif pa.types.is_boolean(typ):
+        vals = pc.fill_null(col, False)
+        h = hash64(np.asarray(vals.to_numpy(zero_copy_only=False), dtype=bool))
+    else:
+        s = pc.fill_null(pc.cast(col, pa.string()), "")
+        h = hash64(np.asarray(s.to_pandas(), dtype=object))
+    if has_nulls:
+        if not h.flags.writeable:
+            h = h.copy()
+        h[nulls] = _NULL_HASH
+    return h
+
+
+def hash_keys(batch: pa.Table, columns) -> np.ndarray:
+    """Combined uint64 hash over key columns WITHOUT building row strings —
+    per-column null-stable vectorized hashing (``_hash_column``) folded
+    with an FNV-style mix.  This is what shuffles in place of the raw key
+    at scale (8 bytes/row)."""
     h = np.full(batch.num_rows, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
     for c in columns:
-        col = np.asarray(batch[c].to_pandas(), dtype=object)
-        h = (h * np.uint64(1099511628211)) ^ hash64(col)
+        h = (h * np.uint64(1099511628211)) ^ _hash_column(batch[c])
     return h
 
 

@@ -166,7 +166,11 @@ def js_divergence(ref: Histogram, cur: Histogram, eps: float = 1e-6, max_bins: i
 
 
 def mean_difference(ref_mean: float, ref_std: float, cur_mean: float) -> float:
-    """|Δmean| in units of reference std (DESIGN.md:571-573)."""
+    """|Δmean| in units of reference std (DESIGN.md:571-573).
+
+    Matches the reference DriftDetector: when the reference std is not > 0
+    (constant or degenerate baseline) the metric is defined as 0 — never
+    inf, which would also poison lineage.json with non-strict JSON."""
     if not ref_std or math.isnan(ref_std):
-        return 0.0 if cur_mean == ref_mean else float("inf")
+        return 0.0
     return abs(cur_mean - ref_mean) / ref_std

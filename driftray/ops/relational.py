@@ -164,24 +164,35 @@ def salted_groupby_agg(ds: rd.Dataset, keys: list[str], aggs: dict[str, str],
 
     ``aggs`` maps column → one of sum|count|min|max|mean.  Results are
     identical to the unsalted groupby (property-tested): every agg here is
-    algebraic — partials fold losslessly.
+    algebraic — partials fold losslessly.  ``mean`` follows SQL AVG
+    semantics: the denominator counts only NON-NULL values (a 0/1
+    is-valid indicator summed through both phases), so null-bearing
+    columns average correctly; ``count`` is COUNT(*) row count.
     """
     from ray.data.aggregate import Count, Max, Min, Sum
 
     from ..sketches import hash64
+
+    mean_cols = [c for c, how in aggs.items() if how == "mean"]
 
     def add_salt(t: pa.Table) -> pa.Table:
         src = (np.asarray(t[salt_source].to_pandas(), dtype=object)
                if salt_source and salt_source in t.column_names
                else np.arange(t.num_rows))
         salt = (hash64(src) % np.uint64(n_salts)).astype(np.int64)
-        return t.append_column("__salt", pa.array(salt))
+        t = t.append_column("__salt", pa.array(salt))
+        for c in mean_cols:
+            t = t.append_column(f"__nn_{c}",
+                                pc.cast(pc.is_valid(t[c]), pa.int64()))
+        return t
 
     phase1_aggs = []
     for col, how in aggs.items():
         if how in ("sum", "mean"):
             phase1_aggs.append(Sum(col, alias_name=f"__sum_{col}"))
-        if how in ("count", "mean"):
+        if how == "mean":
+            phase1_aggs.append(Sum(f"__nn_{col}", alias_name=f"__cnt_{col}"))
+        if how == "count":
             phase1_aggs.append(Count(alias_name=f"__cnt_{col}"))
         if how == "min":
             phase1_aggs.append(Min(col, alias_name=f"__min_{col}"))

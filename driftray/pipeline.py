@@ -215,7 +215,7 @@ def merge_findings(findings: pa.Table) -> tuple[dict, pa.Table, dict, float | No
 
 
 def uniqueness_violations(ds: rd.Dataset | str, spec: TableSpec,
-                          read_filter=None) -> tuple[pa.Table, int]:
+                          read_filter=None) -> tuple[pa.Table, int, pa.Table | None]:
     """Duplicate-key detection (the one shuffle-shaped check), two-tier:
 
     1. Shuffle 8-byte key HASHES, not key strings: per-batch vectorized
@@ -225,27 +225,33 @@ def uniqueness_violations(ds: rd.Dataset | str, spec: TableSpec,
        collisions) are verified EXACTLY: candidate rows are re-read with a
        broadcast hash filter and grouped on their full key strings.
 
-    Returns one violation row per duplicated key (detail = occurrence
-    count) plus the exact count of EXTRA rows beyond the kept-first
-    (first-wins by sorted order, the pinned resolution of the reference's
-    first-wins/last-wins inconsistency, ``news.py:74-82`` vs
-    ``news.py:349-356``; SURVEY.md D2/D3)."""
+    Returns ``(violations, extra, winners)``: one violation row per
+    duplicated key (detail = occurrence count), the exact count of EXTRA
+    rows beyond the kept-first (first-wins by ``spec.order_column``, the
+    pinned resolution of the reference's first-wins/last-wins
+    inconsistency, ``news.py:74-82`` vs ``news.py:349-356``; SURVEY.md
+    D2/D3), and — when the spec has an order column — a small winners
+    table (key, win_order) so downstream consumers (``materialize_silver``)
+    can KEEP the documented winner instead of dropping every copy."""
     from .checks import hash_keys
 
     key_cols = list(spec.unique_key or ())
+    order_col = spec.order_column
     empty = pa.table({"check": pa.array([], pa.string()),
                       "column": pa.array([], pa.string()),
                       "row_ref": pa.array([], pa.string()),
                       "detail": pa.array([], pa.string())})
     if not key_cols:
-        return empty, 0
+        return empty, 0, None
 
-    def keys_ds() -> rd.Dataset:
+    def keys_ds(with_order: bool = False) -> rd.Dataset:
         # a string input gets a fresh COLUMN-PRUNED read per pass (reading
         # 3 key columns, not the multi-KB content rows)
+        cols = key_cols + ([order_col] if with_order and order_col
+                           and order_col not in key_cols else [])
         if isinstance(ds, str):
-            return rd.read_parquet(ds, columns=key_cols, filter=read_filter)
-        return ds.select_columns(key_cols)
+            return rd.read_parquet(ds, columns=cols, filter=read_filter)
+        return ds.select_columns(cols)
 
     hashed = keys_ds().map_batches(
         lambda b: pa.table({"kh": pa.array(hash_keys(b, key_cols).astype(np.int64))}),
@@ -255,7 +261,7 @@ def uniqueness_violations(ds: rd.Dataset | str, spec: TableSpec,
         lambda b: b.filter(pc.greater(b["count()"], 1)),
         batch_format="pyarrow").to_pandas()
     if len(dup_h) == 0:
-        return empty, 0
+        return empty, 0, None
 
     cand_ref = ray.put(set(dup_h["kh"].astype(np.int64).tolist()))
 
@@ -268,23 +274,33 @@ def uniqueness_violations(ds: rd.Dataset | str, spec: TableSpec,
             mask = pa.array(np.fromiter((int(h) in self.cand for h in kh),
                                         dtype=bool, count=len(kh)))
             sub = b.filter(mask)
-            return pa.table({"key": pa.array(join_key(sub, key_cols))})
+            out = {"key": pa.array(join_key(sub, key_cols))}
+            if order_col and order_col in sub.column_names:
+                out["ord"] = sub[order_col]
+            return pa.table(out)
 
-    cand = keys_ds().map_batches(
+    cand = keys_ds(with_order=True).map_batches(
         FetchCandidates, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
     vc = cand["key"].value_counts()
     vc = vc[vc > 1]
     if len(vc) == 0:
-        return empty, 0
+        return empty, 0, None
     extra = int((vc - 1).sum())
     colname = "|".join(key_cols)
-    return pa.table({
+    winners = None
+    if order_col and "ord" in cand.columns:
+        win = (cand[cand["key"].isin(set(vc.index))]
+               .groupby("key")["ord"].min().reset_index())
+        winners = pa.table({"key": pa.array(win["key"].astype(str)),
+                            "win_order": pa.Array.from_pandas(win["ord"])})
+    violations = pa.table({
         "check": pa.array(["uniqueness"] * len(vc)),
         "column": pa.array([colname] * len(vc)),
         "row_ref": pa.array(vc.index.astype(str).tolist(), pa.string()),
         "detail": pa.array([f"{int(c)} occurrences (kept first by order)" for c in vc],
                            pa.string()),
-    }), extra
+    })
+    return violations, extra, winners
 
 
 # ---------------------------------------------------------------------------
@@ -459,8 +475,10 @@ def validate_dataset(
     The kernel tags findings rows with the window id, so N windows cost one
     read + one (tiny) materialized findings table — per-window pipelines
     would pay N read/launch overheads.  Key uniqueness is table-GLOBAL
-    (a key may not repeat across windows) and reported on window -1 when
-    the input spans windows, matching the engine's pinned semantics."""
+    (a key may not repeat across windows): when the input spans multiple
+    windows it is reported on a DEDICATED window -1 result (never silently
+    folded into the first window's quality score); a single-window input
+    reports it on that window."""
     t0 = time.perf_counter()
     from concurrent.futures import ThreadPoolExecutor
 
@@ -492,9 +510,16 @@ def validate_dataset(
             ["check", "column", "row_ref", "detail"]), {}, None)}
 
     if uniq_future is not None:
-        dup, extra = uniq_future.result()
-        scope = min(results)  # single-window input → that window; else first
-        res = results[scope]
+        dup, extra, _winners = uniq_future.result()
+        if len(results) == 1:
+            res = results[min(results)]  # single-window input → that window
+        else:
+            # multi-window input: table-global check gets its own window -1
+            # result so no data window's quality score absorbs table-wide
+            # duplicates
+            res = results.setdefault(-1, WindowResult(
+                -1, 0, {}, FINDINGS_SCHEMA.empty_table().select(
+                    ["check", "column", "row_ref", "detail"]), {}, None))
         res.counters["uniqueness|" + "|".join(spec.unique_key)] = extra
         res.violations = pa.concat_tables([res.violations, dup])
     pool.shutdown(wait=False)
@@ -622,9 +647,13 @@ def run_validation(
     # the table, so this check cannot be chunked per window)
     tdir = os.path.join(out_dir, "table")
     if check_uniqueness and spec.unique_key and             not os.path.exists(os.path.join(tdir, "_DONE")):
-        dup, extra = uniqueness_violations(input_path, spec)
+        dup, extra, winners = uniqueness_violations(input_path, spec)
         os.makedirs(tdir, exist_ok=True)
         pq.write_table(dup, os.path.join(tdir, "uniqueness_violations.parquet"))
+        if winners is not None:
+            # (key, win_order) for duplicated keys only — lets the silver
+            # layer KEEP the documented first-by-order winner
+            pq.write_table(winners, os.path.join(tdir, "uniqueness_winners.parquet"))
         with open(os.path.join(tdir, "lineage.json"), "w") as f:
             json.dump({"check": "uniqueness",
                        "key": "|".join(spec.unique_key),
@@ -717,46 +746,131 @@ def materialize_silver(
     rows — bronze (raw input) is never rewritten, gold is the per-window
     lineage/profile layer already emitted by ``run_validation``.
 
+    For keys flagged by the table-global uniqueness check, the FIRST
+    occurrence by ``spec.order_column`` is KEPT (the pinned first-wins
+    semantics) — only the extra copies are dropped.  If any window's
+    violation sample was truncated by the kernel's per-batch cap (counters
+    record exact totals; emitted rows may be fewer), this raises instead of
+    silently letting violating rows into silver.
+
     Returns the number of silver rows written."""
     import glob as _glob
 
-    from .checks import hash_keys
-
     silver_dir = silver_dir or os.path.join(out_dir, "silver")
     bad_refs: list[str] = []
-    for vf in sorted(_glob.glob(os.path.join(out_dir, "window=*", "violations.parquet"))):
+    expected_violations = 0
+    for wdir in sorted(_glob.glob(os.path.join(out_dir, "window=*"))):
+        vf = os.path.join(wdir, "violations.parquet")
+        if not os.path.exists(vf):
+            continue
         t = pq.read_table(vf, columns=["row_ref"])
         bad_refs.extend(t["row_ref"].to_pylist())
-    tdir = os.path.join(out_dir, "table", "uniqueness_violations.parquet")
-    if os.path.exists(tdir):
-        bad_refs.extend(pq.read_table(tdir, columns=["row_ref"])["row_ref"].to_pylist())
+        lin_path = os.path.join(wdir, "lineage.json")
+        if os.path.exists(lin_path):
+            with open(lin_path) as f:
+                counters = json.load(f).get("counters", {})
+            expected_violations += sum(
+                int(v) for k, v in counters.items()
+                if not k.startswith("rows") and not k.startswith("uniqueness"))
+    if expected_violations > len(bad_refs):
+        raise ValueError(
+            f"violation sample truncated: counters record {expected_violations} "
+            f"violations but only {len(bad_refs)} violation rows were emitted "
+            "(max_violations_per_batch cap bound) — rerun validation with a "
+            "higher cap before materializing silver")
+    if "*" in set(bad_refs):
+        raise ValueError("a required column is missing entirely; silver layer "
+                         "cannot be materialized for this input")
+
     key_cols = list(spec.unique_key or ())
+    order_col = spec.order_column
+
+    # uniqueness: the streaming pass drops EVERY copy of a duplicated key;
+    # the (rare) duplicated rows are then re-fetched, one winner per key is
+    # chosen deterministically (min order_column, full-row lexicographic
+    # tiebreak — order may be part of the key and tie), and the winners are
+    # appended to silver.  Dup rows ≪ corpus, so the fetch is tiny.
+    tdir = os.path.join(out_dir, "table")
+    uniq_path = os.path.join(tdir, "uniqueness_violations.parquet")
+    dup_keys: set[str] = set()
+    if os.path.exists(uniq_path):
+        dup_keys = set(pq.read_table(uniq_path,
+                                     columns=["row_ref"])["row_ref"].to_pylist())
 
     # violating rows are addressed by their key-ref string; hash both sides
+    from .checks import join_key
     from .sketches import hash64
 
     bad_hashes = set(int(h) for h in hash64(np.array(bad_refs, dtype=object))) \
         if bad_refs else set()
     ref = ray.put(bad_hashes)
+    dup_ref = ray.put(dup_keys)
 
     class DropViolating:
         def __init__(self):
             self.bad = ray.get(ref)
+            self.dup = ray.get(dup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            if not self.bad or not key_cols:
-                return t
-            from .checks import row_refs
+            keep = np.ones(t.num_rows, dtype=bool)
+            if self.bad and key_cols:
+                from .checks import row_refs
 
-            refs = row_refs(t, spec)
-            kh = hash64(refs)
-            mask = np.fromiter((int(h) not in self.bad for h in kh),
-                               dtype=bool, count=len(kh))
-            return t.filter(pa.array(mask))
+                refs = row_refs(t, spec)
+                kh = hash64(refs)
+                keep &= np.fromiter((int(h) not in self.bad for h in kh),
+                                    dtype=bool, count=len(kh))
+            if self.dup and key_cols:
+                keys = join_key(t, key_cols)
+                keep &= np.fromiter((k not in self.dup for k in keys),
+                                    dtype=bool, count=len(keys))
+            if keep.all():
+                return t
+            return t.filter(pa.array(keep))
 
     ds = rd.read_parquet(input_path)
     clean = ds.map_batches(DropViolating, batch_format="pyarrow",
                            concurrency=(1, 8))
     clean.write_parquet(silver_dir, partition_cols=[window_column])
-    n = rd.read_parquet(silver_dir).count()
+
+    if dup_keys:
+        # winners: first-by-order copy of each duplicated key, minus any that
+        # also violate a per-row check
+        class FetchDups:
+            def __init__(self):
+                self.dup = ray.get(dup_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                keys = join_key(t, key_cols)
+                mask = np.fromiter((k in self.dup for k in keys),
+                                   dtype=bool, count=len(keys))
+                return t.filter(pa.array(mask))
+
+        dup_rows = rd.read_parquet(input_path).map_batches(
+            FetchDups, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+        if len(dup_rows):
+            sort_cols = ([order_col] if order_col else []) + [
+                c for c in dup_rows.columns if c != order_col]
+            dup_rows["__key"] = join_key(
+                pa.Table.from_pandas(dup_rows, preserve_index=False), key_cols)
+            winners_df = (dup_rows.sort_values(sort_cols, kind="mergesort")
+                          .groupby("__key", sort=False).head(1)
+                          .drop(columns="__key"))
+            if bad_hashes:
+                from .checks import row_refs
+
+                wrefs = row_refs(pa.Table.from_pandas(winners_df,
+                                                      preserve_index=False), spec)
+                ok = np.fromiter((int(h) not in bad_hashes
+                                  for h in hash64(wrefs)),
+                                 dtype=bool, count=len(wrefs))
+                winners_df = winners_df[ok]
+            if len(winners_df):
+                rd.from_pandas(winners_df).write_parquet(
+                    silver_dir, partition_cols=[window_column])
+
+    # metadata-only row count (never re-decode the written data)
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(silver_dir, format="parquet", partitioning="hive").count_rows()
     return int(n)
