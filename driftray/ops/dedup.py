@@ -2,24 +2,34 @@
 
 Five strategies over a text/embedding corpus, each Ray-Data-first:
 
-* exact        — content-hash shuffle + keep-first (D2/D3 semantics).
-* MinHash+LSH  — shingle → minhash signature → banded LSH buckets via
-                 ``groupby``; candidate pairs verified by signature-estimated
-                 Jaccard; clusters via driver union-find over the (small)
-                 candidate-pair set.
-* SimHash      — 64-bit weighted-bit-vote fingerprint; banded buckets;
-                 Hamming-distance verification.
+* exact        — content-hash shuffle + keep-first (D2/D3 semantics,
+                 ``relational.dedup_exact``).
+* MinHash+LSH  — shingle → minhash signature → banded LSH bucket keys;
+                 duplicate buckets found by a Ray ``groupby(bucket).count()``
+                 (hash-only shuffle), candidate pairs verified by
+                 signature-estimated Jaccard; clusters via union-find over
+                 the (small) verified-pair set.
+* SimHash      — 64-bit weighted-bit-vote fingerprint; 4×16-bit band
+                 buckets; Hamming-distance verification.
 * n-gram Jaccard — exact character-n-gram Jaccard verification over LSH
-                 candidates (the exact counterpart of the MinHash estimate).
+                 candidates; candidate texts are joined IN-CLUSTER
+                 (``Dataset.join``), never gathered to the driver.
 * embedding cosine — random-hyperplane LSH buckets over normalized vectors;
-                 within-bucket cosine verification.
+                 within-bucket pairwise cosine computed in
+                 ``groupby(bucket).map_groups`` — vectors stay in the
+                 cluster.
 
-Partitioning assumption (documented per task brief): candidate PAIRS are
-rare relative to the corpus (bands/bits sized so buckets stay small), so
-pair verification + union-find run on the driver over a set that is orders
-of magnitude smaller than the input.  The heavy work — shingling, hashing,
-signatures — is embarrassingly parallel in ``map_batches``; the only
-shuffle is the bucket groupby, keyed on (band, band_hash).
+Scale shape (the 100 TB contract): the driver only ever holds
+ * the duplicate BUCKET KEYS (buckets with ≥2 members — rare by
+   construction: bands/bits are sized so buckets stay small),
+ * the candidate PAIRS and their verdicts,
+ * the cluster-assignment map for docs in non-singleton clusters.
+All of these are proportional to the near-duplicate density, not to the
+corpus.  Signatures, band rows and vectors live in the object store; the
+only all-to-all exchanges are the bucket-count groupby (16 B/row) and, for
+the n-gram/embedding paths, the candidate-only join/groupby.  The output
+is a lazy ``Dataset`` (id, cluster_id, is_duplicate[, cluster_size]) —
+nothing row-scale materializes on the driver.
 """
 
 from __future__ import annotations
@@ -115,48 +125,79 @@ class MinHasher:
         return out
 
 
-def _band_rows(sig_df: pd.DataFrame, id_col: str, num_bands: int) -> pd.DataFrame:
-    """Explode signatures to (band, band_hash, id) rows for the LSH groupby."""
-    sigs = np.stack(sig_df["sig"].to_numpy())
+def _band_keys(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """Fold each signature into ``num_bands`` int64 bucket keys (band index
+    mixed into the fold so bands never share buckets).  Returns
+    (n, num_bands) int64."""
     n, m = sigs.shape
     r = m // num_bands
-    rows = {"band": [], "band_hash": [], id_col: []}
-    ids = sig_df[id_col].to_numpy()
+    keys = np.empty((n, num_bands), dtype=np.uint64)
     for b in range(num_bands):
         chunk = sigs[:, b * r:(b + 1) * r]
-        # fold the band's r values into one uint64 bucket key
-        h = np.zeros(n, dtype=np.uint64)
+        h = np.full(n, np.uint64(b) * _SEED_MIX + np.uint64(1), dtype=np.uint64)
         for j in range(r):
             h = h * np.uint64(1099511628211) + chunk[:, j]
-        rows["band"].extend([b] * n)
-        rows["band_hash"].extend(h.tolist())
-        rows[id_col].extend(ids.tolist())
-    return pd.DataFrame({"band": np.array(rows["band"], dtype=np.int64),
-                         "band_hash": np.array(rows["band_hash"], dtype=np.uint64).astype(np.int64),
-                         id_col: rows[id_col]})
+        keys[:, b] = h
+    return keys.astype(np.int64)
 
 
-def _candidate_pairs_from_buckets(bucket_df: pd.DataFrame, id_col: str,
-                                  max_bucket: int = 200) -> set[tuple]:
-    """Pairs sharing any LSH bucket.
+class _BandExploder:
+    """(id, sig) → (bh, id) rows: one bucket-key row per band."""
 
-    Vectorized: lexsort on (band, band_hash), find equal-key runs, pair up
-    only within runs of length ≥ 2 (rare by construction) — iterating every
-    singleton bucket in Python would dominate the whole dedup at corpus
-    scale.  Buckets larger than ``max_bucket`` are truncated (salt upstream
-    if this ever triggers)."""
-    band = bucket_df["band"].to_numpy()
-    bh = bucket_df["band_hash"].to_numpy()
-    ids = bucket_df[id_col].to_numpy()
-    order = np.lexsort((ids, bh, band))
-    band, bh, ids = band[order], bh[order], ids[order]
-    new_run = np.empty(len(band), dtype=bool)
+    def __init__(self, id_col: str, num_bands: int):
+        self.id_col = id_col
+        self.num_bands = num_bands
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack(batch["sig"].to_numpy())
+        keys = _band_keys(sigs, self.num_bands)
+        ids = batch[self.id_col].to_numpy()
+        return pd.DataFrame({
+            "bh": keys.ravel(),
+            self.id_col: np.repeat(ids, self.num_bands),
+        })
+
+
+def _dup_bucket_keys(band_ds: rd.Dataset) -> set[int]:
+    """Bucket keys appearing ≥2 times: ``groupby(bh).count()`` (the only
+    all-to-all — 16 B/row), filtered to duplicates on-cluster.  The
+    collected set is ∝ near-dup density, not corpus size."""
+    import pyarrow.compute as pc
+
+    counts = band_ds.select_columns(["bh"]).groupby("bh").count()
+    dup = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["count()"], 1)).select(["bh"]),
+        batch_format="pyarrow").to_pandas()
+    return set(dup["bh"].astype(np.int64).tolist())
+
+
+class _BucketFilter:
+    """Keep rows whose ``bh`` is a duplicate bucket (broadcast set)."""
+
+    def __init__(self, keys_ref):
+        self.keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["bh"].isin(self.keys)]
+
+
+def _pairs_from_bucket_rows(bh: np.ndarray, ids: np.ndarray,
+                            max_bucket: int = 200) -> set[tuple]:
+    """Candidate pairs from (bucket, id) rows of DUPLICATE buckets only.
+
+    Vectorized: sort by bucket, pair within equal-key runs.  Buckets larger
+    than ``max_bucket`` are truncated (salt upstream if this ever binds)."""
+    if len(bh) == 0:
+        return set()
+    order = np.lexsort((ids, bh))
+    bh, ids = bh[order], ids[order]
+    new_run = np.empty(len(bh), dtype=bool)
     new_run[0] = True
-    new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    new_run[1:] = bh[1:] != bh[:-1]
     starts = np.flatnonzero(new_run)
-    ends = np.append(starts[1:], len(band))
+    ends = np.append(starts[1:], len(bh))
     pairs: set[tuple] = set()
-    multi = np.flatnonzero(ends - starts >= 2)   # only non-singleton buckets
+    multi = np.flatnonzero(ends - starts >= 2)
     for ri in multi:
         s, e = starts[ri], ends[ri]
         members = np.unique(ids[s:e])[:max_bucket]
@@ -166,10 +207,15 @@ def _candidate_pairs_from_buckets(bucket_df: pd.DataFrame, id_col: str,
     return pairs
 
 
-def _union_find_clusters(ids, pairs) -> dict:
-    parent = {i: i for i in ids}
+def _union_find_clusters(pairs) -> tuple[dict, dict]:
+    """Union-find over the VERIFIED pair set only (pairs ≪ corpus).
+
+    Returns (cluster map {member_id: root_id} for non-singleton members,
+    size map {root_id: cluster_size})."""
+    parent: dict = {}
 
     def find(x):
+        parent.setdefault(x, x)
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
@@ -179,46 +225,95 @@ def _union_find_clusters(ids, pairs) -> dict:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    return {i: find(i) for i in ids}
+    clusters = {i: find(i) for i in parent}
+    sizes: dict = {}
+    for root in clusters.values():
+        sizes[root] = sizes.get(root, 0) + 1
+    return clusters, sizes
+
+
+def _cluster_output(ids_ds: rd.Dataset, id_col: str, clusters: dict,
+                    sizes: dict, with_size: bool = False) -> rd.Dataset:
+    """Lazy output Dataset: broadcast the (small) cluster map and label every
+    id per batch — the corpus-scale table never lands on the driver."""
+    cmap_ref = ray.put(clusters)
+    smap_ref = ray.put(sizes if with_size else None)
+
+    class Label:
+        def __init__(self):
+            self.cmap = ray.get(cmap_ref)
+            self.smap = ray.get(smap_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch[id_col]
+            mapped = ids.map(self.cmap)
+            cluster = mapped.where(mapped.notna(), ids)
+            try:
+                cluster = cluster.astype(ids.dtype)
+            except (TypeError, ValueError):
+                pass
+            out = pd.DataFrame({id_col: ids.to_numpy(),
+                                "cluster_id": cluster.to_numpy(),
+                                "is_duplicate": (cluster != ids).to_numpy()})
+            if self.smap is not None:
+                sz = cluster.map(self.smap).fillna(1).astype(np.int64)
+                out["cluster_size"] = sz.to_numpy()
+            return out
+
+    return ids_ds.select_columns([id_col]).map_batches(
+        Label, batch_format="pandas", concurrency=(1, 4))
 
 
 def minhash_lsh_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 128,
                       num_bands: int = 32, shingle_k: int = 3,
                       jaccard_threshold: float = 0.8,
-                      batch_size: int = 2048) -> pa.Table:
-    """Near-duplicate clustering: returns (id, cluster_id, is_duplicate).
+                      batch_size: int = 2048,
+                      max_bucket: int = 200) -> rd.Dataset:
+    """Near-duplicate clustering: (id, cluster_id, is_duplicate, cluster_size).
 
-    Pipeline: map_batches(MinHasher) → band explode → groupby buckets →
-    candidate pairs → signature-Jaccard verification ≥ threshold →
-    union-find → cluster table.  cluster_id = min id in the cluster;
-    is_duplicate marks every member beyond the representative."""
+    Distributed pipeline (nothing corpus-scale on the driver):
+      1. ``map_batches(MinHasher)`` → (id, signature), materialized in the
+         object store (1 KB/doc, spillable);
+      2. band explode → (bucket_key, id); ``groupby(bucket_key).count()``
+         finds DUPLICATE buckets (hash-only shuffle, two-tier like
+         ``pipeline.uniqueness_violations``);
+      3. rows of duplicate buckets (∝ dup density) → candidate pairs;
+      4. signatures of candidate ids fetched via broadcast-filtered pass,
+         pairs verified by signature-estimated Jaccard ≥ threshold;
+      5. union-find over verified pairs; cluster labels broadcast and
+         applied per batch → lazy output Dataset.
+    cluster_id = min id in the cluster; is_duplicate marks every member
+    beyond the representative."""
     # stateless tasks (not an actor pool): the hasher's state is just the
     # 2 KB permutation table — tasks scale elastically with no pool ramp-up
     hasher = MinHasher(id_col, text_col, num_perm, shingle_k)
     sig_ds = ds.select_columns([id_col, text_col]).map_batches(
-        hasher, batch_format="pandas", batch_size=batch_size)
-    sig_df = sig_ds.to_pandas()  # (id, signature) — 1 KB/row, ≪ corpus
-    band_df = _band_rows(sig_df, id_col, num_bands)
-    pairs = _candidate_pairs_from_buckets(band_df, id_col)
-
-    sigs = {i: s for i, s in zip(sig_df[id_col], sig_df["sig"])}
-    verified = set()
-    for a, b in pairs:
-        est = float((sigs[a] == sigs[b]).mean())
-        if est >= jaccard_threshold:
-            verified.add((a, b))
-    ids = sorted(sigs)
-    clusters = _union_find_clusters(ids, verified)
-    sizes: dict = {}
-    for i in ids:
-        sizes[clusters[i]] = sizes.get(clusters[i], 0) + 1
-    return pa.table({
-        id_col: pa.array(ids),
-        "cluster_id": pa.array([clusters[i] for i in ids]),
-        "is_duplicate": pa.array([clusters[i] != i for i in ids]),
-        "cluster_size": pa.array([sizes[clusters[i]] for i in ids]),
-    })
+        hasher, batch_format="pandas", batch_size=batch_size).materialize()
+    band_ds = sig_ds.map_batches(_BandExploder(id_col, num_bands),
+                                 batch_format="pandas")
+    dup_bh = _dup_bucket_keys(band_ds)
+    pairs: set[tuple] = set()
+    if dup_bh:
+        keys_ref = ray.put(dup_bh)
+        cand_rows = band_ds.map_batches(
+            _BucketFilter, fn_constructor_args=(keys_ref,),
+            batch_format="pandas", concurrency=(1, 4)).to_pandas()
+        pairs = _pairs_from_bucket_rows(cand_rows["bh"].to_numpy(),
+                                        cand_rows[id_col].to_numpy(), max_bucket)
+    verified: set[tuple] = set()
+    if pairs:
+        cand_ids = {i for p in pairs for i in p}
+        cid_ref = ray.put(cand_ids)
+        cand_sig = sig_ds.map_batches(
+            lambda b, r=cid_ref: b[b[id_col].isin(ray.get(r))],
+            batch_format="pandas").to_pandas()
+        sigs = {i: s for i, s in zip(cand_sig[id_col], cand_sig["sig"])}
+        for a, b in pairs:
+            if float((sigs[a] == sigs[b]).mean()) >= jaccard_threshold:
+                verified.add((a, b))
+    clusters, sizes = _union_find_clusters(verified)
+    return _cluster_output(sig_ds, id_col, clusters, sizes, with_size=True)
 
 
 class SimHasher:
@@ -246,41 +341,60 @@ class SimHasher:
         })
 
 
-def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3, batch_size: int = 2048) -> pa.Table:
-    """SimHash near-dup clustering: 4×16-bit band buckets guarantee that any
-    pair within Hamming distance ≤ 3 shares ≥ 1 band (pigeonhole); verified
-    by exact popcount, clustered by union-find."""
-    sh = ds.select_columns([id_col, text_col]).map_batches(
-        SimHasher(id_col, text_col),
-        batch_format="pandas", batch_size=batch_size).to_pandas()
-    hashes = sh["simhash"].to_numpy().astype(np.uint64)
-    ids = sh[id_col].to_numpy()
-    rows = []
+def _simhash_band_rows(batch: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """(id, simhash) → 4 × (bh, id, simhash) rows: 16-bit bands mixed with
+    the band index (pigeonhole: Hamming ≤ 3 ⇒ ≥1 shared band)."""
+    hashes = batch["simhash"].to_numpy().astype(np.uint64)
+    n = len(hashes)
+    out_bh = np.empty(4 * n, dtype=np.int64)
     for band in range(4):
         keys = (hashes >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        rows.append(pd.DataFrame({"band": band, "band_hash": keys.astype(np.int64),
-                                  id_col: ids}))
-    pairs = _candidate_pairs_from_buckets(pd.concat(rows), id_col)
-    hmap = dict(zip(ids, hashes))
-    verified = {(a, b) for a, b in pairs
-                if bin(int(hmap[a]) ^ int(hmap[b])).count("1") <= max_hamming}
-    clusters = _union_find_clusters(sorted(hmap), verified)
-    out_ids = sorted(hmap)
-    return pa.table({
-        id_col: pa.array(out_ids),
-        "cluster_id": pa.array([clusters[i] for i in out_ids]),
-        "is_duplicate": pa.array([clusters[i] != i for i in out_ids]),
-    })
+        out_bh[band * n:(band + 1) * n] = (
+            keys + np.uint64(band + 1) * np.uint64(1 << 16)).astype(np.int64)
+    return pd.DataFrame({"bh": out_bh,
+                         id_col: np.tile(batch[id_col].to_numpy(), 4),
+                         "simhash": np.tile(hashes.astype(np.int64), 4)})
+
+
+def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3, batch_size: int = 2048,
+                  max_bucket: int = 200) -> rd.Dataset:
+    """SimHash near-dup clustering, distributed like ``minhash_lsh_dedup``:
+    band rows carry the 8-byte fingerprint, so the (small) duplicate-bucket
+    fetch already contains everything needed for exact popcount
+    verification — no second corpus pass."""
+    sim_ds = ds.select_columns([id_col, text_col]).map_batches(
+        SimHasher(id_col, text_col),
+        batch_format="pandas", batch_size=batch_size).materialize()
+    band_ds = sim_ds.map_batches(lambda b: _simhash_band_rows(b, id_col),
+                                 batch_format="pandas")
+    dup_bh = _dup_bucket_keys(band_ds)
+    verified: set[tuple] = set()
+    if dup_bh:
+        keys_ref = ray.put(dup_bh)
+        cand = band_ds.map_batches(
+            _BucketFilter, fn_constructor_args=(keys_ref,),
+            batch_format="pandas", concurrency=(1, 4)).to_pandas()
+        pairs = _pairs_from_bucket_rows(cand["bh"].to_numpy(),
+                                        cand[id_col].to_numpy(), max_bucket)
+        hmap = dict(zip(cand[id_col], cand["simhash"].astype(np.uint64)))
+        verified = {(a, b) for a, b in pairs
+                    if bin(int(hmap[a]) ^ int(hmap[b])).count("1") <= max_hamming}
+    clusters, sizes = _union_find_clusters(verified)
+    return _cluster_output(sim_ds, id_col, clusters, sizes)
 
 
 def ngram_jaccard_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                         text_col: str = "text", ngram: int = 8,
                         threshold: float = 0.7, num_perm: int = 128,
-                        num_bands: int = 16, batch_size: int = 2048) -> pa.Table:
+                        num_bands: int = 16, batch_size: int = 2048,
+                        max_bucket: int = 200,
+                        verify_partitions: int = 8) -> rd.Dataset:
     """Exact character-n-gram Jaccard dedup: MinHash-LSH proposes candidate
-    pairs, then EXACT n-gram-set Jaccard verifies (only candidate texts are
-    fetched — the full corpus never gathers to one place)."""
+    pairs; verification joins each pair with its two texts IN-CLUSTER
+    (two ``Dataset.join`` hash joins over the candidate-filtered corpus)
+    and computes exact n-gram Jaccard vectorized per batch — candidate
+    texts never gather on the driver."""
 
     class CharMinHasher(MinHasher):
         def _shingle_strings(self, text: str) -> list[str]:
@@ -288,48 +402,74 @@ def ngram_jaccard_dedup(ds: rd.Dataset, id_col: str = "doc_id",
             return ([t[i:i + ngram] for i in range(len(t) - ngram + 1)]
                     if len(t) >= ngram else [t])
 
-    sig_df = ds.select_columns([id_col, text_col]).map_batches(
+    sig_ds = ds.select_columns([id_col, text_col]).map_batches(
         CharMinHasher(id_col, text_col, num_perm),
-        batch_format="pandas", batch_size=batch_size).to_pandas()
-    band_df = _band_rows(sig_df, id_col, num_bands)
-    pairs = _candidate_pairs_from_buckets(band_df, id_col)
+        batch_format="pandas", batch_size=batch_size).materialize()
+    band_ds = sig_ds.map_batches(_BandExploder(id_col, num_bands),
+                                 batch_format="pandas")
+    dup_bh = _dup_bucket_keys(band_ds)
+    pairs: set[tuple] = set()
+    if dup_bh:
+        keys_ref = ray.put(dup_bh)
+        cand_rows = band_ds.map_batches(
+            _BucketFilter, fn_constructor_args=(keys_ref,),
+            batch_format="pandas", concurrency=(1, 4)).to_pandas()
+        pairs = _pairs_from_bucket_rows(cand_rows["bh"].to_numpy(),
+                                        cand_rows[id_col].to_numpy(), max_bucket)
 
-    cand_ids = sorted({i for p in pairs for i in p})
-    texts = {}
-    if cand_ids:
-        cand = ds.select_columns([id_col, text_col]).map_batches(
-            lambda b, s=set(cand_ids): b[b[id_col].isin(s)],
-            batch_format="pandas").to_pandas()
-        texts = dict(zip(cand[id_col], cand[text_col]))
+    verified: set[tuple] = set()
+    if pairs:
+        cand_ids = {i for p in pairs for i in p}
+        cid_ref = ray.put(cand_ids)
 
-    def grams(t: str) -> set:
-        return ({t[i:i + ngram] for i in range(len(t) - ngram + 1)}
-                if len(t) >= ngram else {t})
+        def cand_texts(side: str) -> rd.Dataset:
+            # filter + rename in ONE pandas stage (a separate Dataset-level
+            # rename would fuse a pyarrow Project onto the pandas batch)
+            cols = {id_col: f"p{side}_", text_col: f"t{side}_"}
+            return ds.select_columns([id_col, text_col]).map_batches(
+                lambda b, r=cid_ref, c=cols: (
+                    b[b[id_col].isin(ray.get(r))].rename(columns=c)),
+                batch_format="pandas")
 
-    verified = set()
-    gcache = {i: grams(texts[i] or "") for i in texts}
-    for a, b in pairs:
-        ga, gb = gcache[a], gcache[b]
-        j = len(ga & gb) / max(1, len(ga | gb))
-        if j >= threshold:
-            verified.add((a, b))
-    all_ids = sorted(sig_df[id_col])
-    clusters = _union_find_clusters(all_ids, verified)
-    return pa.table({
-        id_col: pa.array(all_ids),
-        "cluster_id": pa.array([clusters[i] for i in all_ids]),
-        "is_duplicate": pa.array([clusters[i] != i for i in all_ids]),
-    })
+        pair_list = sorted(pairs)
+        pairs_ds = rd.from_pandas(pd.DataFrame(
+            {"pa_": [p[0] for p in pair_list], "pb_": [p[1] for p in pair_list]}))
+        # two small hash joins attach text_a / text_b to every pair row
+        left = pairs_ds.join(cand_texts("a"), join_type="inner",
+                             num_partitions=verify_partitions, on=("pa_",))
+        both = left.join(cand_texts("b"), join_type="inner",
+                         num_partitions=verify_partitions, on=("pb_",))
+
+        def verify(batch: pd.DataFrame) -> pd.DataFrame:
+            def grams(t: str) -> set:
+                return ({t[i:i + ngram] for i in range(len(t) - ngram + 1)}
+                        if len(t) >= ngram else {t})
+
+            ok = []
+            for ta, tb in zip(batch["ta_"], batch["tb_"]):
+                ga, gb = grams(ta or ""), grams(tb or "")
+                ok.append(len(ga & gb) / max(1, len(ga | gb)) >= threshold)
+            return batch.loc[ok, ["pa_", "pb_"]]
+
+        vdf = both.map_batches(verify, batch_format="pandas").to_pandas()
+        verified = ({(a, b) for a, b in zip(vdf["pa_"], vdf["pb_"])}
+                    if len(vdf) and "pa_" in vdf.columns else set())
+    clusters, sizes = _union_find_clusters(verified)
+    return _cluster_output(sig_ds, id_col, clusters, sizes)
 
 
 def embedding_cosine_dedup(ds: rd.Dataset, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.95, n_planes: int = 12,
-                           seed: int = 42, batch_size: int = 4096) -> pa.Table:
+                           seed: int = 42, batch_size: int = 4096,
+                           max_bucket: int = 2000) -> rd.Dataset:
     """Embedding near-dup: random-hyperplane LSH buckets (sign bits of
-    ``X @ P``) over L2-normalized vectors, within-bucket pairwise cosine
-    ≥ threshold, union-find clusters.  ``n_planes`` trades recall (close
-    pairs split by a plane) against bucket size."""
+    ``X @ P``) over L2-normalized vectors; within-bucket pairwise cosine is
+    computed IN-CLUSTER via ``groupby(bucket).map_groups`` (≤ 2^n_planes
+    groups), so the driver never holds the vector matrix — only the
+    verified pairs.  ``n_planes`` trades recall (close pairs split by a
+    plane) against bucket size; buckets beyond ``max_bucket`` are truncated
+    (raise n_planes if that binds)."""
 
     class PlaneHasher:
         def __init__(self):
@@ -350,21 +490,24 @@ def embedding_cosine_dedup(ds: rd.Dataset, id_col: str = "vec_id",
             return out
 
     hashed = ds.select_columns([id_col, vec_col]).map_batches(
-        PlaneHasher(), batch_format="pandas", batch_size=batch_size).to_pandas()
-    verified = set()
-    for _, grp in hashed.groupby("bucket"):
+        PlaneHasher(), batch_format="pandas", batch_size=batch_size).materialize()
+
+    def bucket_pairs(grp: pd.DataFrame) -> pd.DataFrame:
         if len(grp) < 2:
-            continue
+            return pd.DataFrame({"pa_": pd.Series([], dtype=grp[id_col].dtype),
+                                 "pb_": pd.Series([], dtype=grp[id_col].dtype)})
+        grp = grp.iloc[:max_bucket]
         ids = grp[id_col].to_numpy()
         V = np.stack(grp["vec"].to_numpy())
         sims = V @ V.T
         ii, jj = np.where(np.triu(sims >= threshold, k=1))
-        for a, b in zip(ids[ii], ids[jj]):
-            verified.add((min(a, b), max(a, b)))
-    all_ids = sorted(hashed[id_col])
-    clusters = _union_find_clusters(all_ids, verified)
-    return pa.table({
-        id_col: pa.array(all_ids),
-        "cluster_id": pa.array([clusters[i] for i in all_ids]),
-        "is_duplicate": pa.array([clusters[i] != i for i in all_ids]),
-    })
+        a = np.minimum(ids[ii], ids[jj])
+        b = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame({"pa_": a, "pb_": b})
+
+    vdf = hashed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    verified = ({(a, b) for a, b in zip(vdf["pa_"], vdf["pb_"])}
+                if len(vdf) and "pa_" in vdf.columns else set())
+    clusters, sizes = _union_find_clusters(verified)
+    return _cluster_output(hashed, id_col, clusters, sizes)

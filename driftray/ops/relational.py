@@ -71,25 +71,74 @@ def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
 def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
                 batch_size: int = 8192) -> rd.Dataset:
     """Exact dedup, FIRST-wins by ``order_col`` (pinned D2/D3 semantics,
-    ``news.py:74-82``): a key-only shuffle finds each key's winning order
-    value, the winner set broadcasts, and a second pruned pass filters.
-    Only (key, order) pairs ever shuffle; content columns stay in place."""
-    from ray.data.aggregate import Min
+    ``news.py:74-82``), two-tier like ``pipeline.uniqueness_violations``:
 
-    winners = (ds.select_columns(key_cols + [order_col])
-               .groupby(key_cols).aggregate(Min(order_col, alias_name="__min_ord")))
-    win_tbl = winners.to_pandas()
-    win_tbl = win_tbl.rename(columns={"__min_ord": order_col})
-    joiner_ref = ray.put(win_tbl)
+    1. shuffle 8-byte key HASHES only (``groupby(kh).count()``) — never the
+       raw key values (a wide text key would otherwise ship the whole
+       distinct corpus to the driver);
+    2. rows of DUPLICATED hashes (real dups + ~n²/2⁶⁴ collisions — a set
+       ∝ duplicate density, not corpus size) are fetched exactly and the
+       first-by-order winner per full key is resolved driver-side;
+    3. one streaming filter keeps rows whose hash is unduplicated, plus
+       the winner copy of each duplicated key.
+
+    Rows tying on (key, min order) are all kept (order should be unique
+    per key; q14-style callers use a unique id)."""
+    from ..checks import hash_keys, join_key
+
+    def kh_table(t: pa.Table) -> pa.Table:
+        return pa.table({"kh": pa.array(hash_keys(t, key_cols).astype(np.int64))})
+
+    counts = (ds.select_columns(key_cols)
+              .map_batches(kh_table, batch_format="pyarrow")
+              .groupby("kh").count())
+    dup_h = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["count()"], 1)).select(["kh"]),
+        batch_format="pyarrow").to_pandas()
+    if len(dup_h) == 0:
+        return ds  # no duplicate hashes anywhere → input already distinct
+
+    dup_ref = ray.put(set(dup_h["kh"].astype(np.int64).tolist()))
+
+    class FetchCandidates:
+        def __init__(self):
+            self.dup = ray.get(dup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            kh = hash_keys(t, key_cols).astype(np.int64)
+            mask = pa.array(np.fromiter((int(h) in self.dup for h in kh),
+                                        dtype=bool, count=len(kh)))
+            sub = t.filter(mask)
+            return pa.table({"key": pa.array(join_key(sub, key_cols)),
+                             "ord": sub[order_col]})
+
+    cand = (ds.select_columns(list(dict.fromkeys(key_cols + [order_col])))
+            .map_batches(FetchCandidates, batch_format="pyarrow",
+                         concurrency=(1, 4)).to_pandas())
+    winners = cand.groupby("key")["ord"].min().to_dict()
+    win_ref = ray.put(winners)
 
     class KeepWinners:
         def __init__(self):
-            w = ray.get(joiner_ref)
-            self.idx = pd.MultiIndex.from_frame(w[key_cols + [order_col]].astype(object))
+            self.dup = ray.get(dup_ref)
+            self.win = ray.get(win_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            key = pd.MultiIndex.from_frame(batch[key_cols + [order_col]].astype(object))
-            return batch[key.isin(self.idx)]
+            t = pa.Table.from_pandas(batch, preserve_index=False)
+            kh = hash_keys(t, key_cols).astype(np.int64)
+            in_dup = np.fromiter((int(h) in self.dup for h in kh),
+                                 dtype=bool, count=len(kh))
+            keep = ~in_dup
+            if in_dup.any():
+                sub = batch[in_dup]
+                keys = join_key(pa.Table.from_pandas(sub, preserve_index=False),
+                                key_cols)
+                wins = np.fromiter(
+                    (self.win.get(k) == o
+                     for k, o in zip(keys, sub[order_col].to_numpy())),
+                    dtype=bool, count=len(sub))
+                keep[np.flatnonzero(in_dup)] = wins
+            return batch[keep]
 
     return ds.map_batches(KeepWinners, batch_format="pandas",
                           batch_size=batch_size, concurrency=(1, 4))

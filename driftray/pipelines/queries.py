@@ -128,13 +128,17 @@ def q06_customers_per_region(sf_dir: str):
 # -- semi / anti joins (J2) ---------------------------------------------------
 
 def q07_customers_with_orders(sf_dir: str):
-    keys = set(_t(sf_dir, "orders", ["o_custkey"]).to_pandas()["o_custkey"])
+    # build side is DISTINCT-ed on-cluster first: the exchange carries one
+    # row per distinct key, never the raw fact-side key column
+    keys = set(distinct(_t(sf_dir, "orders", ["o_custkey"]), ["o_custkey"])
+               .to_pandas()["o_custkey"])
     out = semi_join_keys(_t(sf_dir, "customer", ["c_custkey"]), keys, "c_custkey")
     return out
 
 
 def q08_parts_never_ordered(sf_dir: str):
-    keys = set(_t(sf_dir, "lineitem", ["l_partkey"]).to_pandas()["l_partkey"])
+    keys = set(distinct(_t(sf_dir, "lineitem", ["l_partkey"]), ["l_partkey"])
+               .to_pandas()["l_partkey"])
     out = semi_join_keys(_t(sf_dir, "part", ["p_partkey"]), keys, "p_partkey",
                          anti=True).to_pandas()
     if out.empty:  # keep the schema even when the anti-join is empty
@@ -242,7 +246,10 @@ def q15_ann_topk(sf_dir: str):
     from ..ops.ann import brute_force_topk
 
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q0 = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()  # 1-row control fetch
+    # 1-row control fetch with parquet row-filter pushdown (never a
+    # per-row Python filter scan)
+    q0 = _t(sf_dir, "embeddings", ["vec_id", "embedding"],
+            filter=pc.field("vec_id") == 0).to_pandas()
     query = np.stack(q0["embedding"].to_numpy())
     out = brute_force_topk(emb, query, k=10).to_pandas()
     out["score"] = out["score"].round(4)
@@ -615,7 +622,8 @@ def nq_ivf_ann(sf_dir: str):
     from ..ops.ann import ivf_topk
 
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    q0 = emb.filter(lambda r: r["vec_id"] == 0).to_pandas()
+    q0 = _t(sf_dir, "embeddings", ["vec_id", "embedding"],
+            filter=pc.field("vec_id") == 0).to_pandas()
     out = ivf_topk(emb, np.stack(q0["embedding"].to_numpy()), k=10).to_pandas()
     out["score"] = out["score"].round(4)
     return out
@@ -815,15 +823,17 @@ def nq_curation_pipeline(sf_dir: str):
     kept = scored.map_batches(lambda b: b[b["quality"] >= 0.5],
                               batch_format="pandas")
     clusters = minhash_lsh_dedup(kept, jaccard_threshold=0.8).to_pandas()
-    reps = set(clusters.loc[~clusters["is_duplicate"], "doc_id"])
+    # broadcast the DUPLICATE ids (∝ dup density) — never the corpus-sized
+    # representative set
+    dups = set(clusters.loc[clusters["is_duplicate"], "doc_id"])
     import ray as _ray
 
-    ref = _ray.put(reps)
+    ref = _ray.put(dups)
 
-    def keep_reps(b: pd.DataFrame) -> pd.DataFrame:
-        return b[b["doc_id"].isin(_ray.get(ref))]
+    def drop_dups(b: pd.DataFrame) -> pd.DataFrame:
+        return b[~b["doc_id"].isin(_ray.get(ref))]
 
-    final = kept.map_batches(keep_reps, batch_format="pandas")         .map_batches(TokenCounter(), batch_format="pandas")
+    final = kept.map_batches(drop_dups, batch_format="pandas")         .map_batches(TokenCounter(), batch_format="pandas")
     out = (final.groupby("lang")
            .aggregate(Count(alias_name="n_docs"),
                       Sum("n_tokens_ws", alias_name="total_tokens")))
