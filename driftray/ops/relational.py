@@ -144,6 +144,107 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
                           batch_size=batch_size, concurrency=(1, 4))
 
 
+def hash_shuffle_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
+                      right_on: list[str] | None = None,
+                      how: Literal["inner", "left_outer", "right_outer",
+                                   "full_outer"] = "inner",
+                      num_partitions: int = 32) -> rd.Dataset:
+    """LARGE-LARGE join: both sides hash-partitioned on the key
+    (``Dataset.join``'s hash-shuffle aggregator path) — the complement of
+    ``broadcast_join`` for fact-to-fact enrichment where neither side fits
+    in a broadcast (J1 "large-large", SURVEY.md §2.4; the reference's
+    enrichment stream function, ``/root/reference/DESIGN.md:246``).
+
+    ``num_partitions`` sizes the shuffle: at cluster scale use ≥ the number
+    of cores so every reducer gets a partition; skewed keys should be
+    salted upstream (``salted_groupby_agg`` shows the pattern)."""
+    return left.join(right, join_type=how, num_partitions=num_partitions,
+                     on=tuple(on), right_on=tuple(right_on) if right_on else None)
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
+              left_ts: str, right_ts: str, right_values: list[str],
+              suffix: str = "_asof", strict: bool = True,
+              num_partitions: int | None = None) -> rd.Dataset:
+    """AS-OF join: for each left row, attach ``right_values`` from the
+    latest right row of the same key with ``right_ts < left_ts`` (strict,
+    DuckDB ``ASOF JOIN ... ON l.ts > r.ts`` semantics) or ``<=``
+    (``strict=False``).  Unmatched left rows get nulls (LEFT semantics).
+
+    Ray-Data-first shape: both sides are tagged and UNIONED, then ONE
+    ``groupby(on).map_groups`` co-locates each key's rows; within a group
+    the match is a vectorized ``np.searchsorted`` over the sorted right
+    timestamps.  Nothing broadcasts and nothing gathers on the driver —
+    the partitioning assumption is only that a single KEY's rows fit in a
+    worker (keys = users/instruments; salt a pathological hot key
+    upstream if that ever binds)."""
+    rv_names = [f"{c}{suffix}" for c in right_values]
+
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    rtype = {c: t for c, t in zip(right.schema().names, right.schema().types)}
+
+    def pad_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        t = t.append_column("__rts", pa.nulls(n, pa.timestamp("us")))
+        for c, name in zip(right_values, rv_names):
+            t = t.append_column(name, pa.nulls(n, rtype[c]))
+        return t.append_column("__side", pa.array(np.zeros(n, dtype=np.int8)))
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols: dict = {}
+        for c in left_cols:
+            cols[c] = t[c] if c in on else pa.nulls(n, left_types[c])
+        cols["__rts"] = pc.cast(t[right_ts], pa.timestamp("us"))
+        for c, name in zip(right_values, rv_names):
+            cols[name] = t[c]
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    lt = left.map_batches(pad_left, batch_format="pyarrow")
+    rt = right.select_columns(
+        list(dict.fromkeys(on + [right_ts] + right_values))).map_batches(
+        pad_right, batch_format="pyarrow")
+    unioned = lt.union(rt)
+
+    def per_key(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"].to_numpy(zero_copy_only=False))
+        lrows = g.filter(pa.array(side == 0))
+        rrows = g.filter(pa.array(side == 1))
+        out_cols = {c: lrows[c] for c in left_cols}
+        if lrows.num_rows == 0:
+            return pa.table(out_cols | {
+                name: lrows[name] for name in rv_names})
+        if rrows.num_rows == 0:
+            for name in rv_names:
+                out_cols[name] = lrows[name]  # already all-null
+            return pa.table(out_cols)
+        rts = np.asarray(pc.cast(rrows["__rts"], pa.int64()).to_numpy(
+            zero_copy_only=False))
+        order = np.argsort(rts, kind="mergesort")
+        rts = rts[order]
+        lts = np.asarray(pc.cast(pc.cast(lrows[left_ts], pa.timestamp("us")),
+                                 pa.int64()).to_numpy(zero_copy_only=False))
+        idx = np.searchsorted(rts, lts, side="left" if strict else "right") - 1
+        matched = idx >= 0
+        take_idx = order[np.clip(idx, 0, None)]
+        for c, name in zip(right_values, rv_names):
+            vals = rrows[name].take(pa.array(take_idx))
+            if matched.all():
+                out_cols[name] = vals
+            else:
+                arr = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+                np_mask = ~matched
+                out_cols[name] = pa.array(
+                    arr.to_pandas().where(~pd.Series(np_mask), None),
+                    type=rtype[c], from_pandas=True)
+        return pa.table(out_cols)
+
+    return unioned.groupby(on).map_groups(per_key, batch_format="pyarrow")
+
+
 def top_k(ds: rd.Dataset, key: str, k: int, descending: bool = True,
           columns: list[str] | None = None) -> pa.Table:
     """Global top-k WITHOUT a global sort (O4): per-batch local top-k
@@ -184,6 +285,31 @@ def tumbling_window_column(ds: rd.Dataset, ts_col: str, every_s: int,
         start = pc.multiply(pc.floor(pc.divide(us, every_us)), every_us)
         start = pc.cast(pc.cast(start, pa.int64()), pa.timestamp("us"))
         return t.append_column(out_col, start)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def hopping_window_flatmap(ds: rd.Dataset, ts_col: str, size_s: int, hop_s: int,
+                           out_col: str = "window_start_s") -> rd.Dataset:
+    """Sliding/hopping windows (W-stage extension beyond the reference's
+    tumbling-only ``DESIGN.md:286``): each row is replicated once per
+    window containing it (``size_s // hop_s`` copies, vectorized
+    ``Table.take`` — no per-row Python), after which windowing is an
+    ordinary groupby key.  ``size_s`` must be a multiple of ``hop_s``.
+    ``out_col`` is the window start in epoch seconds (int64)."""
+    if size_s % hop_s:
+        raise ValueError("size_s must be a multiple of hop_s")
+    k = size_s // hop_s
+
+    def assign(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                                pa.int64()).to_numpy(zero_copy_only=False))
+        base = (us // (hop_s * 1_000_000)) * hop_s  # newest window start, secs
+        n = t.num_rows
+        rep = t.take(pa.array(np.repeat(np.arange(n), k)))
+        offs = np.tile(np.arange(k, dtype=np.int64) * hop_s, n)
+        starts = np.repeat(base, k) - offs
+        return rep.append_column(out_col, pa.array(starts, pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
 

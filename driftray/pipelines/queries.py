@@ -440,6 +440,104 @@ def q26_salted_revenue_stats(sf_dir: str):
     return out
 
 
+# -- large-large shuffle join (J1 fact-to-fact; DESIGN.md:246) ----------------
+
+def q27_order_line_detail(sf_dir: str):
+    """lineitem ⋈ orders keeping LINE detail — neither side broadcastable at
+    scale, so both hash-partition (Dataset.join shuffle path)."""
+    from ..ops.relational import hash_shuffle_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+    return hash_shuffle_join(li, orders, on=["l_orderkey"],
+                             right_on=["o_orderkey"], num_partitions=8)
+
+
+# -- as-of join (custom operator; DuckDB ASOF JOIN oracle) --------------------
+
+def q28_prev_event_value(sf_dir: str):
+    """Per-user previous event value: strict backward as-of self-join over
+    the events stream (union → groupby(user) → vectorized searchsorted)."""
+    from ..ops.relational import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    right = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    out = asof_join(ev, right, on=["user_id"], left_ts="ts", right_ts="ts",
+                    right_values=["value"], suffix="_prev", strict=True)
+    return out.select_columns(["event_id", "user_id", "value", "value_prev"])
+
+
+# -- hopping/sliding windows (W extension beyond tumbling) --------------------
+
+def q29_hopping_windows(sf_dir: str):
+    """15-min windows hopping every 5 min: one count per (window, type);
+    each event lands in 3 windows via vectorized replication."""
+    from ray.data.aggregate import Count
+
+    from ..ops.relational import hopping_window_flatmap
+
+    ds = hopping_window_flatmap(_t(sf_dir, "events", ["ts", "event_type"]),
+                                "ts", size_s=900, hop_s=300)
+    return (ds.groupby(["window_start_s", "event_type"])
+            .aggregate(Count(alias_name="n_events")))
+
+
+# -- drift half-split means, oracle-checked (A5/A6 companion) -----------------
+
+def q30_drift_means(sf_dir: str):
+    """Exact per-type means of `value` over the first/second half of the
+    time range — the oracle-checkable core of nq_drift_events (mid-split
+    identical to the sketch pipeline's)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+    ts_i = ds.map_batches(
+        lambda t: pa.table({"us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")),
+                                          pa.int64())}),
+        batch_format="pyarrow")
+    row = ts_i.aggregate(Min("us", alias_name="lo"), Max("us", alias_name="hi"))
+    mid = (int(row["lo"]) + int(row["hi"])) // 2
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        half = pc.cast(pc.greater_equal(us, mid), pa.int64())
+        one = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.table({"event_type": t["event_type"], "half": half,
+                         "value": t["value"], "one": one})
+
+    parts = (ds.map_batches(tag, batch_format="pyarrow")
+             .groupby(["event_type", "half"])
+             .aggregate(Sum("value", alias_name="s"), Sum("one", alias_name="n"))
+             .to_pandas())
+    piv = parts.pivot(index="event_type", columns="half")
+    out = pd.DataFrame({
+        "event_type": piv.index,
+        "mean_first": (piv[("s", 0)] / piv[("n", 0)]).round(4).to_numpy(),
+        "mean_second": (piv[("s", 1)] / piv[("n", 1)]).round(4).to_numpy(),
+    }).reset_index(drop=True)
+    return out
+
+
+# -- HLL accuracy vs exact distinct (SQL-bounded assertion) -------------------
+
+def q31_hll_accuracy(sf_dir: str):
+    """HLL cardinality per event_type checked against the EXACT distinct
+    count IN the query: `within_2pct` must be TRUE for the oracle hash to
+    match, so the driver comparison enforces the approximation band."""
+    exact = (q19_distinct_users_per_type(sf_dir).to_pandas()
+             .set_index("event_type")["n_users"])
+    approx = (nq_hll_distinct_users(sf_dir)
+              .set_index("event_type")["n_users_approx"])
+    out = pd.DataFrame({
+        "event_type": exact.index,
+        "n_users_exact": exact.to_numpy(dtype=np.int64),
+        "within_2pct": [
+            abs(int(approx[et]) - int(exact[et])) <= max(0.02 * int(exact[et]), 1)
+            for et in exact.index],
+    }).reset_index(drop=True)
+    return out
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -556,6 +654,32 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag,
                ROUND(AVG(l_extendedprice), {ROUND_F}) AS mean_l_extendedprice
         FROM lineitem GROUP BY l_returnflag""",
+    "q27_order_line_detail": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice, o_custkey, o_orderstatus
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "q28_prev_event_value": """
+        SELECT l.event_id, l.user_id, l.value, r.value AS value_prev
+        FROM events l ASOF LEFT JOIN events r
+          ON l.user_id = r.user_id AND l.ts > r.ts""",
+    "q29_hopping_windows": """
+        SELECT CAST(FLOOR(epoch(ts) / 300) * 300 - 300 * i AS BIGINT)
+                   AS window_start_s,
+               event_type, COUNT(*) AS n_events
+        FROM events CROSS JOIN generate_series(0, 2) AS t(i)
+        GROUP BY 1, 2""",
+    "q30_drift_means": """
+        WITH b AS (SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+                   FROM events)
+        SELECT event_type,
+               ROUND(AVG(value) FILTER (WHERE epoch_us(ts) <  (SELECT mid FROM b)), 4)
+                   AS mean_first,
+               ROUND(AVG(value) FILTER (WHERE epoch_us(ts) >= (SELECT mid FROM b)), 4)
+                   AS mean_second
+        FROM events GROUP BY event_type""",
+    "q31_hll_accuracy": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+               TRUE AS within_2pct
+        FROM events GROUP BY event_type""",
 }
 
 SQL_QUERIES = {
@@ -585,6 +709,11 @@ SQL_QUERIES = {
     "q24_part_order_counts": q24_part_order_counts,
     "q25_source_tiers": q25_source_tiers,
     "q26_salted_revenue_stats": q26_salted_revenue_stats,
+    "q27_order_line_detail": q27_order_line_detail,
+    "q28_prev_event_value": q28_prev_event_value,
+    "q29_hopping_windows": q29_hopping_windows,
+    "q30_drift_means": q30_drift_means,
+    "q31_hll_accuracy": q31_hll_accuracy,
 }
 
 
