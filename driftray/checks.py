@@ -192,40 +192,297 @@ def sha256_hex_arrow(col: pa.ChunkedArray | pa.Array) -> list[str]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# pluggable check protocol + registry (SURVEY.md §2.10: adding a check = one
+# class, mirroring the Sensor ABC + SENSOR_CLASSES registry pattern at
+# /root/reference/src/data_sources/iot/sensor.py:10-32)
+# ---------------------------------------------------------------------------
+
+
+class CheckContext:
+    """Per-(batch, window) state handed to every check's ``process``.
+
+    ``emit_violations(mask, check, column, detail)`` records the exact
+    counter and up to the remaining budget of violation rows (row refs are
+    built lazily, only for violating rows); ``append(kind, check, ...)``
+    writes a raw findings row (counters/sketches)."""
+
+    __slots__ = ("batch", "window", "spec", "out", "_budget", "_refs")
+
+    def __init__(self, batch: pa.Table, window: int, spec: TableSpec,
+                 out: dict, budget: int):
+        self.batch = batch
+        self.window = window
+        self.spec = spec
+        self.out = out
+        self._budget = budget
+        self._refs = None
+
+    @property
+    def n_rows(self) -> int:
+        return self.batch.num_rows
+
+    def append(self, kind: str, check: str, **kw) -> None:
+        _append(self.out, kind, check, **kw)
+
+    def refs_at(self, idx: np.ndarray) -> np.ndarray:
+        if self._refs is None:
+            self._refs = row_refs(self.batch, self.spec)
+        return self._refs[idx]
+
+    def emit_violations(self, mask: np.ndarray, check: str, column: str,
+                        detail: str) -> None:
+        cnt = int(mask.sum())
+        _append(self.out, "counter", check, column=column, n=cnt)
+        if cnt == 0 or self._budget <= 0:
+            return
+        idx = np.flatnonzero(mask)[: self._budget]
+        self._budget -= idx.size
+        for r in self.refs_at(idx):
+            _append(self.out, "violation", check, column=column,
+                    row_ref=str(r), detail=detail)
+
+
+class BatchCheck:
+    """Protocol for a pluggable per-batch check.  Subclass, implement
+    ``process(ctx)``, and either register with ``@register_check("kind")``
+    (so specs can name it in ``custom_checks``) or append an instance to a
+    kernel's ``checks`` list directly.  ``__init__`` runs once per
+    actor/task — do expensive setup (regex compile, model load) there."""
+
+    def process(self, ctx: CheckContext) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+CHECK_REGISTRY: dict[str, type] = {}
+
+
+def register_check(kind: str):
+    """Class decorator: make a check constructible from
+    ``TableSpec.custom_checks = ((kind, params), ...)`` — no engine edits."""
+
+    def deco(cls):
+        CHECK_REGISTRY[kind] = cls
+        return cls
+
+    return deco
+
+
+class CompletenessCheck(BatchCheck):
+    """M7 (DESIGN.md:344-357): null / '' / NaN per required column."""
+
+    def __init__(self, spec: TableSpec):
+        self.columns = [c.name for c in spec.required_columns]
+
+    def process(self, ctx: CheckContext) -> None:
+        for name in self.columns:
+            if name not in ctx.batch.column_names:
+                ctx.append("counter", "completeness", column=name, n=ctx.n_rows)
+                ctx.append("violation", "completeness", column=name,
+                           row_ref="*", detail="column missing from batch")
+                continue
+            mask = _null_or_empty_mask(ctx.batch[name])
+            ctx.emit_violations(mask, "completeness", name, "null/empty/NaN")
+
+
+class RangeCheck(BatchCheck):
+    """M8 (DESIGN.md:366-380): inclusive bounds + optional row condition."""
+
+    def __init__(self, spec: TableSpec):
+        self.columns = spec.range_columns
+
+    def process(self, ctx: CheckContext) -> None:
+        batch = ctx.batch
+        for cs in self.columns:
+            if cs.name not in batch.column_names:
+                continue
+            col = batch[cs.name]
+            viol = pa.array(np.zeros(ctx.n_rows, dtype=bool))
+            if cs.min_value is not None:
+                viol = pc.or_kleene(viol, pc.less(col, cs.min_value))
+            if cs.max_value is not None:
+                viol = pc.or_kleene(viol, pc.greater(col, cs.max_value))
+            viol = pc.fill_null(viol, False)  # nulls are completeness's business
+            mask = np.asarray(viol.to_pandas(), dtype=bool)
+            if cs.when is not None and cs.when[0] in batch.column_names:
+                cond = pc.fill_null(pc.equal(batch[cs.when[0]], cs.when[1]), False)
+                mask &= np.asarray(cond.to_pandas(), dtype=bool)
+            ctx.emit_violations(mask, "range", cs.name,
+                                f"outside [{cs.min_value}, {cs.max_value}]")
+
+
+class Sha256Check(BatchCheck):
+    """M11 / BASELINE.json input_hint: sha256(content) == content_sha256."""
+
+    def __init__(self, spec: TableSpec):
+        self.hi = spec.hash_invariant
+
+    def process(self, ctx: CheckContext) -> None:
+        hi = self.hi
+        batch = ctx.batch
+        if hi is None or hi.content_column not in batch.column_names \
+                or hi.hash_column not in batch.column_names:
+            return
+        actual = sha256_hex_arrow(batch[hi.content_column])
+        expected = batch[hi.hash_column].to_pylist()
+        mask = np.fromiter((a != e for a, e in zip(actual, expected)),
+                           dtype=bool, count=len(actual))
+        ctx.emit_violations(mask, "sha256", hi.content_column,
+                            "content hash mismatch")
+
+
+class ReferentialCheck(BatchCheck):
+    """J2 / T4: probe broadcast membership (set or Bloom — no false
+    negatives) per foreign key; hashed memberships probe 8-byte key hashes,
+    never per-row key strings."""
+
+    def __init__(self, spec: TableSpec, membership: dict[int, object]):
+        self.foreign_keys = spec.foreign_keys
+        self.membership = membership
+
+    def process(self, ctx: CheckContext) -> None:
+        batch = ctx.batch
+        for i, fk in enumerate(self.foreign_keys):
+            member = self.membership.get(i)
+            if member is None or not all(c in batch.column_names for c in fk.columns):
+                continue
+            if getattr(member, "hashed", False) or (
+                    isinstance(member, (set, frozenset)) and member
+                    and isinstance(next(iter(member)), (int, np.integer))):
+                keys = hash_keys(batch, fk.columns)
+            else:
+                keys = join_key(batch, fk.columns)
+            if hasattr(member, "contains"):  # BloomFilter
+                present = member.contains(keys)
+            else:
+                kl = keys.tolist()
+                present = np.fromiter((k in member for k in kl), dtype=bool,
+                                      count=len(kl))
+            ctx.emit_violations(~present, "referential", "|".join(fk.columns),
+                                f"not in {fk.dim_table}({','.join(fk.dim_columns)})")
+
+
+class ProfileCheck(BatchCheck):
+    """A4: mergeable moment/t-digest/histogram partials per (group, column);
+    ``hist_edges`` must be identical across windows so partials merge and
+    PSI/JS compare."""
+
+    def __init__(self, spec: TableSpec, hist_edges: dict, nbins: int):
+        self.columns = spec.profile_columns
+        self.group_column = spec.group_column
+        self.hist_edges = hist_edges
+        self.nbins = nbins
+
+    def _emit(self, ctx: CheckContext, column: str, group: str,
+              values: np.ndarray) -> None:
+        mom = Moments().update(values)
+        ctx.append("sketch", "profile", column=column, group=group,
+                   detail="moments", blob=sketches.dumps(mom))
+        td = TDigest().update(values)
+        ctx.append("sketch", "profile", column=column, group=group,
+                   detail="tdigest", blob=sketches.dumps(td))
+        edges = self.hist_edges.get(column)
+        hist = (Histogram.from_edges(edges) if edges is not None
+                else Histogram(0.0, 1.0, self.nbins)).update(values)
+        ctx.append("sketch", "profile", column=column, group=group,
+                   detail="hist", blob=sketches.dumps(hist))
+
+    def process(self, ctx: CheckContext) -> None:
+        batch = ctx.batch
+        for col_name in self.columns:
+            if col_name not in batch.column_names:
+                continue
+            values = np.asarray(
+                pc.cast(batch[col_name], pa.float64()).to_numpy(zero_copy_only=False),
+                dtype=np.float64)
+            self._emit(ctx, col_name, "", values)
+            if self.group_column and self.group_column in batch.column_names:
+                # dictionary-encode once: per-group masks become int compares
+                dic = pc.dictionary_encode(
+                    batch[self.group_column].combine_chunks()
+                    if isinstance(batch[self.group_column], pa.ChunkedArray)
+                    else batch[self.group_column])
+                if isinstance(dic, pa.ChunkedArray):
+                    dic = dic.combine_chunks()
+                codes = np.asarray(dic.indices.to_numpy(zero_copy_only=False))
+                labels = dic.dictionary.to_pylist()
+                for code in np.argsort(np.array(labels, dtype=object)):
+                    g = labels[code]
+                    if g is None:
+                        continue
+                    self._emit(ctx, col_name, str(g), values[codes == code])
+
+
+class UniquenessHLLCheck(BatchCheck):
+    """A7: mergeable HLL partial over the unique-key hashes (the exact
+    duplicate check is the separate hash-shuffle pass in pipeline.py)."""
+
+    def __init__(self, spec: TableSpec):
+        self.key = spec.unique_key
+
+    def process(self, ctx: CheckContext) -> None:
+        if self.key and all(c in ctx.batch.column_names for c in self.key):
+            hll = HLL().update(hash_keys(ctx.batch, self.key))
+            ctx.append("sketch", "uniqueness", column="|".join(self.key),
+                       detail="hll", blob=sketches.dumps(hll))
+
+
+def build_checks(spec: TableSpec, hist_edges: dict, nbins: int,
+                 membership: dict[int, object]) -> list[BatchCheck]:
+    """Compile a spec into its check list: the five built-ins plus any
+    ``spec.custom_checks`` resolved through ``CHECK_REGISTRY``."""
+    checks: list[BatchCheck] = [
+        CompletenessCheck(spec),
+        RangeCheck(spec),
+        Sha256Check(spec),
+        ReferentialCheck(spec, membership),
+        ProfileCheck(spec, hist_edges, nbins),
+        UniquenessHLLCheck(spec),
+    ]
+    for kind, params in getattr(spec, "custom_checks", ()) or ():
+        cls = CHECK_REGISTRY.get(kind)
+        if cls is None:
+            raise KeyError(f"unregistered check kind {kind!r}; "
+                           f"known: {sorted(CHECK_REGISTRY)}")
+        checks.append(cls(**params))
+    return checks
+
+
 class ValidationKernel:
     """Callable-class kernel for ``map_batches`` (actor pool or tasks).
 
-    Spec interpretation is precompiled in ``__init__`` (once per actor,
-    SURVEY.md §2.10 / T-stages); ``__call__`` is fully vectorized per batch
+    The spec is compiled into a list of ``BatchCheck`` instances in
+    ``__init__`` (once per actor, SURVEY.md §2.10 / T-stages);
+    ``__call__`` runs every check over each batch — fully vectorized
     except the sha256 row loop (hashlib, C-speed).
 
-    ``hist_bounds`` maps profile column → (lo, hi); bounds must be identical
+    ``hist_edges`` maps profile column → bin edges; edges must be identical
     across windows so histogram partials stay mergeable and PSI-comparable.
     ``max_violations_per_batch`` caps emitted violation rows (counters always
     carry exact totals) so a pathological window cannot blow up the findings
-    table at 100 TB scale.
-    """
+    table at 100 TB scale.  ``extra_checks`` appends ad-hoc ``BatchCheck``
+    instances beyond the spec-declared ones."""
 
     def __init__(self, spec: TableSpec, hist_edges: dict | None = None,
                  nbins: int = 10, max_violations_per_batch: int = 10_000,
                  membership: dict[int, object] | None = None,
-                 window_column: str | None = None) -> None:
+                 window_column: str | None = None,
+                 extra_checks: list | None = None) -> None:
         self.spec = spec
-        # hist_edges: profile column -> np.ndarray of bin edges (identical
-        # across windows so partials merge and PSI/JS compare)
-        self.hist_edges = hist_edges or {}
-        self.nbins = nbins
         self.cap = max_violations_per_batch
         self.window_column = window_column
         # membership[i] = key set / BloomFilter / ray.ObjectRef of either, for
         # spec.foreign_keys[i] — broadcast ONCE (ray.put on the driver), the
         # ray.get here runs once per actor/task, not per batch (T4/J2).
-        self.membership: dict[int, object] = {}
+        resolved: dict[int, object] = {}
         if membership:
             import ray
 
             for i, m in membership.items():
-                self.membership[i] = ray.get(m) if isinstance(m, ray.ObjectRef) else m
+                resolved[i] = ray.get(m) if isinstance(m, ray.ObjectRef) else m
+        self.checks = build_checks(spec, hist_edges or {}, nbins, resolved)
+        if extra_checks:
+            self.checks.extend(extra_checks)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         wc = self.window_column
@@ -241,135 +498,11 @@ class ValidationKernel:
         return pa.concat_tables(parts)
 
     def _process(self, batch: pa.Table, window: int) -> pa.Table:
-        spec = self.spec
         out = _empty_findings()
-        n_rows = batch.num_rows
-        _append(out, "counter", "rows", n=n_rows)
-        if n_rows == 0:
+        _append(out, "counter", "rows", n=batch.num_rows)
+        if batch.num_rows == 0:
             return findings_table(out, window)
-        budget = [self.cap]
-        refs_cache: list = [None]
-
-        def refs_at(idx: np.ndarray) -> np.ndarray:
-            # row refs built LAZILY and only for violating rows — avoids a
-            # per-batch object-string materialization on the clean path
-            if refs_cache[0] is None:
-                refs_cache[0] = row_refs(batch, spec)
-            return refs_cache[0][idx]
-
-        def emit_violations(mask: np.ndarray, check: str, column: str, detail: str) -> None:
-            cnt = int(mask.sum())
-            _append(out, "counter", check, column=column, n=cnt)
-            if cnt == 0 or budget[0] <= 0:
-                return
-            idx = np.flatnonzero(mask)[: budget[0]]
-            budget[0] -= idx.size
-            for r in refs_at(idx):
-                _append(out, "violation", check, column=column,
-                        row_ref=str(r), detail=detail)
-
-        # -- completeness (M7) ------------------------------------------------
-        for cs in spec.required_columns:
-            if cs.name not in batch.column_names:
-                _append(out, "counter", "completeness", column=cs.name, n=n_rows)
-                _append(out, "violation", "completeness", column=cs.name,
-                        row_ref="*", detail="column missing from batch")
-                continue
-            mask = _null_or_empty_mask(batch[cs.name])
-            emit_violations(mask, "completeness", cs.name, "null/empty/NaN")
-
-        # -- range expectations (M8) ------------------------------------------
-        for cs in spec.range_columns:
-            if cs.name not in batch.column_names:
-                continue
-            col = batch[cs.name]
-            viol = pa.array(np.zeros(n_rows, dtype=bool))
-            if cs.min_value is not None:
-                viol = pc.or_kleene(viol, pc.less(col, cs.min_value))
-            if cs.max_value is not None:
-                viol = pc.or_kleene(viol, pc.greater(col, cs.max_value))
-            viol = pc.fill_null(viol, False)  # nulls are completeness's business
-            mask = np.asarray(viol.to_pandas(), dtype=bool)
-            if cs.when is not None and cs.when[0] in batch.column_names:
-                cond = pc.fill_null(pc.equal(batch[cs.when[0]], cs.when[1]), False)
-                mask &= np.asarray(cond.to_pandas(), dtype=bool)
-            emit_violations(mask, "range", cs.name,
-                            f"outside [{cs.min_value}, {cs.max_value}]")
-
-        # -- sha256 content invariant (M11) -----------------------------------
-        hi = spec.hash_invariant
-        if hi is not None and hi.content_column in batch.column_names \
-                and hi.hash_column in batch.column_names:
-            actual = sha256_hex_arrow(batch[hi.content_column])
-            expected = batch[hi.hash_column].to_pylist()
-            mask = np.fromiter((a != e for a, e in zip(actual, expected)),
-                               dtype=bool, count=len(actual))
-            emit_violations(mask, "sha256", hi.content_column, "content hash mismatch")
-
-        # -- referential integrity (J2): probe broadcast membership -----------
-        for i, fk in enumerate(spec.foreign_keys):
-            member = self.membership.get(i)
-            if member is None or not all(c in batch.column_names for c in fk.columns):
-                continue
-            if getattr(member, "hashed", False) or (
-                    isinstance(member, (set, frozenset)) and member
-                    and isinstance(next(iter(member)), (int, np.integer))):
-                # hashed membership (scale path): probe 8-byte key hashes,
-                # never building per-row key strings
-                keys = hash_keys(batch, fk.columns)
-            else:
-                keys = join_key(batch, fk.columns)
-            if hasattr(member, "contains"):  # BloomFilter: no false negatives
-                present = member.contains(keys)
-            else:
-                kl = keys.tolist()
-                present = np.fromiter((k in member for k in kl), dtype=bool,
-                                      count=len(kl))
-            emit_violations(~present, "referential", "|".join(fk.columns),
-                            f"not in {fk.dim_table}({','.join(fk.dim_columns)})")
-
-        # -- profile sketch partials (A4/A7) ----------------------------------
-        for col_name in spec.profile_columns:
-            if col_name not in batch.column_names:
-                continue
-            values = np.asarray(
-                pc.cast(batch[col_name], pa.float64()).to_numpy(zero_copy_only=False),
-                dtype=np.float64)
-            self._emit_sketches(out, col_name, "", values)
-            if spec.group_column and spec.group_column in batch.column_names:
-                # dictionary-encode once: per-group masks become int compares
-                dic = pc.dictionary_encode(
-                    batch[spec.group_column].combine_chunks()
-                    if isinstance(batch[spec.group_column], pa.ChunkedArray)
-                    else batch[spec.group_column])
-                if isinstance(dic, pa.ChunkedArray):
-                    dic = dic.combine_chunks()
-                codes = np.asarray(dic.indices.to_numpy(zero_copy_only=False))
-                labels = dic.dictionary.to_pylist()
-                for code in np.argsort(np.array(labels, dtype=object)):
-                    g = labels[code]
-                    if g is None:
-                        continue
-                    self._emit_sketches(out, col_name, str(g),
-                                        values[codes == code])
-
-        # -- approximate key uniqueness (A7: HLL over the unique key) ---------
-        if spec.unique_key and all(c in batch.column_names for c in spec.unique_key):
-            hll = HLL().update(hash_keys(batch, spec.unique_key))
-            _append(out, "sketch", "uniqueness", column="|".join(spec.unique_key),
-                    detail="hll", blob=sketches.dumps(hll))
-
+        ctx = CheckContext(batch, window, self.spec, out, self.cap)
+        for check in self.checks:
+            check.process(ctx)
         return findings_table(out, window)
-
-    def _emit_sketches(self, out: dict, column: str, group: str, values: np.ndarray) -> None:
-        mom = Moments().update(values)
-        _append(out, "sketch", "profile", column=column, group=group,
-                detail="moments", blob=sketches.dumps(mom))
-        td = TDigest().update(values)
-        _append(out, "sketch", "profile", column=column, group=group,
-                detail="tdigest", blob=sketches.dumps(td))
-        edges = self.hist_edges.get(column)
-        hist = (Histogram.from_edges(edges) if edges is not None
-                else Histogram(0.0, 1.0, self.nbins)).update(values)
-        _append(out, "sketch", "profile", column=column, group=group,
-                detail="hist", blob=sketches.dumps(hist))

@@ -75,6 +75,10 @@ class TableSpec:
     group_column: str | None = None             # per-group profiles (e.g. lang)
     order_column: str | None = None             # deterministic row order / tiebreak
     drift: DriftSpec = field(default_factory=DriftSpec)
+    # extension point (SURVEY.md §2.10): (kind, params) pairs resolved via
+    # checks.CHECK_REGISTRY — adding a check = one registered class, no
+    # engine edits
+    custom_checks: tuple = ()
 
     def column(self, name: str) -> ColumnSpec | None:
         for c in self.columns:
@@ -176,4 +180,6 @@ def spec_from_dict(d: dict) -> TableSpec:
         group_column=d.get("group_column"),
         order_column=d.get("order_column"),
         drift=DriftSpec(**drift_cfg) if drift_cfg else DriftSpec(),
+        custom_checks=tuple((c["kind"], dict(c.get("params", {})))
+                            for c in d.get("custom_checks", [])),
     )
