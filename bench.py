@@ -31,6 +31,12 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_FIXTURE_DIR = os.environ.get("DRIFTRAY_BENCH_DIR", "/tmp/driftray_bench")
 BENCH_ROWS = int(os.environ.get("DRIFTRAY_BENCH_ROWS", "1000000"))
+# parquet decode is memory-bandwidth-bound: beyond ~a dozen concurrent
+# decoders PER MEMORY DOMAIN extra workers contend instead of scaling
+# (BASELINE.md §scaling).  On a multi-node cluster this cap is per-node
+# (each node brings its own channels); in this single-box sandbox it is
+# global.  The kernel stage stays uncapped.
+DECODE_CAP = int(os.environ.get("DRIFTRAY_DECODE_CAP", "12"))
 
 BENCH_QUERIES = [
     "q01_pricing_summary",      # grouped aggregate over lineitem (600k rows)
@@ -112,7 +118,8 @@ def run_headline() -> dict:
 
     t0 = time.perf_counter()
     results = run_validation(input_path, out_dir, spec, dim_paths=dims,
-                             use_bloom=True, batch_size=None)
+                             use_bloom=True, batch_size=None,
+                             read_concurrency=min(NUM_CPUS, DECODE_CAP))
     wall = time.perf_counter() - t0
     rows = sum(r.n_rows for r in results)
     # drift pass against a baseline promoted from window 0

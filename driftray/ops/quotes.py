@@ -60,16 +60,15 @@ def serialize_quotes(ds: rd.Dataset) -> rd.Dataset:
 
     def fn(t: pa.Table) -> pa.Table:
         iso = pc.strftime(t["timestamp"], format="%Y-%m-%dT%H:%M:%S.%f")
-        payloads = []
-        for i in range(t.num_rows):
-            payloads.append(json.dumps({
-                "symbol": t["symbol"][i].as_py(),
-                "bid_price": t["bid_price"][i].as_py(),
-                "bid_size": t["bid_size"][i].as_py(),
-                "ask_price": t["ask_price"][i].as_py(),
-                "ask_size": t["ask_size"][i].as_py(),
-                "timestamp": iso[i].as_py(),
-            }, sort_keys=True))
+        # columnar to_pylist per column (one C call each), then a zip loop —
+        # halves the Python overhead vs per-cell .as_py() chunked access
+        cols = [t["symbol"].to_pylist(), t["bid_price"].to_pylist(),
+                t["bid_size"].to_pylist(), t["ask_price"].to_pylist(),
+                t["ask_size"].to_pylist(), iso.to_pylist()]
+        payloads = [json.dumps({
+            "symbol": s, "bid_price": bp, "bid_size": bs,
+            "ask_price": ap, "ask_size": asz, "timestamp": ts,
+        }, sort_keys=True) for s, bp, bs, ap, asz, ts in zip(*cols)]
         return pa.table({"payload": pa.array(payloads, pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -144,6 +144,53 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
                           batch_size=batch_size, concurrency=(1, 4))
 
 
+def _setop(left: rd.Dataset, right: rd.Dataset, cols: list[str],
+           keep: str) -> rd.Dataset:
+    """Shared INTERSECT/EXCEPT core: tag each side, local per-batch dedup
+    (cuts exchange volume), union, ONE ``groupby(cols)`` aggregation of the
+    side markers, then filter on presence — a single robust Aggregate
+    shuffle instead of a multi-way join, nothing collected or broadcast."""
+    from ray.data.aggregate import Sum
+
+    def tag(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.group_by(cols).aggregate([])  # local distinct
+            n = t.num_rows
+            lv = np.full(n, 1 if side == "l" else 0, dtype=np.int64)
+            rv = np.full(n, 1 if side == "r" else 0, dtype=np.int64)
+            return t.append_column("__l", pa.array(lv)).append_column(
+                "__r", pa.array(rv))
+
+        return fn
+
+    l = left.select_columns(cols).map_batches(tag("l"), batch_format="pyarrow")
+    r = right.select_columns(cols).map_batches(tag("r"), batch_format="pyarrow")
+    agg = (l.union(r).groupby(cols)
+           .aggregate(Sum("__l", alias_name="__nl"),
+                      Sum("__r", alias_name="__nr")))
+
+    def flt(t: pa.Table) -> pa.Table:
+        nl = pc.fill_null(t["__nl"], 0)
+        nr = pc.fill_null(t["__nr"], 0)
+        if keep == "both":
+            mask = pc.and_(pc.greater(nl, 0), pc.greater(nr, 0))
+        else:  # left-only
+            mask = pc.and_(pc.greater(nl, 0), pc.equal(nr, 0))
+        return t.filter(mask).select(cols)
+
+    return agg.map_batches(flt, batch_format="pyarrow")
+
+
+def intersect(left: rd.Dataset, right: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Set INTERSECT (SQL semantics, distinct rows) over ``cols`` (D5)."""
+    return _setop(left, right, cols, keep="both")
+
+
+def except_(left: rd.Dataset, right: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Set EXCEPT (SQL semantics, distinct rows): left \\ right (D5)."""
+    return _setop(left, right, cols, keep="left-only")
+
+
 def hash_shuffle_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
                       right_on: list[str] | None = None,
                       how: Literal["inner", "left_outer", "right_outer",

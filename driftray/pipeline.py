@@ -604,6 +604,7 @@ def run_validation(
     check_uniqueness: bool = True,
     batch_size: int | None = None,
     windows_per_pass: int = 4,
+    read_concurrency: int | None = None,
 ) -> list[WindowResult]:
     """Validate every window of a partitioned Parquet table, resumably.
 
@@ -679,7 +680,12 @@ def run_validation(
     for lo in range(0, len(pending), windows_per_pass):
         chunk = pending[lo: lo + windows_per_pass]
         wfilter = pc.field(window_column).isin(chunk)
-        ds = rd.read_parquet(input_path, filter=wfilter)
+        # read_concurrency caps concurrent parquet-decode tasks: decode is
+        # memory-bandwidth-bound, and beyond ~a dozen concurrent decoders
+        # per memory domain added workers CONTEND rather than scale (see
+        # BASELINE.md §scaling); the kernel stage is uncapped
+        ds = rd.read_parquet(input_path, filter=wfilter,
+                             concurrency=read_concurrency)
         results = validate_dataset(ds, spec, window_column=window_column,
                                    membership=membership, baseline=baseline,
                                    hist_edges=hist_edges,

@@ -538,6 +538,40 @@ def q31_hll_accuracy(sf_dir: str):
     return out
 
 
+# -- set intersect / except (D5) ----------------------------------------------
+
+def q32_flags_in_both_years(sf_dir: str):
+    """(returnflag, linestatus) combos present in BOTH the pre-1997 and
+    post-1997 slices — distributed INTERSECT (distinct ∩ distinct)."""
+    from ..ops.relational import intersect
+
+    cut = pa.scalar(np.datetime64("1997-01-01", "us"))
+    early = _t(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_shipdate"]).map_batches(
+        lambda t: t.filter(pc.less(t["l_shipdate"], cut)), batch_format="pyarrow")
+    late = _t(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_shipdate"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["l_shipdate"], cut)),
+        batch_format="pyarrow")
+    return intersect(early, late, ["l_returnflag", "l_linestatus"])
+
+
+def q33_clickers_never_purchased(sf_dir: str):
+    """Users who clicked but never purchased — distributed EXCEPT."""
+    from ..ops.relational import except_
+
+    clicks = _t(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")),
+        batch_format="pyarrow")
+    buys = _t(sf_dir, "events", ["event_type", "user_id"]).map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow")
+    out = except_(clicks, buys, ["user_id"]).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+    return out
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -680,6 +714,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
                TRUE AS within_2pct
         FROM events GROUP BY event_type""",
+    "q32_flags_in_both_years": """
+        SELECT l_returnflag, l_linestatus FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        INTERSECT
+        SELECT l_returnflag, l_linestatus FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'""",
+    "q33_clickers_never_purchased": """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase'""",
 }
 
 SQL_QUERIES = {
@@ -714,6 +758,8 @@ SQL_QUERIES = {
     "q29_hopping_windows": q29_hopping_windows,
     "q30_drift_means": q30_drift_means,
     "q31_hll_accuracy": q31_hll_accuracy,
+    "q32_flags_in_both_years": q32_flags_in_both_years,
+    "q33_clickers_never_purchased": q33_clickers_never_purchased,
 }
 
 

@@ -95,6 +95,31 @@ class TestAsofJoin:
         assert np.isnan(out.loc[5, "v_asof"])
 
 
+class TestSetOps:
+    def test_intersect_and_except_match_python_sets(self, rds):
+        from driftray.ops.relational import except_, intersect
+
+        rng = np.random.default_rng(11)
+        l = pd.DataFrame({"k": rng.integers(0, 30, 200)})
+        r = pd.DataFrame({"k": rng.integers(15, 45, 200)})
+        li, ri = set(l["k"]), set(r["k"])
+        got_i = set(intersect(rds.from_pandas(l), rds.from_pandas(r),
+                              ["k"]).to_pandas()["k"])
+        got_e = set(except_(rds.from_pandas(l), rds.from_pandas(r),
+                            ["k"]).to_pandas()["k"])
+        assert got_i == (li & ri)
+        assert got_e == (li - ri)
+
+    def test_multi_column_and_duplicates_are_distinct(self, rds):
+        from driftray.ops.relational import intersect
+
+        l = pd.DataFrame({"a": ["x", "x", "y"], "b": [1, 1, 2]})
+        r = pd.DataFrame({"a": ["x", "x"], "b": [1, 1]})
+        out = intersect(rds.from_pandas(l), rds.from_pandas(r),
+                        ["a", "b"]).to_pandas()
+        assert len(out) == 1  # SQL INTERSECT is distinct
+
+
 class TestHoppingWindows:
     def test_each_row_in_size_over_hop_windows(self, rds):
         from driftray.ops.relational import hopping_window_flatmap
