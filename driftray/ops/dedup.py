@@ -159,16 +159,16 @@ class _BandExploder:
 
 
 def _dup_bucket_keys(band_ds: rd.Dataset) -> set[int]:
-    """Bucket keys appearing ≥2 times: ``groupby(bh).count()`` (the only
-    all-to-all — 16 B/row), filtered to duplicates on-cluster.  The
-    collected set is ∝ near-dup density, not corpus size."""
-    import pyarrow.compute as pc
+    """Bucket keys appearing ≥2 times: distributed sort + vectorized
+    adjacent-equal scan (8 B/row exchange; see
+    ``relational.duplicate_values_sorted`` for why not groupby.count —
+    Ray's per-group overhead melts on ~all-unique keys).  The returned
+    set is a tight superset (boundary values included) and ∝ near-dup
+    density — singleton buckets downstream yield no pairs, so the
+    over-approximation is free."""
+    from .relational import duplicate_values_sorted
 
-    counts = band_ds.select_columns(["bh"]).groupby("bh").count()
-    dup = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["count()"], 1)).select(["bh"]),
-        batch_format="pyarrow").to_pandas()
-    return set(dup["bh"].astype(np.int64).tolist())
+    return set(duplicate_values_sorted(band_ds, "bh").tolist())
 
 
 class _BucketFilter:

@@ -89,16 +89,15 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
     def kh_table(t: pa.Table) -> pa.Table:
         return pa.table({"kh": pa.array(hash_keys(t, key_cols).astype(np.int64))})
 
-    counts = (ds.select_columns(key_cols)
-              .map_batches(kh_table, batch_format="pyarrow")
-              .groupby("kh").count())
-    dup_h = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["count()"], 1)).select(["kh"]),
-        batch_format="pyarrow").to_pandas()
+    hashed = ds.select_columns(key_cols).map_batches(kh_table,
+                                                     batch_format="pyarrow")
+    # sort + adjacent-equal scan (superset incl. batch boundaries) — the
+    # winner resolution below verifies each candidate key exactly
+    dup_h = duplicate_values_sorted(hashed, "kh")
     if len(dup_h) == 0:
         return ds  # no duplicate hashes anywhere → input already distinct
 
-    dup_ref = ray.put(set(dup_h["kh"].astype(np.int64).tolist()))
+    dup_ref = ray.put(set(int(h) for h in dup_h))
 
     class FetchCandidates:
         def __init__(self):
@@ -142,6 +141,33 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
 
     return ds.map_batches(KeepWinners, batch_format="pandas",
                           batch_size=batch_size, concurrency=(1, 4))
+
+
+def duplicate_values_sorted(ds: rd.Dataset, col: str) -> np.ndarray:
+    """Exact-SUPERSET duplicate detection over a mostly-unique key column:
+    distributed range ``sort(col)`` + vectorized adjacent-equal scan per
+    batch.  Each batch's first/last values are conservatively included
+    (a run can span a batch boundary), so the result is
+    true-duplicates ∪ ≤2·n_batches boundary values — callers exact-verify
+    candidates downstream, so the over-approximation only costs a few
+    extra probes.
+
+    This replaces ``groupby(col).count()`` for duplicate detection: Ray's
+    aggregate pays per-GROUP overhead, which melts when nearly every key
+    is unique (measured 61 s for 640 k distinct keys in one partition vs
+    0.8 s for this sort+scan)."""
+
+    def scan(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({col: pa.array([], t.schema.field(col).type)})
+        dup = np.unique(v[1:][v[1:] == v[:-1]])
+        bound = np.array([v[0], v[-1]], dtype=v.dtype)
+        return pa.table({col: pa.array(np.concatenate([dup, bound]))})
+
+    out = (ds.select_columns([col]).sort(col)
+           .map_batches(scan, batch_format="pyarrow").to_pandas())
+    return np.unique(out[col].to_numpy())
 
 
 def _setop(left: rd.Dataset, right: rd.Dataset, cols: list[str],

@@ -253,17 +253,20 @@ def uniqueness_violations(ds: rd.Dataset | str, spec: TableSpec,
             return rd.read_parquet(ds, columns=cols, filter=read_filter)
         return ds.select_columns(cols)
 
+    from .ops.relational import duplicate_values_sorted
+
     hashed = keys_ds().map_batches(
         lambda b: pa.table({"kh": pa.array(hash_keys(b, key_cols).astype(np.int64))}),
         batch_format="pyarrow")
-    counts = hashed.groupby("kh").count()
-    dup_h = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["count()"], 1)),
-        batch_format="pyarrow").to_pandas()
+    # sort + adjacent-equal scan, NOT groupby.count: the aggregate's
+    # per-group overhead melts on ~all-unique keys (the common case here);
+    # the scan returns a tight superset (batch-boundary values included)
+    # and the second pass verifies exactly anyway
+    dup_h = duplicate_values_sorted(hashed, "kh")
     if len(dup_h) == 0:
         return empty, 0, None
 
-    cand_ref = ray.put(set(dup_h["kh"].astype(np.int64).tolist()))
+    cand_ref = ray.put(set(int(h) for h in dup_h))
 
     class FetchCandidates:
         def __init__(self):
