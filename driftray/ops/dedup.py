@@ -5,10 +5,10 @@ Five strategies over a text/embedding corpus, each Ray-Data-first:
 * exact        — content-hash shuffle + keep-first (D2/D3 semantics,
                  ``relational.dedup_exact``).
 * MinHash+LSH  — shingle → minhash signature → banded LSH bucket keys;
-                 duplicate buckets found by a Ray ``groupby(bucket).count()``
-                 (hash-only shuffle), candidate pairs verified by
-                 signature-estimated Jaccard; clusters via union-find over
-                 the (small) verified-pair set.
+                 duplicate buckets found by a distributed sort +
+                 adjacent-equal scan (8 B/row exchange), candidate pairs
+                 verified by signature-estimated Jaccard; clusters via
+                 union-find over the (small) verified-pair set.
 * SimHash      — 64-bit weighted-bit-vote fingerprint; 4×16-bit band
                  buckets; Hamming-distance verification.
 * n-gram Jaccard — exact character-n-gram Jaccard verification over LSH
@@ -26,7 +26,7 @@ Scale shape (the 100 TB contract): the driver only ever holds
  * the cluster-assignment map for docs in non-singleton clusters.
 All of these are proportional to the near-duplicate density, not to the
 corpus.  Signatures, band rows and vectors live in the object store; the
-only all-to-all exchanges are the bucket-count groupby (16 B/row) and, for
+only all-to-all exchanges are the bucket-key sort (8 B/row) and, for
 the n-gram/embedding paths, the candidate-only join/groupby.  The output
 is a lazy ``Dataset`` (id, cluster_id, is_duplicate[, cluster_size]) —
 nothing row-scale materializes on the driver.
@@ -134,9 +134,12 @@ def _band_keys(sigs: np.ndarray, num_bands: int) -> np.ndarray:
     keys = np.empty((n, num_bands), dtype=np.uint64)
     for b in range(num_bands):
         chunk = sigs[:, b * r:(b + 1) * r]
-        h = np.full(n, np.uint64(b) * _SEED_MIX + np.uint64(1), dtype=np.uint64)
-        for j in range(r):
-            h = h * np.uint64(1099511628211) + chunk[:, j]
+        # band seed folded mod 2^64 in Python int space (no overflow warning)
+        seed = np.uint64((b * int(_SEED_MIX) + 1) & 0xFFFFFFFFFFFFFFFF)
+        h = np.full(n, seed, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(r):
+                h = h * np.uint64(1099511628211) + chunk[:, j]
         keys[:, b] = h
     return keys.astype(np.int64)
 
@@ -182,11 +185,23 @@ class _BucketFilter:
 
 
 def _pairs_from_bucket_rows(bh: np.ndarray, ids: np.ndarray,
-                            max_bucket: int = 200) -> set[tuple]:
+                            max_bucket: int = 4096,
+                            star_threshold: int = 128) -> set[tuple]:
     """Candidate pairs from (bucket, id) rows of DUPLICATE buckets only.
 
-    Vectorized: sort by bucket, pair within equal-key runs.  Buckets larger
-    than ``max_bucket`` are truncated (salt upstream if this ever binds)."""
+    Vectorized: sort by bucket, pair within equal-key runs.  Small buckets
+    emit ALL pairs; buckets beyond ``star_threshold`` members emit a STAR
+    to the min member (O(m) pairs, not O(m²)) — a giant bucket is almost
+    always one boilerplate/exact-dup cluster, and union-find connects a
+    star exactly like a clique while keeping the pair set linear.
+
+    Tradeoff (documented): star verification anchors on one
+    representative, so a giant bucket whose members are only
+    CHAIN-similar (A~B~C but A≁C) can fragment after the Jaccard
+    verification — raise ``star_threshold`` if such chains matter more
+    than pair-set size.  Buckets beyond ``max_bucket`` members are
+    truncated (salt upstream if a non-duplicate hot bucket ever gets
+    that large)."""
     if len(bh) == 0:
         return set()
     order = np.lexsort((ids, bh))
@@ -201,9 +216,13 @@ def _pairs_from_bucket_rows(bh: np.ndarray, ids: np.ndarray,
     for ri in multi:
         s, e = starts[ri], ends[ri]
         members = np.unique(ids[s:e])[:max_bucket]
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                pairs.add((members[i], members[j]))
+        if len(members) > star_threshold:
+            rep = members[0]
+            pairs.update((rep, m) for m in members[1:])
+        else:
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    pairs.add((members[i], members[j]))
     return pairs
 
 
@@ -269,7 +288,7 @@ def minhash_lsh_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                       num_bands: int = 32, shingle_k: int = 3,
                       jaccard_threshold: float = 0.8,
                       batch_size: int = 2048,
-                      max_bucket: int = 200) -> rd.Dataset:
+                      max_bucket: int = 4096) -> rd.Dataset:
     """Near-duplicate clustering: (id, cluster_id, is_duplicate, cluster_size).
 
     Distributed pipeline (nothing corpus-scale on the driver):
@@ -358,7 +377,7 @@ def _simhash_band_rows(batch: pd.DataFrame, id_col: str) -> pd.DataFrame:
 
 def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, batch_size: int = 2048,
-                  max_bucket: int = 200) -> rd.Dataset:
+                  max_bucket: int = 4096) -> rd.Dataset:
     """SimHash near-dup clustering, distributed like ``minhash_lsh_dedup``:
     band rows carry the 8-byte fingerprint, so the (small) duplicate-bucket
     fetch already contains everything needed for exact popcount
@@ -388,7 +407,7 @@ def ngram_jaccard_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                         text_col: str = "text", ngram: int = 8,
                         threshold: float = 0.7, num_perm: int = 128,
                         num_bands: int = 16, batch_size: int = 2048,
-                        max_bucket: int = 200,
+                        max_bucket: int = 4096,
                         verify_partitions: int = 8) -> rd.Dataset:
     """Exact character-n-gram Jaccard dedup: MinHash-LSH proposes candidate
     pairs; verification joins each pair with its two texts IN-CLUSTER

@@ -143,7 +143,8 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
                           batch_size=batch_size, concurrency=(1, 4))
 
 
-def duplicate_values_sorted(ds: rd.Dataset, col: str) -> np.ndarray:
+def duplicate_values_sorted(ds: rd.Dataset, col: str,
+                            sort_partitions: int = 64) -> np.ndarray:
     """Exact-SUPERSET duplicate detection over a mostly-unique key column:
     distributed range ``sort(col)`` + vectorized adjacent-equal scan per
     batch.  Each batch's first/last values are conservatively included
@@ -155,7 +156,14 @@ def duplicate_values_sorted(ds: rd.Dataset, col: str) -> np.ndarray:
     This replaces ``groupby(col).count()`` for duplicate detection: Ray's
     aggregate pays per-GROUP overhead, which melts when nearly every key
     is unique (measured 61 s for 640 k distinct keys in one partition vs
-    0.8 s for this sort+scan)."""
+    0.8 s for this sort+scan).
+
+    ``sort_partitions`` bounds the sort's input (and hence output)
+    partition count: a sort fed by thousands of blocks produces
+    n_blocks² shuffle pieces, each small enough (<100 KB) to land in the
+    DRIVER's in-process object store — measured 4 GB of driver RSS on a
+    320 M-row sort before this bound.  Size it ~4× cluster cores on a
+    real cluster."""
 
     def scan(t: pa.Table) -> pa.Table:
         v = t[col].to_numpy(zero_copy_only=False)
@@ -165,7 +173,7 @@ def duplicate_values_sorted(ds: rd.Dataset, col: str) -> np.ndarray:
         bound = np.array([v[0], v[-1]], dtype=v.dtype)
         return pa.table({col: pa.array(np.concatenate([dup, bound]))})
 
-    out = (ds.select_columns([col]).sort(col)
+    out = (ds.select_columns([col]).repartition(sort_partitions).sort(col)
            .map_batches(scan, batch_format="pyarrow").to_pandas())
     return np.unique(out[col].to_numpy())
 
