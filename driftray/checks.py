@@ -339,6 +339,15 @@ class ReferentialCheck(BatchCheck):
     def __init__(self, spec: TableSpec, membership: dict[int, object]):
         self.foreign_keys = spec.foreign_keys
         self.membership = membership
+        # hashed exact sets precompile (once per actor) to a SORTED uint64
+        # array so batch probes are one vectorized np.isin, not a ~1 µs/row
+        # Python set loop
+        self._hash_arrays: dict[int, np.ndarray] = {}
+        for i, m in membership.items():
+            if (isinstance(m, (set, frozenset)) and m
+                    and isinstance(next(iter(m)), (int, np.integer))):
+                self._hash_arrays[i] = np.sort(
+                    np.array(list(m), dtype=np.uint64))
 
     def process(self, ctx: CheckContext) -> None:
         batch = ctx.batch
@@ -346,14 +355,15 @@ class ReferentialCheck(BatchCheck):
             member = self.membership.get(i)
             if member is None or not all(c in batch.column_names for c in fk.columns):
                 continue
-            if getattr(member, "hashed", False) or (
-                    isinstance(member, (set, frozenset)) and member
-                    and isinstance(next(iter(member)), (int, np.integer))):
+            hashed_arr = self._hash_arrays.get(i)
+            if getattr(member, "hashed", False) or hashed_arr is not None:
                 keys = hash_keys(batch, fk.columns)
             else:
                 keys = join_key(batch, fk.columns)
             if hasattr(member, "contains"):  # BloomFilter
                 present = member.contains(keys)
+            elif hashed_arr is not None:
+                present = np.isin(keys, hashed_arr)
             else:
                 kl = keys.tolist()
                 present = np.fromiter((k in member for k in kl), dtype=bool,

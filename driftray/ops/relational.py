@@ -97,16 +97,15 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
     if len(dup_h) == 0:
         return ds  # no duplicate hashes anywhere → input already distinct
 
-    dup_ref = ray.put(set(int(h) for h in dup_h))
+    dup_ref = ray.put(np.sort(dup_h.astype(np.int64)))
 
     class FetchCandidates:
         def __init__(self):
-            self.dup = ray.get(dup_ref)
+            self.dup = ray.get(dup_ref)  # sorted int64 array
 
         def __call__(self, t: pa.Table) -> pa.Table:
             kh = hash_keys(t, key_cols).astype(np.int64)
-            mask = pa.array(np.fromiter((int(h) in self.dup for h in kh),
-                                        dtype=bool, count=len(kh)))
+            mask = pa.array(np.isin(kh, self.dup))
             sub = t.filter(mask)
             return pa.table({"key": pa.array(join_key(sub, key_cols)),
                              "ord": sub[order_col]})
@@ -125,8 +124,7 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             t = pa.Table.from_pandas(batch, preserve_index=False)
             kh = hash_keys(t, key_cols).astype(np.int64)
-            in_dup = np.fromiter((int(h) in self.dup for h in kh),
-                                 dtype=bool, count=len(kh))
+            in_dup = np.isin(kh, self.dup)
             keep = ~in_dup
             if in_dup.any():
                 sub = batch[in_dup]

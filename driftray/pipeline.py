@@ -35,6 +35,27 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+try:
+    # Ray's path resolution re-attempts `from fsspec.implementations.http
+    # import HTTPFileSystem` on EVERY read; with aiohttp absent the import
+    # fails each time, and two driver threads (the concurrent uniqueness
+    # pass + the chunk pass) racing that failing import can observe a
+    # partially-initialized module → uncaught ImportError.  Install a
+    # sentinel module once: imports then succeed deterministically and the
+    # isinstance check is False for every real filesystem.
+    import fsspec.implementations.http  # noqa: F401
+except ModuleNotFoundError:  # pragma: no cover - aiohttp absent in sandbox
+    import sys as _sys
+    import types as _types
+
+    _m = _types.ModuleType("fsspec.implementations.http")
+
+    class _NoHTTPFileSystem:  # sentinel: local/S3 filesystems never match
+        pass
+
+    _m.HTTPFileSystem = _NoHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _m
+
 from . import sketches
 from .bloom import BloomFilter
 from .checks import ValidationKernel, join_key
@@ -266,16 +287,18 @@ def uniqueness_violations(ds: rd.Dataset | str, spec: TableSpec,
     if len(dup_h) == 0:
         return empty, 0, None
 
-    cand_ref = ray.put(set(int(h) for h in dup_h))
+    cand_ref = ray.put(np.sort(dup_h.astype(np.int64)))
 
     class FetchCandidates:
         def __init__(self):
-            self.cand = ray.get(cand_ref)
+            self.cand = ray.get(cand_ref)  # sorted int64 array
 
         def __call__(self, b: pa.Table) -> pa.Table:
             kh = hash_keys(b, key_cols).astype(np.int64)
-            mask = pa.array(np.fromiter((int(h) in self.cand for h in kh),
-                                        dtype=bool, count=len(kh)))
+            # vectorized membership probe (np.isin against the sorted
+            # candidate array) — a per-row Python set probe costs ~1 µs/row
+            # and dominates at 10^6+ rows
+            mask = pa.array(np.isin(kh, self.cand))
             sub = b.filter(mask)
             out = {"key": pa.array(join_key(sub, key_cols))}
             if order_col and order_col in sub.column_names:
@@ -648,10 +671,24 @@ def run_validation(
 
     # table-level uniqueness: GLOBAL across all windows, checkpointed under
     # out_dir/table/ with its own _DONE (a key may not repeat anywhere in
-    # the table, so this check cannot be chunked per window)
+    # the table, so this check cannot be chunked per window).  It runs
+    # CONCURRENTLY with the window chunk passes from a second driver
+    # thread — its pruned key-column read + sort interleaves with the
+    # kernel pass under the streaming executor instead of serializing.
+    from concurrent.futures import ThreadPoolExecutor
+
     tdir = os.path.join(out_dir, "table")
+    uniq_future = None
+    uniq_pool = None
+    uniq_t0 = time.perf_counter()
     if check_uniqueness and spec.unique_key and             not os.path.exists(os.path.join(tdir, "_DONE")):
-        dup, extra, winners = uniqueness_violations(input_path, spec)
+        uniq_pool = ThreadPoolExecutor(1)
+        uniq_future = uniq_pool.submit(uniqueness_violations, input_path, spec)
+
+    def finish_uniqueness() -> None:
+        if uniq_future is None:
+            return
+        dup, extra, winners = uniq_future.result()
         os.makedirs(tdir, exist_ok=True)
         pq.write_table(dup, os.path.join(tdir, "uniqueness_violations.parquet"))
         if winners is not None:
@@ -665,9 +702,12 @@ def run_validation(
                        "duplicate_keys": dup.num_rows}, f)
         with open(os.path.join(tdir, "_DONE"), "w") as f:
             f.write("ok\n")
+        uniq_pool.shutdown(wait=False)
+        # overlapped wall (submit → result); runs alongside the chunks
+        stage_s["uniqueness_overlapped"] = round(time.perf_counter() - uniq_t0, 3)
 
-    _mark("uniqueness", t0)
     if not pending:
+        finish_uniqueness()
         return []
 
     t0 = time.perf_counter()
@@ -705,6 +745,8 @@ def run_validation(
             write_window_result(out_dir, res)
             out.append(res)
 
+    finish_uniqueness()
+
     # threshold alerting over the fresh verdicts (T5, DESIGN.md:674-747);
     # history appends under out_dir/alerts/
     from .alerts import AlertManager
@@ -713,9 +755,13 @@ def run_validation(
         [r.verdict_row() for r in out])
 
     # run-level stage metrics (A8: per-stage wall time + rows/s) — appended
-    # per submission so resumed runs keep their history
+    # per submission so resumed runs keep their history ("uniqueness_
+    # overlapped" runs concurrently with the chunks, so it is excluded
+    # from the serial-stage residual)
     stage_s["validate_chunks"] = round(
-        time.perf_counter() - t_run0 - sum(stage_s.values()), 3)
+        time.perf_counter() - t_run0
+        - sum(v for k, v in stage_s.items() if k != "uniqueness_overlapped"),
+        3)
     run_lineage = {
         "windows_validated": [r.window_id for r in out],
         "rows": int(sum(r.n_rows for r in out)),
@@ -810,29 +856,29 @@ def materialize_silver(
     from .checks import join_key
     from .sketches import hash64
 
-    bad_hashes = set(int(h) for h in hash64(np.array(bad_refs, dtype=object))) \
-        if bad_refs else set()
+    bad_hashes = (np.sort(hash64(np.array(bad_refs, dtype=object)))
+                  if bad_refs else np.array([], dtype=np.uint64))
     ref = ray.put(bad_hashes)
     dup_ref = ray.put(dup_keys)
 
     class DropViolating:
         def __init__(self):
-            self.bad = ray.get(ref)
+            self.bad = ray.get(ref)  # sorted uint64 array
             self.dup = ray.get(dup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            import pandas as pd
+
             keep = np.ones(t.num_rows, dtype=bool)
-            if self.bad and key_cols:
+            if len(self.bad) and key_cols:
                 from .checks import row_refs
 
                 refs = row_refs(t, spec)
                 kh = hash64(refs)
-                keep &= np.fromiter((int(h) not in self.bad for h in kh),
-                                    dtype=bool, count=len(kh))
+                keep &= ~np.isin(kh, self.bad)
             if self.dup and key_cols:
                 keys = join_key(t, key_cols)
-                keep &= np.fromiter((k not in self.dup for k in keys),
-                                    dtype=bool, count=len(keys))
+                keep &= ~pd.Series(keys).isin(self.dup).to_numpy()
             if keep.all():
                 return t
             return t.filter(pa.array(keep))
@@ -850,9 +896,10 @@ def materialize_silver(
                 self.dup = ray.get(dup_ref)
 
             def __call__(self, t: pa.Table) -> pa.Table:
+                import pandas as pd
+
                 keys = join_key(t, key_cols)
-                mask = np.fromiter((k in self.dup for k in keys),
-                                   dtype=bool, count=len(keys))
+                mask = pd.Series(keys).isin(self.dup).to_numpy()
                 return t.filter(pa.array(mask))
 
         dup_rows = rd.read_parquet(input_path).map_batches(
@@ -865,14 +912,12 @@ def materialize_silver(
             winners_df = (dup_rows.sort_values(sort_cols, kind="mergesort")
                           .groupby("__key", sort=False).head(1)
                           .drop(columns="__key"))
-            if bad_hashes:
+            if len(bad_hashes):
                 from .checks import row_refs
 
                 wrefs = row_refs(pa.Table.from_pandas(winners_df,
                                                       preserve_index=False), spec)
-                ok = np.fromiter((int(h) not in bad_hashes
-                                  for h in hash64(wrefs)),
-                                 dtype=bool, count=len(wrefs))
+                ok = ~np.isin(hash64(wrefs), bad_hashes)
                 winners_df = winners_df[ok]
             if len(winners_df):
                 rd.from_pandas(winners_df).write_parquet(
