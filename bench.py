@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "q14_dedup_documents",      # exact dedup shuffle
     "q15_ann_topk",             # brute-force ANN
     "q17_lang_profiles",        # sketch-based profiles
+    "q27_order_line_detail",    # large-large hash-shuffle join
+    "q34_token_budget_mix",     # token-budget curation (prefix-sum)
     "nq_minhash_dedup",         # MinHash-LSH near-dup
     "nq_drift_events",          # KS/PSI/JS drift over events
 ]

@@ -572,6 +572,22 @@ def q33_clickers_never_purchased(sf_dir: str):
     return out
 
 
+# -- token-budget data mixing (curation) --------------------------------------
+
+def q34_token_budget_mix(sf_dir: str):
+    """Per-language token-budget selection (pretraining data mixing): keep
+    each lang's docs in doc_id order until 2000 whitespace tokens —
+    distributed two-tier prefix sum (see ops/curation.py)."""
+    from ..ops.curation import token_budget_select
+    from ..ops.text import TokenCounter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    toks = ds.map_batches(TokenCounter(), batch_format="pandas")
+    out = token_budget_select(toks, "lang", "n_tokens_ws", "doc_id",
+                              budget=2000)
+    return out.select_columns(["lang", "doc_id"])
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -724,6 +740,18 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id FROM events WHERE event_type = 'click'
         EXCEPT
         SELECT user_id FROM events WHERE event_type = 'purchase'""",
+    "q34_token_budget_mix": r"""
+        WITH toks AS (
+            SELECT lang, doc_id,
+                   CASE WHEN TRIM(COALESCE(text, '')) = '' THEN 0
+                        ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))
+                   END AS n_tok
+            FROM documents)
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+            FROM toks)
+        WHERE cum <= 2000""",
 }
 
 SQL_QUERIES = {
@@ -760,6 +788,7 @@ SQL_QUERIES = {
     "q31_hll_accuracy": q31_hll_accuracy,
     "q32_flags_in_both_years": q32_flags_in_both_years,
     "q33_clickers_never_purchased": q33_clickers_never_purchased,
+    "q34_token_budget_mix": q34_token_budget_mix,
 }
 
 
