@@ -107,6 +107,56 @@ def build_ivf_index(ds: rd.Dataset, n_clusters: int = 16, id_col: str = "vec_id"
     return centers, assigned
 
 
+def write_ivf_index(ds: rd.Dataset, index_dir: str, n_clusters: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    sample_rows: int = 10_000, seed: int = 42,
+                    batch_size: int = 8192) -> np.ndarray:
+    """Persist the IVF index as PARTITIONED Parquet: one hive directory per
+    cluster (``ivf_cluster=N/``) plus the centroid matrix as a
+    ``_centroids.npy`` sidecar (underscore-prefixed → ignored by dataset
+    discovery).  At scale a probe then reads ONLY the probed directories —
+    partition pruning, not a post-hoc filter."""
+    import os
+
+    centers, assigned = build_ivf_index(ds, n_clusters, id_col, vec_col,
+                                        sample_rows, seed, batch_size)
+    assigned.write_parquet(index_dir, partition_cols=["ivf_cluster"])
+    np.save(os.path.join(index_dir, "_centroids.npy"), centers)
+    return centers
+
+
+def ivf_query_index(index_dir: str, queries: np.ndarray, k: int = 10,
+                    nprobe: int = 4, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> pa.Table:
+    """Query a persisted IVF index: pick the ``nprobe`` nearest centroids
+    per query, then ``read_parquet`` with a partition-column filter so only
+    those cluster DIRECTORIES are scanned (~nprobe/n_clusters of the
+    corpus leaves storage)."""
+    import os
+
+    import pyarrow.compute as pc
+
+    centers = np.load(os.path.join(index_dir, "_centroids.npy"))
+    Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe = np.argsort(-(Q @ centers.T), axis=1)[:, :nprobe]
+    wanted = sorted(int(c) for c in np.unique(probe))
+    # PATH-level pruning: only the probed cluster directories' files are
+    # listed — un-probed partitions never produce read tasks at all
+    import glob as _glob
+
+    paths = [f for c in wanted
+             for f in sorted(_glob.glob(
+                 os.path.join(index_dir, f"ivf_cluster={c}", "*.parquet")))]
+    pruned = rd.read_parquet(paths)
+    res = brute_force_topk(pruned, Q, k=max(k * 4, k), id_col=id_col,
+                           vec_col=vec_col)
+    pdf = res.to_pandas()
+    out = (pdf.sort_values(["query_id", "score", id_col],
+                           ascending=[True, False, True], kind="stable")
+           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
              n_clusters: int = 16, nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42) -> pa.Table:

@@ -833,6 +833,28 @@ def nq_ivf_ann(sf_dir: str):
     return out
 
 
+def nq_ivf_index(sf_dir: str):
+    """Persisted partitioned IVF index: build once under /tmp (hive dir per
+    cluster), query with PATH-pruned reads of only the probed clusters."""
+    import shutil
+    import tempfile
+
+    from ..ops.ann import ivf_query_index, write_ivf_index
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = _t(sf_dir, "embeddings", ["vec_id", "embedding"],
+            filter=pc.field("vec_id") == 0).to_pandas()
+    idx = tempfile.mkdtemp(prefix="driftray_ivf_")
+    try:
+        write_ivf_index(emb, idx, n_clusters=16)
+        out = ivf_query_index(idx, np.stack(q0["embedding"].to_numpy()),
+                              k=10, nprobe=6).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    out["score"] = out["score"].round(4)
+    return out
+
+
 def nq_langid(sf_dir: str):
     from ..ops.text import LangId
 
@@ -1051,6 +1073,7 @@ NONSQL_QUERIES = {
     "nq_ngram_jaccard_dedup": nq_ngram_jaccard_dedup,
     "nq_embedding_dedup": nq_embedding_dedup,
     "nq_ivf_ann": nq_ivf_ann,
+    "nq_ivf_index": nq_ivf_index,
     "nq_langid": nq_langid,
     "nq_quality_scores": nq_quality_scores,
     "nq_fingerprints": nq_fingerprints,

@@ -179,6 +179,25 @@ class TestANN:
                        nprobe=2).to_pandas()
         assert {55, 321} <= set(out["vec_id"])
 
+    def test_persisted_ivf_index_partition_pruned(self, rds, tmp_path):
+        """write_ivf_index writes one hive dir per cluster; ivf_query_index
+        lists only the probed dirs and still recalls the planted pair."""
+        import glob
+
+        from driftray.ops.ann import ivf_query_index, write_ivf_index
+
+        rng = np.random.default_rng(15)
+        V = rng.normal(0, 1, (600, 16))
+        V[400] = V[20] * 1.02
+        df = pd.DataFrame({"vec_id": np.arange(600),
+                           "embedding": [v.astype(np.float32) for v in V]})
+        idx = str(tmp_path / "ivf")
+        write_ivf_index(rds.from_pandas(df), idx, n_clusters=8)
+        dirs = glob.glob(f"{idx}/ivf_cluster=*")
+        assert 1 < len(dirs) <= 8
+        out = ivf_query_index(idx, V[20], k=3, nprobe=3).to_pandas()
+        assert {20, 400} <= set(out["vec_id"])
+
 
 # ---------------------------------------------------------------------------
 # text
