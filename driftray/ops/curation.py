@@ -43,7 +43,13 @@ def token_budget_select(ds: rd.Dataset, group_col: str, token_col: str,
     ``n_buckets`` if a single bucket could be large."""
     from ray.data.aggregate import Max, Min, Sum
 
-    rng = ds.select_columns([order_col]).aggregate(
+    # the planning passes (range, bucket sums, cutoff fetch) touch only
+    # these three columns — materialize the pruned projection ONCE so a
+    # lazy upstream (e.g. a tokenizer stage) is not re-executed per pass
+    meta = ds.select_columns(
+        list(dict.fromkeys([group_col, order_col, token_col]))).materialize()
+
+    rng = meta.select_columns([order_col]).aggregate(
         Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi"))
     lo, hi = int(rng["lo"]), int(rng["hi"])
     width = max(1, (hi - lo + n_buckets) // n_buckets)
@@ -54,8 +60,7 @@ def token_budget_select(ds: rd.Dataset, group_col: str, token_col: str,
         return pa.table({group_col: t[group_col], "__b": b,
                          token_col: t[token_col]})
 
-    per_bucket = (ds.select_columns([group_col, order_col, token_col])
-                  .map_batches(add_bucket, batch_format="pyarrow")
+    per_bucket = (meta.map_batches(add_bucket, batch_format="pyarrow")
                   .groupby([group_col, "__b"])
                   .aggregate(Sum(token_col, alias_name="tok")).to_pandas())
 
@@ -92,9 +97,8 @@ def token_budget_select(ds: rd.Dataset, group_col: str, token_col: str,
                 want = (b == gs.map(self.cut)).fillna(False)
                 return t.filter(pa.array(want.to_numpy(dtype=bool)))
 
-        cand = (ds.select_columns([group_col, order_col, token_col])
-                .map_batches(FetchCutoff, batch_format="pyarrow",
-                             concurrency=(1, 4)).to_pandas())
+        cand = (meta.map_batches(FetchCutoff, batch_format="pyarrow",
+                                 concurrency=(1, 4)).to_pandas())
         for g, grp in cand.groupby(group_col):
             grp = grp.sort_values(order_col)
             keep = grp[token_col].cumsum() <= cutoff[g][1]
