@@ -111,7 +111,12 @@ def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     typ = col.type
     nulls = np.asarray(pc.is_null(col).to_numpy(zero_copy_only=False), dtype=bool)
     has_nulls = bool(nulls.any())
-    if pa.types.is_integer(typ) or pa.types.is_temporal(typ):
+    if pa.types.is_unsigned_integer(typ):
+        # uint64 ids routinely use the high bit — an int64 cast would raise
+        vals = pc.fill_null(pc.cast(col, pa.uint64()), 0)
+        h = hash64(np.asarray(vals.to_numpy(zero_copy_only=False),
+                              dtype=np.uint64))
+    elif pa.types.is_integer(typ) or pa.types.is_temporal(typ):
         vals = pc.fill_null(pc.cast(col, pa.int64()), 0)
         h = hash64(np.asarray(vals.to_numpy(zero_copy_only=False), dtype=np.int64))
     elif pa.types.is_floating(typ):

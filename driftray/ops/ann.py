@@ -147,9 +147,13 @@ def ivf_query_index(index_dir: str, queries: np.ndarray, k: int = 10,
     paths = [f for c in wanted
              for f in sorted(_glob.glob(
                  os.path.join(index_dir, f"ivf_cluster={c}", "*.parquet")))]
+    if not paths:
+        # every probed centroid ended up empty (degenerate k-means sample)
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     pruned = rd.read_parquet(paths)
-    res = brute_force_topk(pruned, Q, k=max(k * 4, k), id_col=id_col,
-                           vec_col=vec_col)
+    res = brute_force_topk(pruned, Q, k=k * 4, id_col=id_col, vec_col=vec_col)
     pdf = res.to_pandas()
     out = (pdf.sort_values(["query_id", "score", id_col],
                            ascending=[True, False, True], kind="stable")

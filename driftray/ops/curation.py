@@ -51,6 +51,8 @@ def token_budget_select(ds: rd.Dataset, group_col: str, token_col: str,
 
     rng = meta.select_columns([order_col]).aggregate(
         Min(order_col, alias_name="lo"), Max(order_col, alias_name="hi"))
+    if rng is None or rng.get("lo") is None:
+        return ds  # empty input → nothing to budget
     lo, hi = int(rng["lo"]), int(rng["hi"])
     width = max(1, (hi - lo + n_buckets) // n_buckets)
 

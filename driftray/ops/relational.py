@@ -117,39 +117,43 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
     win_ref = ray.put(winners)
 
     class KeepWinners:
+        """pyarrow batches throughout — a pandas roundtrip would promote an
+        int64 key column with any null to float64, silently changing every
+        hash in the batch and keeping its duplicates."""
+
         def __init__(self):
             self.dup = ray.get(dup_ref)
             self.win = ray.get(win_ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            t = pa.Table.from_pandas(batch, preserve_index=False)
+        def __call__(self, t: pa.Table) -> pa.Table:
             kh = hash_keys(t, key_cols).astype(np.int64)
             in_dup = np.isin(kh, self.dup)
             keep = ~in_dup
             if in_dup.any():
-                sub = batch[in_dup]
-                keys = join_key(pa.Table.from_pandas(sub, preserve_index=False),
-                                key_cols)
+                sub = t.filter(pa.array(in_dup))
+                keys = join_key(sub, key_cols)
+                ords = sub[order_col].to_pylist()
                 wins = np.fromiter(
-                    (self.win.get(k) == o
-                     for k, o in zip(keys, sub[order_col].to_numpy())),
-                    dtype=bool, count=len(sub))
+                    (self.win.get(k) == o for k, o in zip(keys, ords)),
+                    dtype=bool, count=sub.num_rows)
                 keep[np.flatnonzero(in_dup)] = wins
-            return batch[keep]
+            return t.filter(pa.array(keep))
 
-    return ds.map_batches(KeepWinners, batch_format="pandas",
+    return ds.map_batches(KeepWinners, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=(1, 4))
 
 
 def duplicate_values_sorted(ds: rd.Dataset, col: str,
                             sort_partitions: int = 64) -> np.ndarray:
-    """Exact-SUPERSET duplicate detection over a mostly-unique key column:
+    """EXACT duplicate detection over a mostly-unique key column:
     distributed range ``sort(col)`` + vectorized adjacent-equal scan per
-    batch.  Each batch's first/last values are conservatively included
-    (a run can span a batch boundary), so the result is
-    true-duplicates ∪ ≤2·n_batches boundary values — callers exact-verify
-    candidates downstream, so the over-approximation only costs a few
-    extra probes.
+    batch.  A duplicate run spanning a batch boundary appears as one
+    batch's LAST value and the next batch's FIRST value, so each batch
+    also emits its boundary values; the driver keeps a boundary value only
+    when it occurs ≥2 times across the combined boundary multiset (a
+    single-row batch emits its one value once, not twice).  The result is
+    exactly the set of duplicated values, so an all-unique table returns
+    empty and callers keep their early-out.
 
     This replaces ``groupby(col).count()`` for duplicate detection: Ray's
     aggregate pays per-GROUP overhead, which melts when nearly every key
@@ -165,15 +169,25 @@ def duplicate_values_sorted(ds: rd.Dataset, col: str,
 
     def scan(t: pa.Table) -> pa.Table:
         v = t[col].to_numpy(zero_copy_only=False)
+        typ = t.schema.field(col).type
         if len(v) == 0:
-            return pa.table({col: pa.array([], t.schema.field(col).type)})
+            return pa.table({col: pa.array([], typ),
+                             "d": pa.array([], pa.int8())})
         dup = np.unique(v[1:][v[1:] == v[:-1]])
-        bound = np.array([v[0], v[-1]], dtype=v.dtype)
-        return pa.table({col: pa.array(np.concatenate([dup, bound]))})
+        bound = (np.array([v[0], v[-1]], dtype=v.dtype) if len(v) > 1
+                 else np.array([v[0]], dtype=v.dtype))
+        return pa.table({
+            col: pa.array(np.concatenate([dup, bound]), typ),
+            "d": pa.array(np.concatenate([np.ones(len(dup), dtype=np.int8),
+                                          np.zeros(len(bound), dtype=np.int8)])),
+        })
 
     out = (ds.select_columns([col]).repartition(sort_partitions).sort(col)
            .map_batches(scan, batch_format="pyarrow").to_pandas())
-    return np.unique(out[col].to_numpy())
+    dups = out.loc[out["d"] == 1, col].to_numpy()
+    bnd = out.loc[out["d"] == 0, col].to_numpy()
+    uniq, counts = np.unique(bnd, return_counts=True)
+    return np.unique(np.concatenate([dups, uniq[counts >= 2]]))
 
 
 def _setop(left: rd.Dataset, right: rd.Dataset, cols: list[str],

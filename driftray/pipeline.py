@@ -685,15 +685,20 @@ def run_validation(
         uniq_pool = ThreadPoolExecutor(1)
         uniq_future = uniq_pool.submit(uniqueness_violations, input_path, spec)
 
+    uniq_done = [False]
+
     def finish_uniqueness() -> None:
-        if uniq_future is None:
+        if uniq_future is None or uniq_done[0]:
             return
+        uniq_done[0] = True
         dup, extra, winners = uniq_future.result()
         os.makedirs(tdir, exist_ok=True)
         pq.write_table(dup, os.path.join(tdir, "uniqueness_violations.parquet"))
         if winners is not None:
-            # (key, win_order) for duplicated keys only — lets the silver
-            # layer KEEP the documented first-by-order winner
+            # lineage artifact: first-by-order winner per duplicated key.
+            # (materialize_silver re-resolves winners from the raw rows —
+            # it additionally tie-breaks on the full row when the order
+            # value is part of the key and ties.)
             pq.write_table(winners, os.path.join(tdir, "uniqueness_winners.parquet"))
         with open(os.path.join(tdir, "lineage.json"), "w") as f:
             json.dump({"check": "uniqueness",
@@ -718,32 +723,42 @@ def run_validation(
                 if baseline_path and os.path.exists(baseline_path) else None)
 
     # chunked passes: a killed run loses at most windows_per_pass windows
-    # of work — everything behind a _DONE marker is skipped on resume
+    # of work — everything behind a _DONE marker is skipped on resume.
+    # If a chunk raises, the concurrent uniqueness result is still
+    # checkpointed best-effort so the resumed run does not repay the most
+    # expensive table-global check.
     out = []
-    for lo in range(0, len(pending), windows_per_pass):
-        chunk = pending[lo: lo + windows_per_pass]
-        wfilter = pc.field(window_column).isin(chunk)
-        # read_concurrency caps concurrent parquet-decode tasks: decode is
-        # memory-bandwidth-bound, and beyond ~a dozen concurrent decoders
-        # per memory domain added workers CONTEND rather than scale (see
-        # BASELINE.md §scaling); the kernel stage is uncapped
-        ds = rd.read_parquet(input_path, filter=wfilter,
-                             concurrency=read_concurrency)
-        results = validate_dataset(ds, spec, window_column=window_column,
-                                   membership=membership, baseline=baseline,
-                                   hist_edges=hist_edges,
-                                   check_uniqueness=False,
-                                   batch_size=batch_size)
-        for w in chunk:
-            res = results.get(w)
-            if res is None:
-                res = WindowResult(w, 0, {}, pa.table(
-                    {"check": pa.array([], pa.string()),
-                     "column": pa.array([], pa.string()),
-                     "row_ref": pa.array([], pa.string()),
-                     "detail": pa.array([], pa.string())}), {}, None)
-            write_window_result(out_dir, res)
-            out.append(res)
+    try:
+        for lo in range(0, len(pending), windows_per_pass):
+            chunk = pending[lo: lo + windows_per_pass]
+            wfilter = pc.field(window_column).isin(chunk)
+            # read_concurrency caps concurrent parquet-decode tasks: decode
+            # is memory-bandwidth-bound, and beyond ~a dozen concurrent
+            # decoders per memory domain added workers CONTEND rather than
+            # scale (see BASELINE.md §scaling); the kernel stage is uncapped
+            ds = rd.read_parquet(input_path, filter=wfilter,
+                                 concurrency=read_concurrency)
+            results = validate_dataset(ds, spec, window_column=window_column,
+                                       membership=membership, baseline=baseline,
+                                       hist_edges=hist_edges,
+                                       check_uniqueness=False,
+                                       batch_size=batch_size)
+            for w in chunk:
+                res = results.get(w)
+                if res is None:
+                    res = WindowResult(w, 0, {}, pa.table(
+                        {"check": pa.array([], pa.string()),
+                         "column": pa.array([], pa.string()),
+                         "row_ref": pa.array([], pa.string()),
+                         "detail": pa.array([], pa.string())}), {}, None)
+                write_window_result(out_dir, res)
+                out.append(res)
+    except BaseException:
+        try:
+            finish_uniqueness()
+        except Exception:
+            pass  # surface the chunk failure, not the cleanup's
+        raise
 
     finish_uniqueness()
 
@@ -827,15 +842,18 @@ def materialize_silver(
             expected_violations += sum(
                 int(v) for k, v in counters.items()
                 if not k.startswith("rows") and not k.startswith("uniqueness"))
+    # missing-column first: it records n_rows in its counter but only one
+    # '*' violation row per batch, which would otherwise masquerade as a
+    # (mis-diagnosed, unfixable-by-raising-the-cap) truncated sample
+    if "*" in set(bad_refs):
+        raise ValueError("a required column is missing entirely; silver layer "
+                         "cannot be materialized for this input")
     if expected_violations > len(bad_refs):
         raise ValueError(
             f"violation sample truncated: counters record {expected_violations} "
             f"violations but only {len(bad_refs)} violation rows were emitted "
             "(max_violations_per_batch cap bound) — rerun validation with a "
             "higher cap before materializing silver")
-    if "*" in set(bad_refs):
-        raise ValueError("a required column is missing entirely; silver layer "
-                         "cannot be materialized for this input")
 
     key_cols = list(spec.unique_key or ())
     order_col = spec.order_column

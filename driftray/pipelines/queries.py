@@ -1048,10 +1048,12 @@ def nq_curation_pipeline(sf_dir: str):
     scored = ds.map_batches(QualityScorer(), batch_format="pandas")
     kept = scored.map_batches(lambda b: b[b["quality"] >= 0.5],
                               batch_format="pandas")
-    clusters = minhash_lsh_dedup(kept, jaccard_threshold=0.8).to_pandas()
-    # broadcast the DUPLICATE ids (∝ dup density) — never the corpus-sized
-    # representative set
-    dups = set(clusters.loc[clusters["is_duplicate"], "doc_id"])
+    labels = minhash_lsh_dedup(kept, jaccard_threshold=0.8)
+    # collect ONLY the duplicate ids (∝ dup density): the corpus-sized
+    # label table is filtered on-cluster, never materialized on the driver
+    dup_df = labels.map_batches(lambda b: b[b["is_duplicate"]][["doc_id"]],
+                                batch_format="pandas").to_pandas()
+    dups = set(dup_df["doc_id"])
     import ray as _ray
 
     ref = _ray.put(dups)
