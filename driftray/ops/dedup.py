@@ -25,7 +25,9 @@ Scale shape (the 100 TB contract): the driver only ever holds
  * the candidate PAIRS and their verdicts,
  * the cluster-assignment map for docs in non-singleton clusters.
 All of these are proportional to the near-duplicate density, not to the
-corpus.  Signatures, band rows and vectors live in the object store; the
+corpus.  If even the pair set were too large for the driver (an extreme
+dup-heavy crawl), ``connected_components`` is the fully-distributed
+fallback: iterative min-label propagation over a pair Dataset.  Signatures, band rows and vectors live in the object store; the
 only all-to-all exchanges are the bucket-key sort (8 B/row) and, for
 the n-gram/embedding paths, the candidate-only join/groupby.  The output
 is a lazy ``Dataset`` (id, cluster_id, is_duplicate[, cluster_size]) —
@@ -37,6 +39,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -224,6 +227,90 @@ def _pairs_from_bucket_rows(bh: np.ndarray, ids: np.ndarray,
                 for j in range(i + 1, len(members)):
                     pairs.add((members[i], members[j]))
     return pairs
+
+
+def connected_components(edges: rd.Dataset, src: str = "src",
+                         dst: str = "dst", max_iters: int = 30) -> rd.Dataset:
+    """Distributed connected components by iterative MIN-LABEL PROPAGATION
+    over an EDGE Dataset — the documented fallback for when a candidate
+    pair set outgrows the driver union-find (`_union_find_clusters`).
+
+    Each round: every edge forwards each endpoint's current label to the
+    other endpoint, then ``groupby(node).min(label)`` adopts the smallest
+    label seen.  Converges in O(diameter) rounds (near-dup clusters are
+    shallow); stops early when a round changes nothing.  All state lives
+    in Datasets — the driver only sees the per-round changed-count.
+
+    Returns a Dataset (node, label); label = min node id of the component."""
+    from ray.data.aggregate import Min, Sum
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[src].to_numpy(zero_copy_only=False), dtype=np.int64)
+        b = np.asarray(t[dst].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table({"node": pa.array(np.concatenate([a, b]))})
+
+    edges = edges.select_columns([src, dst]).map_batches(
+        lambda t: pa.table({src: pc.cast(t[src], pa.int64()),
+                            dst: pc.cast(t[dst], pa.int64())}),
+        batch_format="pyarrow").materialize()
+    labels = (edges.map_batches(to_nodes, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("node", alias_name="label"))
+              .materialize())
+
+    for _ in range(max_iters):
+        # join labels onto both edge ends via union + groupby (the robust
+        # Aggregate shuffle — Dataset.join chokes on sparse partitions):
+        # rows (key=node, partner=-1, label) carry labels; rows
+        # (key=endpoint, partner=other, label=null) carry edges; per key
+        # the min label is forwarded to every partner.
+        lab_rows = labels.map_batches(
+            lambda t: pa.table({"key": t["node"],
+                                "partner": pa.nulls(t.num_rows, pa.int64()),
+                                "lab": t["label"]}),
+            batch_format="pyarrow")
+        def edge_rows_fn(t: pa.Table) -> pa.Table:
+            a = np.asarray(t[src].to_numpy(zero_copy_only=False), dtype=np.int64)
+            b = np.asarray(t[dst].to_numpy(zero_copy_only=False), dtype=np.int64)
+            return pa.table({"key": pa.array(np.concatenate([a, b])),
+                             "partner": pa.array(np.concatenate([b, a])),
+                             "lab": pa.nulls(2 * t.num_rows, pa.int64())})
+
+        edge_rows = edges.map_batches(edge_rows_fn, batch_format="pyarrow")
+
+        def forward(g: pd.DataFrame) -> pd.DataFrame:
+            lab = int(g["lab"].min())  # exactly one label row per key
+            partners = g["partner"].dropna()
+            out_node = np.concatenate([[int(g["key"].iloc[0])],
+                                       partners.to_numpy(dtype=np.int64)])
+            return pd.DataFrame({"node": out_node,
+                                 "cand": np.full(len(out_node), lab,
+                                                 dtype=np.int64)})
+
+        msgs = (lab_rows.union(edge_rows).groupby("key")
+                .map_groups(forward, batch_format="pandas"))
+        new_labels = (msgs.groupby("node")
+                      .aggregate(Min("cand", alias_name="label")).materialize())
+
+        # changed-count: compare via the same union+groupby trick
+        old_rows = labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "old": t["label"],
+                                "new": pa.nulls(t.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+        new_rows = new_labels.map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "old": pa.nulls(t.num_rows, pa.int64()),
+                                "new": t["label"]}),
+            batch_format="pyarrow")
+        diff = (old_rows.union(new_rows).groupby("node")
+                .aggregate(Min("old", alias_name="o"), Min("new", alias_name="n"))
+                .map_batches(lambda t: pa.table({"c": pa.array(
+                    [int(pc.sum(pc.cast(pc.not_equal(t["o"], t["n"]),
+                                        pa.int64())).as_py() or 0)])}),
+                             batch_format="pyarrow").to_pandas())
+        labels = new_labels
+        if int(diff["c"].sum()) == 0:
+            break
+    return labels
 
 
 def _union_find_clusters(pairs) -> tuple[dict, dict]:

@@ -131,6 +131,23 @@ class TestDedup:
         assert c[41] == c[0]
         assert not out[(out["doc_id"] >= 2) & (out["doc_id"] < 40)]["is_duplicate"].any()
 
+    def test_connected_components_matches_union_find(self, rds):
+        """The distributed min-label-propagation fallback must agree with
+        the driver union-find on a random graph."""
+        from driftray.ops.dedup import (_union_find_clusters,
+                                        connected_components)
+
+        rng = np.random.default_rng(17)
+        edges = pd.DataFrame({"src": rng.integers(0, 60, 80),
+                              "dst": rng.integers(0, 60, 80)})
+        edges = edges[edges["src"] != edges["dst"]]
+        got = dict(zip(*[connected_components(rds.from_pandas(edges))
+                         .to_pandas()[c] for c in ("node", "label")]))
+        clusters, _ = _union_find_clusters(
+            set(zip(edges["src"], edges["dst"])))
+        for node, root in clusters.items():
+            assert got[node] == root
+
     def test_embedding_cosine(self, rds):
         from driftray.ops.dedup import embedding_cosine_dedup
 
