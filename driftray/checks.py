@@ -117,6 +117,11 @@ def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
         h = hash64(np.asarray(vals.to_numpy(zero_copy_only=False),
                               dtype=np.uint64))
     elif pa.types.is_integer(typ) or pa.types.is_temporal(typ):
+        # Arrow has no direct date32/time32 → int64 cast: route 32-bit
+        # temporal storage through int32 first (days/seconds since epoch),
+        # then widen — value-identical, and avoids ArrowNotImplementedError
+        if pa.types.is_temporal(typ) and typ.bit_width == 32:
+            col = pc.cast(col, pa.int32())
         vals = pc.fill_null(pc.cast(col, pa.int64()), 0)
         h = hash64(np.asarray(vals.to_numpy(zero_copy_only=False), dtype=np.int64))
     elif pa.types.is_floating(typ):

@@ -1,0 +1,124 @@
+"""Vectorized multi-group execution — the antidote to per-key ``map_groups``.
+
+Ray's ``groupby(key).map_groups(fn)`` invokes one Python callback per KEY;
+with high-cardinality keys (users, nodes, documents) the per-group overhead
+melts wall-time (measured 61 s for 640 k groups vs 0.8 s for a sorted scan,
+ROUND_NOTES r1).  The pattern here instead:
+
+1. hash-PARTITION by key — ``__part = hash(key) % P`` with small P
+   (default 64, size ~2-4× cluster cores at scale);
+2. ``groupby(__part).map_groups`` — ONE callback per partition, so the
+   per-group overhead is O(P), not O(#keys);
+3. inside the callback, process ALL of the partition's keys in a single
+   vectorized pass (pandas groupby C kernels / run-boundary numpy), never
+   a Python loop per key.
+
+Partitioning contract (document at every call site): one PARTITION —
+i.e. the combined rows of ~#keys/P keys — must fit in a worker's heap.
+Raise ``num_partitions`` as data grows; hash partitioning keeps them
+balanced unless one single key dominates (salt that key upstream).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..checks import hash_keys
+
+PART_COL = "__part"
+
+
+def with_partition_column(ds: rd.Dataset, key_cols: list[str],
+                          num_partitions: int = 64) -> rd.Dataset:
+    """Append ``__part = hash(key_cols) % num_partitions`` (null-stable
+    64-bit key hash from ``checks.hash_keys`` — 8 bytes/row of added
+    shuffle weight, never the raw key)."""
+
+    def add(t: pa.Table) -> pa.Table:
+        part = (hash_keys(t, key_cols) % np.uint64(num_partitions)).astype(np.int64)
+        return t.append_column(PART_COL, pa.array(part))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def partitioned_group_apply(ds: rd.Dataset, key_cols: list[str],
+                            fn: Callable[[pd.DataFrame], pd.DataFrame],
+                            num_partitions: int = 64,
+                            batch_format: str = "pandas") -> rd.Dataset:
+    """Apply ``fn`` once per hash PARTITION of the keys (not per key).
+
+    ``fn`` receives every row of its partition (the ``__part`` helper
+    column already dropped) and must handle ALL keys present — vectorized
+    (``df.groupby(...)`` C kernels, run-boundary numpy), never a Python
+    loop over keys.  Because partitions are disjoint by key hash, any
+    per-key computation inside a partition is globally correct.
+    """
+    parted = with_partition_column(ds, key_cols, num_partitions)
+
+    if batch_format == "pandas":
+        def wrapper(g: pd.DataFrame) -> pd.DataFrame:
+            return fn(g.drop(columns=[PART_COL]))
+    else:
+        def wrapper(g: pa.Table) -> pa.Table:
+            return fn(g.drop_columns([PART_COL]))
+
+    return parted.groupby(PART_COL).map_groups(wrapper,
+                                               batch_format=batch_format)
+
+
+def grouped_quantile(ds: rd.Dataset, key_cols: list[str], value_col: str,
+                     q: float = 0.5, out_col: str | None = None,
+                     num_partitions: int = 64) -> rd.Dataset:
+    """Exact per-group quantile via one pandas C-kernel pass per hash
+    partition (all groups of a partition in one ``df.groupby().quantile()``).
+
+    Partitioning assumption: one partition's rows fit in a worker.  For
+    quantiles over truly giant single groups use the t-digest sketch path
+    (``sketches.TDigest`` + merge) and accept its tolerance instead."""
+    out_col = out_col or f"q{int(q * 100)}_{value_col}"
+
+    def part_quantile(g: pd.DataFrame) -> pd.DataFrame:
+        res = (g.groupby(key_cols, sort=False, observed=True)[value_col]
+               .quantile(q).reset_index())
+        return res.rename(columns={value_col: out_col})
+
+    return partitioned_group_apply(
+        ds.select_columns(key_cols + [value_col]), key_cols, part_quantile,
+        num_partitions=num_partitions)
+
+
+def grouped_top_k(ds: rd.Dataset, key_cols: list[str], order_col: str,
+                  k: int, descending: bool = True,
+                  columns: list[str] | None = None) -> pd.DataFrame:
+    """Per-group top-k WITHOUT materializing any group in one worker:
+    every batch reduces to ≤ k rows per key it contains (pandas C sort +
+    ``groupby.head``), then the surviving ≤ blocks×keys×k rows merge
+    exactly on the driver.  The hot-group straggler of
+    ``groupby(key).map_groups(head_k)`` disappears — no worker ever holds
+    more than batch_size rows.
+
+    Returns a small pandas DataFrame (rows ≤ #keys × k)."""
+    cols = columns or [c for c in ds.schema().names]
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b[cols]
+        return (b.sort_values(order_col, ascending=not descending,
+                              kind="mergesort")
+                .groupby(key_cols, sort=False, observed=True)
+                .head(k)[cols])
+
+    partial = ds.select_columns(cols).map_batches(
+        local, batch_format="pandas").to_pandas()
+    if len(partial) == 0:
+        return partial
+    return (partial.sort_values(order_col, ascending=not descending,
+                                kind="mergesort")
+            .groupby(key_cols, sort=False, observed=True)
+            .head(k).reset_index(drop=True))

@@ -264,13 +264,17 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     DuckDB ``ASOF JOIN ... ON l.ts > r.ts`` semantics) or ``<=``
     (``strict=False``).  Unmatched left rows get nulls (LEFT semantics).
 
-    Ray-Data-first shape: both sides are tagged and UNIONED, then ONE
-    ``groupby(on).map_groups`` co-locates each key's rows; within a group
-    the match is a vectorized ``np.searchsorted`` over the sorted right
-    timestamps.  Nothing broadcasts and nothing gathers on the driver —
-    the partitioning assumption is only that a single KEY's rows fit in a
-    worker (keys = users/instruments; salt a pathological hot key
-    upstream if that ever binds)."""
+    Ray-Data-first shape: both sides are tagged and UNIONED, then hash-
+    partitioned by key (``ops.grouped.partitioned_group_apply`` — O(P)
+    Python callbacks, NOT one per key); within a partition ONE
+    ``pd.merge_asof(..., by=on)`` C kernel matches ALL keys at once
+    against an int64 right-row INDEX, and the right value columns are
+    gathered Arrow-native (``take`` + ``if_else``) so unmatched rows get
+    typed nulls with no int64→float64 round-trip.  Nothing broadcasts and
+    nothing gathers on the driver — the partitioning assumption is that
+    one PARTITION (≈ #keys/P keys' rows) fits in a worker; raise
+    ``num_partitions`` as data grows, salt a pathological hot key
+    upstream."""
     rv_names = [f"{c}{suffix}" for c in right_values]
 
     left_schema = left.schema()
@@ -302,40 +306,51 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
         pad_right, batch_format="pyarrow")
     unioned = lt.union(rt)
 
-    def per_key(g: pa.Table) -> pa.Table:
+    def per_partition(g: pa.Table) -> pa.Table:
         side = np.asarray(g["__side"].to_numpy(zero_copy_only=False))
         lrows = g.filter(pa.array(side == 0))
         rrows = g.filter(pa.array(side == 1))
         out_cols = {c: lrows[c] for c in left_cols}
-        if lrows.num_rows == 0:
-            return pa.table(out_cols | {
-                name: lrows[name] for name in rv_names})
-        if rrows.num_rows == 0:
+        if lrows.num_rows == 0 or rrows.num_rows == 0:
             for name in rv_names:
-                out_cols[name] = lrows[name]  # already all-null
+                out_cols[name] = lrows[name]  # padded all-null
             return pa.table(out_cols)
-        rts = np.asarray(pc.cast(rrows["__rts"], pa.int64()).to_numpy(
-            zero_copy_only=False))
-        order = np.argsort(rts, kind="mergesort")
-        rts = rts[order]
+        # one C-kernel merge_asof over ALL keys of the partition: match a
+        # right-row POSITION (int64, exact in float64 at any realistic
+        # partition size), then gather values Arrow-native
         lts = np.asarray(pc.cast(pc.cast(lrows[left_ts], pa.timestamp("us")),
                                  pa.int64()).to_numpy(zero_copy_only=False))
-        idx = np.searchsorted(rts, lts, side="left" if strict else "right") - 1
-        matched = idx >= 0
-        take_idx = order[np.clip(idx, 0, None)]
+        rts = np.asarray(pc.cast(rrows["__rts"], pa.int64()).to_numpy(
+            zero_copy_only=False))
+        ldf = lrows.select(on).to_pandas()
+        ldf["__ts_i"] = lts
+        ldf["__lpos"] = np.arange(len(ldf), dtype=np.int64)
+        rdf = rrows.select(on).to_pandas()
+        rdf["__ts_i"] = rts
+        rdf["__rpos"] = np.arange(len(rdf), dtype=np.int64)
+        ldf = ldf.sort_values("__ts_i", kind="mergesort")
+        rdf = rdf.sort_values("__ts_i", kind="mergesort")
+        merged = pd.merge_asof(ldf, rdf, on="__ts_i", by=list(on),
+                               direction="backward",
+                               allow_exact_matches=not strict)
+        idx = merged["__rpos"].fillna(-1).to_numpy(dtype=np.int64)
+        matched = pa.array(idx >= 0)
+        lpos = pa.array(merged["__lpos"].to_numpy(dtype=np.int64))
+        out_cols = {c: lrows[c].take(lpos) for c in left_cols}
+        take_idx = pa.array(np.clip(idx, 0, None))
         for c, name in zip(right_values, rv_names):
-            vals = rrows[name].take(pa.array(take_idx))
-            if matched.all():
-                out_cols[name] = vals
-            else:
-                arr = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
-                np_mask = ~matched
-                out_cols[name] = pa.array(
-                    arr.to_pandas().where(~pd.Series(np_mask), None),
-                    type=rtype[c], from_pandas=True)
+            vals = rrows[name].take(take_idx)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            out_cols[name] = pc.if_else(matched, vals,
+                                        pa.nulls(len(idx), rtype[c]))
         return pa.table(out_cols)
 
-    return unioned.groupby(on).map_groups(per_key, batch_format="pyarrow")
+    from .grouped import partitioned_group_apply
+
+    return partitioned_group_apply(
+        unioned, list(on), per_partition,
+        num_partitions=num_partitions or 64, batch_format="pyarrow")
 
 
 def top_k(ds: rd.Dataset, key: str, k: int, descending: bool = True,

@@ -304,14 +304,16 @@ def q17_lang_profiles(sf_dir: str):
 # -- exact grouped quantiles (A4 median) --------------------------------------
 
 def q18_lang_medians(sf_dir: str):
+    """Exact per-lang median via the vectorized multi-group kernel: one
+    pandas C-kernel ``groupby().quantile()`` per hash PARTITION (O(P)
+    Python callbacks, not O(#langs)) — see ``ops.grouped`` for the
+    partitioning contract.  For giant single groups the t-digest sketch
+    path (``sketches``) is the tolerance alternative."""
+    from ..ops.grouped import grouped_quantile
+
     ds = _t(sf_dir, "documents", ["lang", "n_chars"])
-
-    def med(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
-                             "median_chars": [float(np.quantile(
-                                 g["n_chars"].to_numpy(), 0.5))]})
-
-    return ds.groupby("lang").map_groups(med, batch_format="pandas")
+    return grouped_quantile(ds, ["lang"], "n_chars", q=0.5,
+                            out_col="median_chars", num_partitions=16)
 
 
 # -- exact distinct count per group (A7) --------------------------------------
@@ -343,12 +345,13 @@ def q21_per_source_latest(sf_dir: str):
     """Per-source limit-20 newest-first, the news.py scan shape
     (news.py:26,105 limit; news.py:583-592 sort)."""
     ds = _t(sf_dir, "documents", ["doc_id", "source"])
+    # partial per-batch top-20 per source + tiny exact merge — no worker
+    # ever materializes a whole source (the hot-source straggler of
+    # groupby(source).map_groups(head20) is gone)
+    from ..ops.grouped import grouped_top_k
 
-    def head20(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values("doc_id", ascending=False).head(20)
-                [["source", "doc_id"]])
-
-    return ds.groupby("source").map_groups(head20, batch_format="pandas")
+    return grouped_top_k(ds, ["source"], "doc_id", k=20, descending=True,
+                         columns=["source", "doc_id"])
 
 
 # -- timestamp formatting (M6 scalar fns) ------------------------------------
