@@ -325,7 +325,7 @@ def connected_components(edges: rd.Dataset, src: str = "src",
         from ray.data.aggregate import Sum
 
         row = lab_ds.aggregate(Sum("label", alias_name="s"))
-        return int(row["s"] or 0)
+        return int(row["s"] or 0) if row else 0
 
     prev_sum = label_sum(labels)
     converged = False
@@ -423,12 +423,172 @@ def _cluster_output(ids_ds: rd.Dataset, id_col: str, clusters: dict,
         Label, batch_format="pandas", concurrency=(1, 4))
 
 
+def _pairs_partition_fn(id_col: str, max_bucket: int):
+    """Per-PARTITION candidate-pair generation for the spill path: buckets
+    are whole within a partition (hash-partitioned on ``bh``), so
+    ``_pairs_from_bucket_rows`` runs vectorized on each partition's rows
+    and the pair set never lands on the driver."""
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        prs = _pairs_from_bucket_rows(g["bh"].to_numpy(),
+                                      g[id_col].to_numpy(), max_bucket)
+        if not prs:
+            return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                 "dst": pd.Series([], dtype=np.int64)})
+        arr = np.array(sorted(prs), dtype=np.int64)
+        return pd.DataFrame({"src": arr[:, 0], "dst": arr[:, 1]})
+
+    return pairs_partition
+
+
+def _attach_sig(pairs_ds: rd.Dataset, sig_ds: rd.Dataset, id_col: str,
+                key: str, carry: list[str], out_name: str,
+                num_partitions: int) -> rd.Dataset:
+    """Attach each pair row's signature for ``key`` via the sparse-safe
+    union + hash-partition lookup (``Dataset.join`` raises ArrowInvalid on
+    empty hash partitions when the key set is sparse — ROUND_NOTES).  The
+    signature table streams through the shuffle once; nothing broadcasts.
+
+    Signatures travel as explicit Arrow BINARY columns (``sig.tobytes()``):
+    tensor-extension columns do not survive a union whose empty/padded
+    blocks degrade to null type, and an explicit ``pa.binary()`` pads
+    cleanly with b""."""
+    from .grouped import partitioned_group_apply
+
+    ctype = {c: (pa.binary() if c.startswith("sig") else pa.int64())
+             for c in carry}
+
+    def pad_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"__key": pc.cast(t[key], pa.int64())}
+        for c in carry:
+            cols[c] = pc.cast(t[c], ctype[c])
+        cols["__sig"] = pa.array([b""] * n, pa.binary())
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        return pa.table(cols)
+
+    def pad_sigs(b: pd.DataFrame) -> pa.Table:
+        n = len(b)
+        cols = {"__key": pa.array(
+            b[id_col].to_numpy().astype(np.int64), pa.int64())}
+        for c in carry:
+            filler = [b""] * n if c.startswith("sig") else np.full(n, -1,
+                                                                   np.int64)
+            cols[c] = pa.array(filler, ctype[c])
+        cols["__sig"] = pa.array(
+            [np.asarray(s, dtype=np.uint64).tobytes() for s in b["sig"]],
+            pa.binary())
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        return pa.table(cols)
+
+    unioned = pairs_ds.map_batches(pad_pairs, batch_format="pyarrow").union(
+        sig_ds.map_batches(pad_sigs, batch_format="pandas"))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        side = df["__side"].to_numpy()
+        smap = df.loc[side == 1].set_index("__key")["__sig"]
+        ask = df.loc[side == 0]
+        cols = {key: pa.array(ask["__key"].to_numpy(dtype=np.int64),
+                              pa.int64())}
+        for c in carry:
+            cols[c] = pa.array(ask[c].tolist(), ctype[c])
+        cols[out_name] = pa.array(ask["__key"].map(smap).tolist(),
+                                  pa.binary())
+        return pa.table(cols)
+
+    return partitioned_group_apply(unioned, ["__key"], resolve,
+                                   num_partitions=num_partitions,
+                                   batch_format="pyarrow")
+
+
+def _spill_cluster_output(ids_ds: rd.Dataset, id_col: str,
+                          labels_ds: rd.Dataset,
+                          num_partitions: int) -> rd.Dataset:
+    """Fully-distributed cluster labeling: attach CC labels and cluster
+    sizes to every corpus id via two sparse-safe hash-partition lookups —
+    the Dataset-scale twin of ``_cluster_output`` (which broadcasts a
+    driver-held dict).  Output schema matches the driver path:
+    (id, cluster_id, is_duplicate, cluster_size)."""
+    from .grouped import partitioned_group_apply
+
+    labels_ds = labels_ds.materialize()
+
+    # 1. cluster sizes: count members per label (one partitioned C pass)
+    def size_partition(g: pd.DataFrame) -> pd.DataFrame:
+        res = (g.groupby("label", sort=False).size()
+               .rename("cluster_size").reset_index())
+        return res
+
+    sizes = partitioned_group_apply(labels_ds, ["label"], size_partition,
+                                    num_partitions=num_partitions)
+
+    # 2. attach labels to corpus ids (nodes absent from labels are
+    #    singletons: cluster_id = own id)
+    id_rows = ids_ds.select_columns([id_col]).map_batches(
+        lambda b: pd.DataFrame({"__key": b[id_col].astype(np.int64),
+                                "__lab": np.full(len(b), -1, np.int64),
+                                "__side": np.zeros(len(b), np.int8)}),
+        batch_format="pandas")
+    lab_rows = labels_ds.map_batches(
+        lambda b: pd.DataFrame({"__key": b["node"].astype(np.int64),
+                                "__lab": b["label"].astype(np.int64),
+                                "__side": np.ones(len(b), np.int8)}),
+        batch_format="pandas")
+
+    def label_partition(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__side"].to_numpy()
+        lmap = g.loc[side == 1].set_index("__key")["__lab"]
+        ids = g.loc[side == 0, "__key"]
+        lab = ids.map(lmap).fillna(ids).astype(np.int64)
+        return pd.DataFrame({id_col: ids.to_numpy(),
+                             "cluster_id": lab.to_numpy(),
+                             "is_duplicate": (lab.to_numpy()
+                                              != ids.to_numpy())})
+
+    labeled = partitioned_group_apply(id_rows.union(lab_rows), ["__key"],
+                                      label_partition,
+                                      num_partitions=num_partitions)
+
+    # 3. attach sizes keyed on cluster_id (singletons → 1)
+    lab_side = labeled.map_batches(
+        lambda b: pd.DataFrame({"__key": b["cluster_id"].to_numpy(),
+                                "__id": b[id_col].to_numpy(),
+                                "__dup": b["is_duplicate"].to_numpy(),
+                                "__sz": np.full(len(b), -1, np.int64),
+                                "__side": np.zeros(len(b), np.int8)}),
+        batch_format="pandas")
+    size_side = sizes.map_batches(
+        lambda b: pd.DataFrame({"__key": b["label"].to_numpy(),
+                                "__id": np.full(len(b), -1, np.int64),
+                                "__dup": np.zeros(len(b), dtype=bool),
+                                "__sz": b["cluster_size"].astype(np.int64),
+                                "__side": np.ones(len(b), np.int8)}),
+        batch_format="pandas")
+
+    def size_attach(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["__side"].to_numpy()
+        smap = g.loc[side == 1].set_index("__key")["__sz"]
+        rows = g.loc[side == 0]
+        sz = rows["__key"].map(smap).fillna(1).astype(np.int64)
+        return pd.DataFrame({id_col: rows["__id"].to_numpy(),
+                             "cluster_id": rows["__key"].to_numpy(),
+                             "is_duplicate": rows["__dup"].to_numpy(),
+                             "cluster_size": sz.to_numpy()})
+
+    return partitioned_group_apply(lab_side.union(size_side), ["__key"],
+                                   size_attach,
+                                   num_partitions=num_partitions)
+
+
 def minhash_lsh_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 128,
                       num_bands: int = 32, shingle_k: int = 3,
                       jaccard_threshold: float = 0.8,
                       batch_size: int = 2048,
-                      max_bucket: int = 4096) -> rd.Dataset:
+                      max_bucket: int = 4096,
+                      spill_threshold: int = 2_000_000,
+                      spill_partitions: int = 64) -> rd.Dataset:
     """Near-duplicate clustering: (id, cluster_id, is_duplicate, cluster_size).
 
     Distributed pipeline (nothing corpus-scale on the driver):
@@ -443,7 +603,16 @@ def minhash_lsh_dedup(ds: rd.Dataset, id_col: str = "doc_id",
       5. union-find over verified pairs; cluster labels broadcast and
          applied per batch → lazy output Dataset.
     cluster_id = min id in the cluster; is_duplicate marks every member
-    beyond the representative."""
+    beyond the representative.
+
+    Spill escalation: if the candidate (bucket, id) row count exceeds
+    ``spill_threshold`` — a dup-heavy crawl where even the pair set would
+    hurt the driver — the ENTIRE tail of the pipeline escalates to the
+    distributed path automatically: pair generation per hash partition,
+    signature verification via two sparse-safe lookups, clustering via
+    ``connected_components``, and labeling via partitioned joins.  The
+    driver then never holds pairs, signatures, or cluster maps (requires
+    integer ids; forced-spill equivalence is tested)."""
     # stateless tasks (not an actor pool): the hasher's state is just the
     # 2 KB permutation table — tasks scale elastically with no pool ramp-up
     hasher = MinHasher(id_col, text_col, num_perm, shingle_k)
@@ -452,14 +621,20 @@ def minhash_lsh_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     band_ds = sig_ds.map_batches(_BandExploder(id_col, num_bands),
                                  batch_format="pandas")
     dup_bh = _dup_bucket_keys(band_ds)
-    pairs: set[tuple] = set()
-    if dup_bh:
-        keys_ref = ray.put(dup_bh)
-        cand_rows = band_ds.map_batches(
-            _BucketFilter, fn_constructor_args=(keys_ref,),
-            batch_format="pandas", concurrency=(1, 4)).to_pandas()
-        pairs = _pairs_from_bucket_rows(cand_rows["bh"].to_numpy(),
-                                        cand_rows[id_col].to_numpy(), max_bucket)
+    if not dup_bh:
+        return _cluster_output(sig_ds, id_col, {}, {}, with_size=True)
+
+    keys_ref = ray.put(dup_bh)
+    cand_ds = band_ds.map_batches(
+        _BucketFilter, fn_constructor_args=(keys_ref,),
+        batch_format="pandas", concurrency=(1, 4)).materialize()
+    if cand_ds.count() > spill_threshold:
+        return _minhash_spill(sig_ds, cand_ds, id_col, jaccard_threshold,
+                              max_bucket, spill_partitions)
+
+    cand_rows = cand_ds.to_pandas()
+    pairs = _pairs_from_bucket_rows(cand_rows["bh"].to_numpy(),
+                                    cand_rows[id_col].to_numpy(), max_bucket)
     verified: set[tuple] = set()
     if pairs:
         cand_ids = {i for p in pairs for i in p}
@@ -473,6 +648,59 @@ def minhash_lsh_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                 verified.add((a, b))
     clusters, sizes = _union_find_clusters(verified)
     return _cluster_output(sig_ds, id_col, clusters, sizes, with_size=True)
+
+
+def _minhash_spill(sig_ds: rd.Dataset, cand_ds: rd.Dataset, id_col: str,
+                   jaccard_threshold: float, max_bucket: int,
+                   num_partitions: int) -> rd.Dataset:
+    """The dup-heavy-crawl escalation of ``minhash_lsh_dedup``: everything
+    downstream of candidate detection runs as Dataset transforms — the
+    driver holds only per-round scalars.  One partitioned pass generates
+    pairs per whole bucket, two sparse-safe lookups attach both
+    signatures, a vectorized batch filter verifies estimated Jaccard, and
+    ``connected_components`` + ``_spill_cluster_output`` produce the same
+    (id, cluster_id, is_duplicate, cluster_size) schema as the driver
+    path."""
+    from .grouped import partitioned_group_apply
+
+    id_dtype = dict(zip(sig_ds.schema().names, sig_ds.schema().types))[id_col]
+    # pandas-block datasets report numpy dtypes / `object`, arrow blocks
+    # report pa.DataType — accept integer under either representation
+    if isinstance(id_dtype, pa.DataType):
+        id_is_int = pa.types.is_integer(id_dtype)
+    else:
+        try:
+            id_is_int = np.issubdtype(np.dtype(id_dtype), np.integer)
+        except TypeError:
+            id_is_int = False
+    if not id_is_int:
+        raise NotImplementedError(
+            "spill path requires integer ids (connected_components labels "
+            f"are int64); got {id_dtype} — pre-assign integer ids upstream")
+
+    pairs_ds = partitioned_group_apply(
+        cand_ds, ["bh"], _pairs_partition_fn(id_col, max_bucket),
+        num_partitions=num_partitions)
+    with_a = _attach_sig(pairs_ds, sig_ds, id_col, "src", ["dst"],
+                         "sig_a", num_partitions)
+    with_b = _attach_sig(with_a, sig_ds, id_col, "dst", ["src", "sig_a"],
+                         "sig_b", num_partitions)
+
+    thresh = jaccard_threshold
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                 "dst": pd.Series([], dtype=np.int64)})
+        A = np.stack([np.frombuffer(x, dtype=np.uint64) for x in b["sig_a"]])
+        B = np.stack([np.frombuffer(x, dtype=np.uint64) for x in b["sig_b"]])
+        frac = (A == B).mean(axis=1)
+        return b.loc[frac >= thresh, ["src", "dst"]]
+
+    verified_ds = with_b.map_batches(verify, batch_format="pandas")
+    labels = connected_components(verified_ds, "src", "dst",
+                                  num_partitions=num_partitions)
+    return _spill_cluster_output(sig_ds, id_col, labels, num_partitions)
 
 
 class SimHasher:

@@ -173,3 +173,44 @@ def test_asof_join_big_int64_values_exact():
     assert m[(1, pd.Timestamp("2020-01-01 00:00:05"))] == big
     assert pd.isna(m[(1, pd.Timestamp("2020-01-01 00:00:01"))])
     assert pd.isna(m[(2, pd.Timestamp("2020-01-01 00:00:05"))])
+
+
+# -- CC auto-wiring: forced spill path ---------------------------------------
+
+def _dup_corpus(n=60, n_dups=12):
+    rng = np.random.default_rng(11)
+    texts = []
+    for i in range(n):
+        words = [f"w{rng.integers(0, 500)}" for _ in range(40)]
+        texts.append(" ".join(words))
+    for i in range(n_dups):  # plant near-dups of doc i as doc n+i
+        texts.append(texts[i] + " tail")
+    return pd.DataFrame({"doc_id": np.arange(n + n_dups),
+                         "text": texts})
+
+
+def test_minhash_spill_path_matches_driver_path():
+    from driftray.ops.dedup import minhash_lsh_dedup
+
+    df = _dup_corpus()
+    ds = rd.from_pandas(df).repartition(4)
+    driver = (minhash_lsh_dedup(ds, jaccard_threshold=0.8)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    spilled = (minhash_lsh_dedup(ds, jaccard_threshold=0.8,
+                                 spill_threshold=0, spill_partitions=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert driver["is_duplicate"].sum() > 0  # the fixture plants dups
+    pd.testing.assert_frame_equal(
+        driver[["doc_id", "cluster_id", "is_duplicate", "cluster_size"]],
+        spilled[["doc_id", "cluster_id", "is_duplicate", "cluster_size"]],
+        check_dtype=False)
+
+
+def test_minhash_spill_requires_int_ids():
+    from driftray.ops.dedup import minhash_lsh_dedup
+
+    df = _dup_corpus(10, 2)
+    df["doc_id"] = df["doc_id"].astype(str)
+    ds = rd.from_pandas(df)
+    with pytest.raises(NotImplementedError, match="integer ids"):
+        minhash_lsh_dedup(ds, spill_threshold=0)
