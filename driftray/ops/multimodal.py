@@ -2,12 +2,16 @@
 
 Media travel as opaque ``binary`` columns with typed metadata columns
 (format, width/height or sample rate, duration).  Decode / resize /
-feature-extract / frame-sample are actor-pool ``map_batches`` stages whose
-Ray-side plumbing — schema, batch sizing, actor signature, output layout —
-is real and tested; the codec itself is STUBBED (this container ships no
-image/audio libraries): ``decoder="fake"`` produces a deterministic
-hash-seeded pixel/sample array, ``decoder="pillow"``/... raise
-``NotImplementedError`` until the library is importable.
+feature-extract / frame-sample are actor-pool ``map_batches`` stages.
+Codec paths, most capable first:
+
+* ``decoder="pillow"`` — PIL when importable (any format); raises
+  ``NotImplementedError`` otherwise (PIL is absent in this container);
+* ``decoder="png"`` — REAL baseline-PNG decode via the dependency-free
+  ``ops/png.py`` codec (stdlib zlib), round-trip tested on real bytes;
+* ``AudioDecoder`` — REAL WAV decode via stdlib ``wave``;
+* ``decoder="fake"`` — deterministic hash-seeded stand-in for formats
+  that genuinely need an absent library (jpeg, mp4, ...).
 
 Scale notes: binary payloads are large → small ``batch_size`` (64-256) and
 ``num_cpus`` sized so decode pools don't starve the read stage; outputs
@@ -55,6 +59,13 @@ def synth_media_table(n: int, kind: str = "image", seed: int = 42) -> pa.Table:
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
 
+def _as_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize a decoded image to HxWx3 (grayscale broadcast, alpha drop)."""
+    if img.ndim == 2:
+        return np.repeat(img[:, :, None], 3, axis=2)
+    return img[:, :, :3]
+
+
 def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
     """Deterministic stand-in decoder: payload hash seeds a tiny image."""
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
@@ -70,14 +81,30 @@ class ImageDecoder:
         self.thumb = thumb
         if decoder == "fake":
             self.decode = _fake_decode
-        else:
+        elif decoder == "png":
+            # REAL codec, zero external deps: baseline-PNG via stdlib zlib
+            # (ops/png.py) — decodes actual image bytes in this container
+            from .png import decode_png
+
+            self.decode = lambda payload, h, w: _as_rgb(decode_png(payload))
+        elif decoder == "pillow":
             try:
-                import PIL.Image  # noqa: F401  (absent in this container)
+                import PIL.Image
             except ImportError as e:
                 raise NotImplementedError(
-                    f"decoder={decoder!r} needs an image library not present "
-                    "in this environment; use decoder='fake'") from e
-            raise NotImplementedError("real decode path lands when PIL ships")
+                    "decoder='pillow' needs PIL, which is not importable "
+                    "here; decoder='png' is the dependency-free real-codec "
+                    "path, decoder='fake' the deterministic stub") from e
+            import io
+
+            def _pil_decode(payload: bytes, h: int, w: int) -> np.ndarray:
+                img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+                return np.asarray(img, dtype=np.uint8)
+
+            self.decode = _pil_decode
+        else:
+            raise ValueError(f"unknown decoder {decoder!r} "
+                             "(expected fake|png|pillow)")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         feats, thumbs = [], []
@@ -131,3 +158,65 @@ def sample_frames(ds: rd.Dataset, n_frames: int = 4,
     return ds.map_batches(FrameSampler, fn_constructor_args=(n_frames,),
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → WAV bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+    return buf.getvalue()
+
+
+class AudioDecoder:
+    """Actor-pool stage decoding REAL WAV payloads with stdlib ``wave`` —
+    no external audio library needed.  Emits per-clip features (rms,
+    peak, duration) the curation pipeline filters on."""
+
+    def __init__(self, decoder: str = "wav"):
+        if decoder != "wav":
+            raise NotImplementedError(
+                "only stdlib WAV decode ships in this container; "
+                "compressed formats need pyav/soundfile")
+
+    @staticmethod
+    def _decode(payload: bytes) -> tuple[np.ndarray, int]:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            rate = f.getframerate()
+            n = f.getnframes()
+            raw = f.readframes(n)
+            width = f.getsampwidth()
+        dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+        return np.frombuffer(raw, dtype=dtype), rate
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        rms, peak, dur, rates = [], [], [], []
+        for payload in batch["payload"]:
+            x, rate = self._decode(payload)
+            xf = x.astype(np.float64)
+            rms.append(float(np.sqrt(np.mean(xf ** 2))) if len(x) else 0.0)
+            peak.append(int(np.abs(x).max()) if len(x) else 0)
+            dur.append(int(len(x) * 1000 / rate))
+            rates.append(rate)
+        out = batch[["media_id", "kind", "format"]].copy()
+        out["rms"] = np.array(rms, dtype=np.float64)
+        out["peak"] = np.array(peak, dtype=np.int64)
+        out["decoded_ms"] = np.array(dur, dtype=np.int64)
+        out["sample_rate"] = np.array(rates, dtype=np.int64)
+        return out
+
+
+def decode_audio(ds: rd.Dataset, batch_size: int = 128,
+                 concurrency: int = 4) -> rd.Dataset:
+    """WAV decode pipeline over binary payload columns (real codec)."""
+    return ds.map_batches(AudioDecoder, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)

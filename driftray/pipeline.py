@@ -609,11 +609,24 @@ def load_lineage(out_dir: str, window_id: int) -> dict:
         return json.load(f)
 
 
-def promote_baseline(out_dir: str, window_id: int, baseline_path: str) -> None:
+def baseline_file(baseline_path: str, table: str | None = None) -> str:
+    """Resolve the baseline location.  With ``table`` set, ``baseline_path``
+    is a DIRECTORY holding one parquet per table
+    (``<baseline_path>/<table>.parquet``) so specs sharing an out_dir
+    promote independently instead of clobbering one shared file."""
+    if table is None:
+        return baseline_path
+    return os.path.join(baseline_path, f"{table}.parquet")
+
+
+def promote_baseline(out_dir: str, window_id: int, baseline_path: str,
+                     table: str | None = None) -> None:
     """W6 / DESIGN.md:582-585 ``update_reference``: adopt a completed
-    window's profile sketches as the new baseline."""
+    window's profile sketches as the new baseline.  Pass ``table``
+    (usually ``spec.name``) to namespace the store per table — see
+    ``baseline_file``."""
     src = os.path.join(_window_dir(out_dir, window_id), "profiles.parquet")
-    Baseline.load(src).save(baseline_path)
+    Baseline.load(src).save(baseline_file(baseline_path, table))
 
 
 def run_validation(
@@ -719,8 +732,13 @@ def run_validation(
     if hist_edges is None:
         hist_edges = infer_hist_edges(input_path, spec)
     _mark("hist_edges", t0)
-    baseline = (Baseline.load(baseline_path)
-                if baseline_path and os.path.exists(baseline_path) else None)
+    # per-table namespacing: a directory baseline store resolves to this
+    # spec's file; a missing per-table file simply means no baseline yet
+    bpath = (baseline_file(baseline_path, spec.name)
+             if baseline_path and os.path.isdir(baseline_path)
+             else baseline_path)
+    baseline = (Baseline.load(bpath)
+                if bpath and os.path.exists(bpath) else None)
 
     # chunked passes: a killed run loses at most windows_per_pass windows
     # of work — everything behind a _DONE marker is skipped on resume.

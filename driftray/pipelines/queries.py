@@ -591,6 +591,50 @@ def q34_token_budget_mix(sf_dir: str):
     return out.select_columns(["lang", "doc_id"])
 
 
+def q35_norm_fingerprints(sf_dir: str):
+    """sha256 over NORMALIZED text (lower + whitespace collapse) — the
+    SQL-expressible fingerprint twin of nq_fingerprints' rolling hash
+    (VERDICT r2 #4: pull more of the text surface through the oracle)."""
+    from ..checks import sha256_hex
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        norm = (b["text"].fillna("").str.lower()
+                .str.replace(r"\s+", " ", regex=True))
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(),
+                             "norm_sha256": sha256_hex(norm.tolist())})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q36_text_stats(sf_dir: str):
+    """Integer text-quality counters (chars / punct / words / stopwords) —
+    the exact-arithmetic oracle twin of nq_quality_scores' ratio kernel
+    (integer outputs sidestep float rounding-mode drift between numpy and
+    DuckDB)."""
+    from ..ops.text import _STOPWORDS
+
+    stop = _STOPWORDS["en"]
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("").reset_index(drop=True)
+        words = s.str.lower().str.findall(r"[a-z]+")
+        ex = words.explode().dropna()
+        stop_counts = ex[ex.isin(stop)].groupby(level=0).size()
+        n_stop = stop_counts.reindex(s.index, fill_value=0)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_chars": s.str.len().to_numpy(dtype=np.int64),
+            "n_punct": s.str.count(r"[^\w\s]").to_numpy(dtype=np.int64),
+            "n_words": s.str.count(r"[A-Za-z]+").to_numpy(dtype=np.int64),
+            "n_stop": n_stop.to_numpy(dtype=np.int64),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -755,6 +799,24 @@ ORACLE_SQL: dict[str, str] = {
                    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
             FROM toks)
         WHERE cum <= 2000""",
+    "q35_norm_fingerprints": r"""
+        SELECT doc_id,
+               SHA256(REGEXP_REPLACE(LOWER(COALESCE(text, '')),
+                                     '\s+', ' ', 'g')) AS norm_sha256
+        FROM documents""",
+    "q36_text_stats": r"""
+        SELECT doc_id,
+               LENGTH(COALESCE(text, '')) AS n_chars,
+               LENGTH(REGEXP_REPLACE(COALESCE(text, ''),
+                                     '[\w\s]', '', 'g')) AS n_punct,
+               LEN(REGEXP_EXTRACT_ALL(COALESCE(text, ''),
+                                      '[A-Za-z]+')) AS n_words,
+               LEN(LIST_FILTER(
+                   REGEXP_EXTRACT_ALL(LOWER(COALESCE(text, '')), '[a-z]+'),
+                   w -> LIST_CONTAINS(['the','and','of','to','a','in','is',
+                                       'it','that','for','on','with'], w)))
+                   AS n_stop
+        FROM documents""",
 }
 
 SQL_QUERIES = {
@@ -792,6 +854,8 @@ SQL_QUERIES = {
     "q32_flags_in_both_years": q32_flags_in_both_years,
     "q33_clickers_never_purchased": q33_clickers_never_purchased,
     "q34_token_budget_mix": q34_token_budget_mix,
+    "q35_norm_fingerprints": q35_norm_fingerprints,
+    "q36_text_stats": q36_text_stats,
 }
 
 
