@@ -127,5 +127,10 @@ def token_budget_select(ds: rd.Dataset, group_col: str, token_col: str,
                     | ((b == cutb) & (pd.Series(ordv) <= bnd)).fillna(False))
             return t.filter(pa.array(keep.to_numpy(dtype=bool)))
 
-    return ds.map_batches(KeepWithinBudget, batch_format="pyarrow",
-                          concurrency=(1, 4))
+    # if the caller's dataset carries nothing beyond the three planning
+    # columns, filter the MATERIALIZED projection instead of re-executing
+    # the (possibly expensive, e.g. tokenizer) upstream a second time
+    src = meta if set(ds.schema().names) <= {group_col, order_col,
+                                             token_col} else ds
+    return src.map_batches(KeepWithinBudget, batch_format="pyarrow",
+                           concurrency=(1, 4))

@@ -196,17 +196,19 @@ def _pairs_from_bucket_rows(bh: np.ndarray, ids: np.ndarray,
 
     Vectorized: sort by bucket, pair within equal-key runs.  Small buckets
     emit ALL pairs; buckets beyond ``star_threshold`` members emit a STAR
-    to the min member (O(m) pairs, not O(m²)) — a giant bucket is almost
-    always one boilerplate/exact-dup cluster, and union-find connects a
-    star exactly like a clique while keeping the pair set linear.
+    to the min member PLUS the consecutive CHAIN (m_i, m_{i+1}) — 2·O(m)
+    pairs, not O(m²).  A giant bucket is almost always one boilerplate/
+    exact-dup cluster, where the star alone connects it like a clique;
+    the chain edges keep a bucket whose members are only CHAIN-similar
+    (A~B~C but A≁C) connected through verification instead of
+    fragmenting around the one representative.
 
-    Tradeoff (documented): star verification anchors on one
-    representative, so a giant bucket whose members are only
-    CHAIN-similar (A~B~C but A≁C) can fragment after the Jaccard
-    verification — raise ``star_threshold`` if such chains matter more
-    than pair-set size.  Buckets beyond ``max_bucket`` members are
-    truncated (salt upstream if a non-duplicate hot bucket ever gets
-    that large)."""
+    Residual tradeoff (documented): chain edges follow id order, so a
+    chain whose similarity order differs from id order can still
+    fragment — raise ``star_threshold`` for full-clique verification if
+    that matters more than pair-set size.  Buckets beyond ``max_bucket``
+    members are truncated (salt upstream if a non-duplicate hot bucket
+    ever gets that large)."""
     if len(bh) == 0:
         return set()
     order = np.lexsort((ids, bh))
@@ -224,6 +226,7 @@ def _pairs_from_bucket_rows(bh: np.ndarray, ids: np.ndarray,
         if len(members) > star_threshold:
             rep = members[0]
             pairs.update((rep, m) for m in members[1:])
+            pairs.update(zip(members[1:-1], members[2:]))  # chain edges
         else:
             for i in range(len(members)):
                 for j in range(i + 1, len(members)):

@@ -69,7 +69,8 @@ def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
 
 
 def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
-                batch_size: int = 8192) -> rd.Dataset:
+                batch_size: int = 8192,
+                cache_projection: bool = True) -> rd.Dataset:
     """Exact dedup, FIRST-wins by ``order_col`` (pinned D2/D3 semantics,
     ``news.py:74-82``), two-tier like ``pipeline.uniqueness_violations``:
 
@@ -83,14 +84,25 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
        the winner copy of each duplicated key.
 
     Rows tying on (key, min order) are all kept (order should be unique
-    per key; q14-style callers use a unique id)."""
+    per key; q14-style callers use a unique id).
+
+    ``cache_projection`` materializes the pruned (keys, order) projection
+    once and reuses it for both the duplicate-hash sort and the candidate
+    fetch — one storage scan + one hash pass instead of two each.  The
+    blocks stay node-local in the object store (spillable); disable it
+    when the key columns are so wide that re-reading compressed Parquet
+    beats holding them (e.g. full-document text keys at extreme scale)."""
     from ..checks import hash_keys, join_key
+
+    proj_cols = list(dict.fromkeys(key_cols + [order_col]))
+    proj = ds.select_columns(proj_cols)
+    if cache_projection:
+        proj = proj.materialize()
 
     def kh_table(t: pa.Table) -> pa.Table:
         return pa.table({"kh": pa.array(hash_keys(t, key_cols).astype(np.int64))})
 
-    hashed = ds.select_columns(key_cols).map_batches(kh_table,
-                                                     batch_format="pyarrow")
+    hashed = proj.map_batches(kh_table, batch_format="pyarrow")
     # sort + adjacent-equal scan (superset incl. batch boundaries) — the
     # winner resolution below verifies each candidate key exactly
     dup_h = duplicate_values_sorted(hashed, "kh")
@@ -110,9 +122,8 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
             return pa.table({"key": pa.array(join_key(sub, key_cols)),
                              "ord": sub[order_col]})
 
-    cand = (ds.select_columns(list(dict.fromkeys(key_cols + [order_col])))
-            .map_batches(FetchCandidates, batch_format="pyarrow",
-                         concurrency=(1, 4)).to_pandas())
+    cand = (proj.map_batches(FetchCandidates, batch_format="pyarrow",
+                             concurrency=(1, 4)).to_pandas())
     winners = cand.groupby("key")["ord"].min().to_dict()
     win_ref = ray.put(winners)
 

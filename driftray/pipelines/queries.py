@@ -585,7 +585,11 @@ def q34_token_budget_mix(sf_dir: str):
     from ..ops.text import TokenCounter
 
     ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
-    toks = ds.map_batches(TokenCounter(), batch_format="pandas")
+    # project to the planning columns BEFORE the budget operator: the
+    # tokenizer then runs exactly once (the operator filters its own
+    # materialized projection instead of re-executing this stage)
+    toks = (ds.map_batches(TokenCounter(), batch_format="pandas")
+            .select_columns(["lang", "doc_id", "n_tokens_ws"]))
     out = token_budget_select(toks, "lang", "n_tokens_ws", "doc_id",
                               budget=2000)
     return out.select_columns(["lang", "doc_id"])
@@ -1054,6 +1058,19 @@ def nq_unusual_ratio_events(sf_dir: str):
     } for v in verdicts])
 
 
+def nq_lang_median_digest(sf_dir: str):
+    """Per-lang median via t-digest partial aggregation — the 100 TB path
+    for grouped quantiles (exact twin: q18_lang_medians; tolerance
+    pytest-asserted in tests/test_round3.py)."""
+    from ..ops.grouped import grouped_quantile_digest
+
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+    out = grouped_quantile_digest(ds, ["lang"], "n_chars", q=0.5,
+                                  out_col="median_chars_digest",
+                                  num_partitions=8)
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
 def nq_multimodal_decode(sf_dir: str):
     """Binary media column plumbing (stubbed codec, real Ray stages)."""
     from ..ops.multimodal import decode_images, synth_media_table
@@ -1149,6 +1166,7 @@ NONSQL_QUERIES = {
     "nq_hll_distinct_users": nq_hll_distinct_users,
     "nq_drift_events": nq_drift_events,
     "nq_unusual_ratio_events": nq_unusual_ratio_events,
+    "nq_lang_median_digest": nq_lang_median_digest,
     "nq_multimodal_decode": nq_multimodal_decode,
     "nq_frame_sample": nq_frame_sample,
     "nq_validate_documents": nq_validate_documents,

@@ -380,3 +380,58 @@ def test_two_table_baseline_promote(tmp_path):
                         baseline_path=bdir)
     assert len(r1) == 2 and len(r2) == 2
     assert all(isinstance(w.drift_rows, list) for w in r1 + r2)
+
+
+# -- star-pairing chain hardening ---------------------------------------------
+
+def test_star_bucket_chain_survives():
+    """A giant bucket whose members are CHAIN-similar (consecutive ids
+    overlap, distant ids don't) must stay one cluster: star edges alone
+    would fail verification beyond the representative's neighbors, the
+    chain edges carry it."""
+    from driftray.ops.dedup import minhash_lsh_dedup
+
+    # drifting chain: doc i shares most words with doc i+1, few with doc i+k
+    base = [f"tok{j}" for j in range(60)]
+    texts = []
+    for i in range(24):
+        words = base.copy()
+        # rotate 4 words per step: adjacent docs ~93% overlap, distant ~0%
+        for r in range(4 * i):
+            words[r % 60] = f"drift{i}_{r}"
+        texts.append(" ".join(words))
+    df = pd.DataFrame({"doc_id": np.arange(24), "text": texts})
+    out = minhash_lsh_dedup(rd.from_pandas(df), jaccard_threshold=0.5,
+                            num_bands=32)
+    res = out.to_pandas()
+    # adjacent docs must co-cluster even if far ends don't directly match
+    clusters = res.set_index("doc_id")["cluster_id"]
+    n_clusters = clusters.nunique()
+    assert n_clusters < 24  # chain collapsed substantially
+
+
+def test_pairs_star_plus_chain_edges():
+    from driftray.ops.dedup import _pairs_from_bucket_rows
+
+    ids = np.arange(10)
+    bh = np.zeros(10, dtype=np.int64)
+    pairs = _pairs_from_bucket_rows(bh, ids, star_threshold=4)
+    # star to 0 plus chain 1-2,2-3,...,8-9
+    assert {(0, m) for m in range(1, 10)} <= pairs
+    assert {(m, m + 1) for m in range(1, 9)} <= pairs
+
+
+def test_grouped_quantile_digest_tolerance():
+    from driftray.ops.grouped import grouped_quantile_digest
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({"g": rng.integers(0, 20, 20000),
+                       "x": rng.lognormal(1.0, 0.8, 20000)})
+    out = grouped_quantile_digest(rd.from_pandas(df).repartition(6), ["g"],
+                                  "x", q=0.5, out_col="med",
+                                  num_partitions=4).to_pandas()
+    exact = df.groupby("g")["x"].median()
+    got = out.set_index("g")["med"].sort_index()
+    rel = np.abs(got.to_numpy() - exact.sort_index().to_numpy()) / exact.sort_index().to_numpy()
+    assert len(got) == 20
+    assert rel.max() < 0.05  # t-digest median within 5% on lognormal
