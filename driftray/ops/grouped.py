@@ -58,8 +58,16 @@ def partitioned_group_apply(ds: rd.Dataset, key_cols: list[str],
     (``df.groupby(...)`` C kernels, run-boundary numpy), never a Python
     loop over keys.  Because partitions are disjoint by key hash, any
     per-key computation inside a partition is globally correct.
+
+    The input block count is bounded (shuffle-free coalesce) before the
+    ``groupby`` shuffle: Ray's sort-based exchange emits O(n_blocks²)
+    pieces, and thousands of small input blocks otherwise flood the
+    driver's in-process object store with sub-100 KB objects
+    (ROUND_NOTES r2 — measured 4.9 GB driver RSS; the same bound
+    ``duplicate_values_sorted`` applies before its sort).
     """
     parted = with_partition_column(ds, key_cols, num_partitions)
+    parted = parted.repartition(max(num_partitions, 16))
 
     if batch_format == "pandas":
         def wrapper(g: pd.DataFrame) -> pd.DataFrame:

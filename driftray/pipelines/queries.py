@@ -1041,7 +1041,13 @@ def nq_drift_events(sf_dir: str):
 
 def nq_unusual_ratio_events(sf_dir: str):
     """The reference detector (sensor.py:160-194 semantics) replayed over the
-    events stream ordered by event_id: unusual := value > 200 (~p97)."""
+    events stream ordered by event_id: unusual := value > 200 (~p97).
+
+    Scale note: the (event_id, unusual) projection IS collected to the
+    driver (~9 B/row) — inherent to replaying the reference's sequential
+    window loop bit-for-bit for conformance.  The production-scale
+    detector is the engine-side windowed one (``drift.py:47-84``), which
+    streams; this replay is capped to the conformance table sizes."""
     from ..drift import unusual_ratio_verdicts
 
     ds = _t(sf_dir, "events", ["event_id", "value"])
