@@ -426,6 +426,25 @@ def _cluster_output(ids_ds: rd.Dataset, id_col: str, clusters: dict,
         Label, batch_format="pandas", concurrency=(1, 4))
 
 
+def _require_int_ids(ds: rd.Dataset, id_col: str) -> None:
+    """The spill paths cluster via ``connected_components`` (int64 node
+    labels) — reject non-integer ids loudly instead of corrupting them."""
+    id_dtype = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    # pandas-block datasets report numpy dtypes / `object`, arrow blocks
+    # report pa.DataType — accept integer under either representation
+    if isinstance(id_dtype, pa.DataType):
+        id_is_int = pa.types.is_integer(id_dtype)
+    else:
+        try:
+            id_is_int = np.issubdtype(np.dtype(id_dtype), np.integer)
+        except TypeError:
+            id_is_int = False
+    if not id_is_int:
+        raise NotImplementedError(
+            "spill path requires integer ids (connected_components labels "
+            f"are int64); got {id_dtype} — pre-assign integer ids upstream")
+
+
 def _pairs_partition_fn(id_col: str, max_bucket: int):
     """Per-PARTITION candidate-pair generation for the spill path: buckets
     are whole within a partition (hash-partitioned on ``bh``), so
@@ -444,60 +463,65 @@ def _pairs_partition_fn(id_col: str, max_bucket: int):
     return pairs_partition
 
 
-def _attach_sig(pairs_ds: rd.Dataset, sig_ds: rd.Dataset, id_col: str,
-                key: str, carry: list[str], out_name: str,
-                num_partitions: int) -> rd.Dataset:
-    """Attach each pair row's signature for ``key`` via the sparse-safe
-    union + hash-partition lookup (``Dataset.join`` raises ArrowInvalid on
-    empty hash partitions when the key set is sparse — ROUND_NOTES).  The
-    signature table streams through the shuffle once; nothing broadcasts.
+def _attach_value(pairs_ds: rd.Dataset, value_ds: rd.Dataset, id_col: str,
+                  key: str, carry: dict[str, pa.DataType], val_col: str,
+                  out_name: str, vtype: pa.DataType,
+                  num_partitions: int, encode=None) -> rd.Dataset:
+    """Attach each pair row's per-id value (signature / text / hash) for
+    ``key`` via the sparse-safe union + hash-partition lookup
+    (``Dataset.join`` raises ArrowInvalid on empty hash partitions when
+    the key set is sparse — ROUND_NOTES).  The value table streams through
+    the shuffle once; nothing broadcasts.
 
-    Signatures travel as explicit Arrow BINARY columns (``sig.tobytes()``):
+    Values travel as EXPLICIT Arrow columns of ``vtype`` (binary/string):
     tensor-extension columns do not survive a union whose empty/padded
-    blocks degrade to null type, and an explicit ``pa.binary()`` pads
-    cleanly with b""."""
+    blocks degrade to null type, while explicit types pad cleanly.
+    ``carry`` maps already-attached columns to their types; ``encode``
+    converts a raw value to the Arrow scalar (e.g. ``sig.tobytes()``)."""
     from .grouped import partitioned_group_apply
 
-    ctype = {c: (pa.binary() if c.startswith("sig") else pa.int64())
-             for c in carry}
+    pad_of = {pa.binary(): b"", pa.string(): ""}
+
+    def filler(typ, n):
+        if typ in (pa.binary(), pa.string()):
+            return pa.array([pad_of[typ]] * n, typ)
+        return pa.array(np.full(n, -1, np.int64), typ)
 
     def pad_pairs(t: pa.Table) -> pa.Table:
         n = t.num_rows
         cols = {"__key": pc.cast(t[key], pa.int64())}
-        for c in carry:
-            cols[c] = pc.cast(t[c], ctype[c])
-        cols["__sig"] = pa.array([b""] * n, pa.binary())
+        for c, typ in carry.items():
+            cols[c] = pc.cast(t[c], typ)
+        cols["__val"] = filler(vtype, n)
         cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
         return pa.table(cols)
 
-    def pad_sigs(b: pd.DataFrame) -> pa.Table:
+    def pad_values(b: pd.DataFrame) -> pa.Table:
         n = len(b)
         cols = {"__key": pa.array(
             b[id_col].to_numpy().astype(np.int64), pa.int64())}
-        for c in carry:
-            filler = [b""] * n if c.startswith("sig") else np.full(n, -1,
-                                                                   np.int64)
-            cols[c] = pa.array(filler, ctype[c])
-        cols["__sig"] = pa.array(
-            [np.asarray(s, dtype=np.uint64).tobytes() for s in b["sig"]],
-            pa.binary())
+        for c, typ in carry.items():
+            cols[c] = filler(typ, n)
+        vals = b[val_col]
+        cols["__val"] = pa.array(
+            [encode(v) for v in vals] if encode else vals.tolist(), vtype)
         cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
         return pa.table(cols)
 
     unioned = pairs_ds.map_batches(pad_pairs, batch_format="pyarrow").union(
-        sig_ds.map_batches(pad_sigs, batch_format="pandas"))
+        value_ds.select_columns([id_col, val_col]).map_batches(
+            pad_values, batch_format="pandas"))
 
     def resolve(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         side = df["__side"].to_numpy()
-        smap = df.loc[side == 1].set_index("__key")["__sig"]
+        smap = df.loc[side == 1].set_index("__key")["__val"]
         ask = df.loc[side == 0]
         cols = {key: pa.array(ask["__key"].to_numpy(dtype=np.int64),
                               pa.int64())}
-        for c in carry:
-            cols[c] = pa.array(ask[c].tolist(), ctype[c])
-        cols[out_name] = pa.array(ask["__key"].map(smap).tolist(),
-                                  pa.binary())
+        for c, typ in carry.items():
+            cols[c] = pa.array(ask[c].tolist(), typ)
+        cols[out_name] = pa.array(ask["__key"].map(smap).tolist(), vtype)
         return pa.table(cols)
 
     return partitioned_group_apply(unioned, ["__key"], resolve,
@@ -666,28 +690,22 @@ def _minhash_spill(sig_ds: rd.Dataset, cand_ds: rd.Dataset, id_col: str,
     path."""
     from .grouped import partitioned_group_apply
 
-    id_dtype = dict(zip(sig_ds.schema().names, sig_ds.schema().types))[id_col]
-    # pandas-block datasets report numpy dtypes / `object`, arrow blocks
-    # report pa.DataType — accept integer under either representation
-    if isinstance(id_dtype, pa.DataType):
-        id_is_int = pa.types.is_integer(id_dtype)
-    else:
-        try:
-            id_is_int = np.issubdtype(np.dtype(id_dtype), np.integer)
-        except TypeError:
-            id_is_int = False
-    if not id_is_int:
-        raise NotImplementedError(
-            "spill path requires integer ids (connected_components labels "
-            f"are int64); got {id_dtype} — pre-assign integer ids upstream")
+    _require_int_ids(sig_ds, id_col)
 
     pairs_ds = partitioned_group_apply(
         cand_ds, ["bh"], _pairs_partition_fn(id_col, max_bucket),
         num_partitions=num_partitions)
-    with_a = _attach_sig(pairs_ds, sig_ds, id_col, "src", ["dst"],
-                         "sig_a", num_partitions)
-    with_b = _attach_sig(with_a, sig_ds, id_col, "dst", ["src", "sig_a"],
-                         "sig_b", num_partitions)
+
+    def enc(s) -> bytes:
+        return np.asarray(s, dtype=np.uint64).tobytes()
+
+    with_a = _attach_value(pairs_ds, sig_ds, id_col, "src",
+                           {"dst": pa.int64()}, "sig", "sig_a",
+                           pa.binary(), num_partitions, encode=enc)
+    with_b = _attach_value(with_a, sig_ds, id_col, "dst",
+                           {"src": pa.int64(), "sig_a": pa.binary()},
+                           "sig", "sig_b", pa.binary(), num_partitions,
+                           encode=enc)
 
     thresh = jaccard_threshold
 
@@ -746,30 +764,75 @@ def _simhash_band_rows(batch: pd.DataFrame, id_col: str) -> pd.DataFrame:
                          "simhash": np.tile(hashes.astype(np.int64), 4)})
 
 
+def _simhash_verified_pairs_fn(id_col: str, max_bucket: int,
+                               max_hamming: int):
+    """Per-PARTITION pair generation + popcount verification in ONE step:
+    the band rows carry each member's fingerprint, so a partition has
+    everything needed — no value-attach passes (unlike the minhash
+    spill, whose signatures are too wide to ride the band rows)."""
+
+    def verified_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        prs = _pairs_from_bucket_rows(g["bh"].to_numpy(),
+                                      g[id_col].to_numpy(), max_bucket)
+        empty = pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                              "dst": pd.Series([], dtype=np.int64)})
+        if not prs:
+            return empty
+        hmap = dict(zip(g[id_col], g["simhash"].astype(np.uint64)))
+        keep = [(a, b) for a, b in prs
+                if bin(int(hmap[a]) ^ int(hmap[b])).count("1") <= max_hamming]
+        if not keep:
+            return empty
+        arr = np.array(sorted(keep), dtype=np.int64)
+        return pd.DataFrame({"src": arr[:, 0], "dst": arr[:, 1]})
+
+    return verified_pairs
+
+
 def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, batch_size: int = 2048,
-                  max_bucket: int = 4096) -> rd.Dataset:
+                  max_bucket: int = 4096,
+                  spill_threshold: int = 2_000_000,
+                  spill_partitions: int = 64) -> rd.Dataset:
     """SimHash near-dup clustering, distributed like ``minhash_lsh_dedup``:
     band rows carry the 8-byte fingerprint, so the (small) duplicate-bucket
     fetch already contains everything needed for exact popcount
-    verification — no second corpus pass."""
+    verification — no second corpus pass.  Past ``spill_threshold``
+    candidate rows, pair generation + verification run per hash partition
+    and clustering escalates to ``connected_components`` (driver holds
+    only scalars)."""
     sim_ds = ds.select_columns([id_col, text_col]).map_batches(
         SimHasher(id_col, text_col),
         batch_format="pandas", batch_size=batch_size).materialize()
     band_ds = sim_ds.map_batches(lambda b: _simhash_band_rows(b, id_col),
                                  batch_format="pandas")
     dup_bh = _dup_bucket_keys(band_ds)
-    verified: set[tuple] = set()
-    if dup_bh:
-        keys_ref = ray.put(dup_bh)
-        cand = band_ds.map_batches(
-            _BucketFilter, fn_constructor_args=(keys_ref,),
-            batch_format="pandas", concurrency=(1, 4)).to_pandas()
-        pairs = _pairs_from_bucket_rows(cand["bh"].to_numpy(),
-                                        cand[id_col].to_numpy(), max_bucket)
-        hmap = dict(zip(cand[id_col], cand["simhash"].astype(np.uint64)))
-        verified = {(a, b) for a, b in pairs
-                    if bin(int(hmap[a]) ^ int(hmap[b])).count("1") <= max_hamming}
+    if not dup_bh:
+        return _cluster_output(sim_ds, id_col, {}, {})
+    keys_ref = ray.put(dup_bh)
+    cand_ds = band_ds.map_batches(
+        _BucketFilter, fn_constructor_args=(keys_ref,),
+        batch_format="pandas", concurrency=(1, 4)).materialize()
+
+    if cand_ds.count() > spill_threshold:
+        from .grouped import partitioned_group_apply
+
+        _require_int_ids(sim_ds, id_col)
+        pairs_ds = partitioned_group_apply(
+            cand_ds, ["bh"],
+            _simhash_verified_pairs_fn(id_col, max_bucket, max_hamming),
+            num_partitions=spill_partitions)
+        labels = connected_components(pairs_ds, "src", "dst",
+                                      num_partitions=spill_partitions)
+        out = _spill_cluster_output(sim_ds, id_col, labels, spill_partitions)
+        return out.drop_columns(["cluster_size"])
+
+    cand = cand_ds.to_pandas()
+    pairs = _pairs_from_bucket_rows(cand["bh"].to_numpy(),
+                                    cand[id_col].to_numpy(), max_bucket)
+    hmap = dict(zip(cand[id_col], cand["simhash"].astype(np.uint64)))
+    verified = {(a, b) for a, b in pairs
+                if bin(int(hmap[a]) ^ int(hmap[b])).count("1") <= max_hamming}
     clusters, sizes = _union_find_clusters(verified)
     return _cluster_output(sim_ds, id_col, clusters, sizes)
 
@@ -779,12 +842,16 @@ def ngram_jaccard_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                         threshold: float = 0.7, num_perm: int = 128,
                         num_bands: int = 16, batch_size: int = 2048,
                         max_bucket: int = 4096,
-                        verify_partitions: int = 8) -> rd.Dataset:
+                        verify_partitions: int = 8,
+                        spill_threshold: int = 2_000_000,
+                        spill_partitions: int = 64) -> rd.Dataset:
     """Exact character-n-gram Jaccard dedup: MinHash-LSH proposes candidate
     pairs; verification joins each pair with its two texts IN-CLUSTER
     (two ``Dataset.join`` hash joins over the candidate-filtered corpus)
     and computes exact n-gram Jaccard vectorized per batch — candidate
-    texts never gather on the driver."""
+    texts never gather on the driver.  Past ``spill_threshold`` candidate
+    rows, the whole tail (pair generation, text attach, verification,
+    clustering, labeling) escalates to Dataset transforms + CC."""
 
     class CharMinHasher(MinHasher):
         def _shingle_strings(self, text: str) -> list[str]:
@@ -798,14 +865,58 @@ def ngram_jaccard_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     band_ds = sig_ds.map_batches(_BandExploder(id_col, num_bands),
                                  batch_format="pandas")
     dup_bh = _dup_bucket_keys(band_ds)
-    pairs: set[tuple] = set()
-    if dup_bh:
-        keys_ref = ray.put(dup_bh)
-        cand_rows = band_ds.map_batches(
-            _BucketFilter, fn_constructor_args=(keys_ref,),
-            batch_format="pandas", concurrency=(1, 4)).to_pandas()
-        pairs = _pairs_from_bucket_rows(cand_rows["bh"].to_numpy(),
-                                        cand_rows[id_col].to_numpy(), max_bucket)
+    if not dup_bh:
+        return _cluster_output(sig_ds, id_col, {}, {})
+    keys_ref = ray.put(dup_bh)
+    cand_ds = band_ds.map_batches(
+        _BucketFilter, fn_constructor_args=(keys_ref,),
+        batch_format="pandas", concurrency=(1, 4)).materialize()
+
+    def grams_jaccard_ok(ta: str, tb: str) -> bool:
+        def grams(t: str) -> set:
+            return ({t[i:i + ngram] for i in range(len(t) - ngram + 1)}
+                    if len(t) >= ngram else {t})
+
+        ga, gb = grams(ta or ""), grams(tb or "")
+        return len(ga & gb) / max(1, len(ga | gb)) >= threshold
+
+    if cand_ds.count() > spill_threshold:
+        # full escalation: pairs per partition, texts attached via the
+        # sparse-safe lookup (the corpus text streams through the shuffle
+        # once per side — linear, never broadcast), exact verification per
+        # batch, CC clustering, partitioned labeling
+        from .grouped import partitioned_group_apply
+
+        _require_int_ids(sig_ds, id_col)
+        pairs_ds = partitioned_group_apply(
+            cand_ds, ["bh"], _pairs_partition_fn(id_col, max_bucket),
+            num_partitions=spill_partitions)
+        texts = ds.select_columns([id_col, text_col])
+        with_a = _attach_value(pairs_ds, texts, id_col, "src",
+                               {"dst": pa.int64()}, text_col, "text_a",
+                               pa.string(), spill_partitions)
+        with_b = _attach_value(with_a, texts, id_col, "dst",
+                               {"src": pa.int64(), "text_a": pa.string()},
+                               text_col, "text_b", pa.string(),
+                               spill_partitions)
+
+        def verify_batch(b: pd.DataFrame) -> pd.DataFrame:
+            if len(b) == 0:
+                return pd.DataFrame({"src": pd.Series([], dtype=np.int64),
+                                     "dst": pd.Series([], dtype=np.int64)})
+            ok = [grams_jaccard_ok(ta, tb)
+                  for ta, tb in zip(b["text_a"], b["text_b"])]
+            return b.loc[ok, ["src", "dst"]]
+
+        ver = with_b.map_batches(verify_batch, batch_format="pandas")
+        labels = connected_components(ver, "src", "dst",
+                                      num_partitions=spill_partitions)
+        out = _spill_cluster_output(sig_ds, id_col, labels, spill_partitions)
+        return out.drop_columns(["cluster_size"])
+
+    cand_rows = cand_ds.to_pandas()
+    pairs = _pairs_from_bucket_rows(cand_rows["bh"].to_numpy(),
+                                    cand_rows[id_col].to_numpy(), max_bucket)
 
     verified: set[tuple] = set()
     if pairs:
@@ -852,7 +963,9 @@ def embedding_cosine_dedup(ds: rd.Dataset, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.95, n_planes: int = 12,
                            seed: int = 42, batch_size: int = 4096,
-                           max_bucket: int = 2000) -> rd.Dataset:
+                           max_bucket: int = 2000,
+                           spill_pairs_threshold: int = 5_000_000,
+                           spill_partitions: int = 64) -> rd.Dataset:
     """Embedding near-dup: random-hyperplane LSH buckets (sign bits of
     ``X @ P``) over L2-normalized vectors; within-bucket pairwise cosine is
     computed IN-CLUSTER via ``groupby(bucket).map_groups`` (≤ 2^n_planes
@@ -895,8 +1008,17 @@ def embedding_cosine_dedup(ds: rd.Dataset, id_col: str = "vec_id",
         b = np.maximum(ids[ii], ids[jj])
         return pd.DataFrame({"pa_": a, "pb_": b})
 
-    vdf = hashed.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
+    pairs_ds = hashed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas").materialize()
+    if pairs_ds.count() > spill_pairs_threshold:
+        # verification already ran in-cluster; only clustering + labeling
+        # escalate: CC over the pair Dataset, partitioned label join
+        _require_int_ids(hashed, id_col)
+        labels = connected_components(pairs_ds, "pa_", "pb_",
+                                      num_partitions=spill_partitions)
+        out = _spill_cluster_output(hashed, id_col, labels, spill_partitions)
+        return out.drop_columns(["cluster_size"])
+    vdf = pairs_ds.to_pandas()
     verified = ({(a, b) for a, b in zip(vdf["pa_"], vdf["pb_"])}
                 if len(vdf) and "pa_" in vdf.columns else set())
     clusters, sizes = _union_find_clusters(verified)

@@ -435,3 +435,57 @@ def test_grouped_quantile_digest_tolerance():
     rel = np.abs(got.to_numpy() - exact.sort_index().to_numpy()) / exact.sort_index().to_numpy()
     assert len(got) == 20
     assert rel.max() < 0.05  # t-digest median within 5% on lognormal
+
+
+def test_simhash_spill_matches_driver_path():
+    from driftray.ops.dedup import simhash_dedup
+
+    df = _dup_corpus(50, 10)
+    ds = rd.from_pandas(df).repartition(4)
+    driver = (simhash_dedup(ds).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    spilled = (simhash_dedup(ds, spill_threshold=0, spill_partitions=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        driver[["doc_id", "cluster_id", "is_duplicate"]],
+        spilled[["doc_id", "cluster_id", "is_duplicate"]], check_dtype=False)
+
+
+def test_ngram_spill_matches_driver_path():
+    from driftray.ops.dedup import ngram_jaccard_dedup
+
+    df = _dup_corpus(40, 8)
+    ds = rd.from_pandas(df).repartition(4)
+    driver = (ngram_jaccard_dedup(ds, threshold=0.5).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    spilled = (ngram_jaccard_dedup(ds, threshold=0.5, spill_threshold=0,
+                                   spill_partitions=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert driver["is_duplicate"].sum() > 0
+    pd.testing.assert_frame_equal(
+        driver[["doc_id", "cluster_id", "is_duplicate"]],
+        spilled[["doc_id", "cluster_id", "is_duplicate"]], check_dtype=False)
+
+
+def test_embedding_spill_matches_driver_path():
+    from driftray.ops.dedup import embedding_cosine_dedup
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(8, 32))
+    vecs = []
+    for i in range(64):
+        v = base[i % 8] + (rng.normal(size=32) * (0.001 if i < 16 else 3.0))
+        vecs.append(v)
+    df = pd.DataFrame({"vec_id": np.arange(64)})
+    df["embedding"] = vecs
+    ds = rd.from_pandas(df).repartition(4)
+    driver = (embedding_cosine_dedup(ds, threshold=0.98).to_pandas()
+              .sort_values("vec_id").reset_index(drop=True))
+    spilled = (embedding_cosine_dedup(ds, threshold=0.98,
+                                      spill_pairs_threshold=0,
+                                      spill_partitions=4)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert driver["is_duplicate"].sum() > 0
+    pd.testing.assert_frame_equal(
+        driver[["vec_id", "cluster_id", "is_duplicate"]],
+        spilled[["vec_id", "cluster_id", "is_duplicate"]], check_dtype=False)
