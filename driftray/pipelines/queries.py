@@ -1095,6 +1095,56 @@ def nq_frame_sample(sf_dir: str):
     return out[["media_id", "frame_idx", "frame_ms"]]
 
 
+def nq_png_decode(sf_dir: str):
+    """REAL image decode (dependency-free baseline-PNG codec, ops/png.py)
+    through the actor pool: deterministic images round-trip through actual
+    PNG bytes — the non-stubbed multimodal path."""
+    from ..ops.multimodal import MEDIA_SCHEMA, decode_images
+    from ..ops.png import encode_png
+
+    rng = np.random.default_rng(21)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(100):
+        img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["format"].append("png")
+        rows["payload"].append(encode_png(img))
+        rows["width"].append(16)
+        rows["height"].append(16)
+        rows["sample_rate"].append(0)
+        rows["duration_ms"].append(0)
+    media = rd.from_arrow(pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA))
+    out = decode_images(media, decoder="png").to_pandas()
+    out["mean_r"] = [float(np.round(v[0], 3)) for v in out["mean_rgb"]]
+    return (out[["media_id", "kind", "format", "mean_r"]]
+            .sort_values("media_id").reset_index(drop=True))
+
+
+def nq_audio_features(sf_dir: str):
+    """REAL WAV decode (stdlib wave) through the actor pool: rms/peak/
+    duration features per clip."""
+    from ..ops.multimodal import MEDIA_SCHEMA, decode_audio, encode_wav
+
+    rng = np.random.default_rng(22)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(100):
+        samples = (rng.normal(0, 2000 + 100 * i, size=800)).astype(np.int16)
+        rows["media_id"].append(i)
+        rows["kind"].append("audio")
+        rows["format"].append("wav")
+        rows["payload"].append(encode_wav(samples, 16000))
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["sample_rate"].append(16000)
+        rows["duration_ms"].append(50)
+    media = rd.from_arrow(pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA))
+    out = decode_audio(media).to_pandas()
+    out["rms"] = np.round(out["rms"], 3)
+    return (out[["media_id", "rms", "peak", "decoded_ms", "sample_rate"]]
+            .sort_values("media_id").reset_index(drop=True))
+
+
 def nq_validate_documents(sf_dir: str):
     """Flagship validation pass over the documents table: verdict rows."""
     from ..pipeline import validate_dataset
@@ -1175,6 +1225,8 @@ NONSQL_QUERIES = {
     "nq_lang_median_digest": nq_lang_median_digest,
     "nq_multimodal_decode": nq_multimodal_decode,
     "nq_frame_sample": nq_frame_sample,
+    "nq_png_decode": nq_png_decode,
+    "nq_audio_features": nq_audio_features,
     "nq_validate_documents": nq_validate_documents,
     "nq_validate_events": nq_validate_events,
 }
