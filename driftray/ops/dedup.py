@@ -242,20 +242,19 @@ def connected_components(edges: rd.Dataset, src: str = "src",
     candidate pair set outgrows the driver union-find
     (``_union_find_clusters``).
 
-    Each round has two vectorized halves, both executed via
-    ``ops.grouped.partitioned_group_apply`` (O(P) Python callbacks per
-    step, NOT one per node — the forward step previously ran
-    ``groupby(node).map_groups``, the exact per-group melt this engine
-    benchmarked at 61 s / 640 k groups):
-
-    1. neighbor-min — every edge forwards each endpoint's label to the
-       other endpoint; per hash partition one pandas merge resolves ALL
-       keys' labels and one C-kernel ``groupby(node).min`` adopts the
-       smallest candidate;
-    2. pointer doubling — label(v) ← label(label(v)), the same
-       union + partition + merge shape, which collapses chains in
-       O(log diameter) rounds (star pairing produces chain-shaped pair
-       sets, so plain O(diameter) propagation is not enough).
+    Each round is ONE fused neighbor-min pass (two shuffles: forward,
+    min), executed via ``ops.grouped.partitioned_group_apply`` (O(P)
+    Python callbacks per step, NOT one per node — the forward step
+    previously ran ``groupby(node).map_groups``, the exact per-group
+    melt this engine benchmarked at 61 s / 640 k groups).  Pointer
+    doubling is FUSED into the forward step instead of running as a
+    third shuffle: the current label map contributes derived POINTER
+    EDGES (v, label(v)) alongside the static edges, so the partition
+    keyed by label(v) sends label(label(v)) back to v in the same merge
+    that handles graph neighbors.  That collapses chains in
+    O(log diameter) rounds (star pairing produces chain-shaped pair
+    sets, so plain O(diameter) propagation is not enough) at 2 shuffles
+    per round instead of the former forward/min/double 3.
 
     Labels are monotone non-increasing integers (label ≤ node id holds
     inductively), so convergence is detected EXACTLY by an unchanged
@@ -311,18 +310,19 @@ def connected_components(edges: rd.Dataset, src: str = "src",
                .rename("label").reset_index())
         return res
 
-    def double_partition(g: pd.DataFrame) -> pd.DataFrame:
-        """label(v) ← label(label(v)): rows (key=label(v), asker=v) look up
-        rows (key=node, lab=label(node)) — one merge per partition."""
-        labmap = g.loc[g["asker"].isna(), ["key", "lab"]]
-        ask = g.loc[g["asker"].notna(), ["key", "asker"]]
-        res = ask.merge(labmap, on="key", how="left")
-        # a label that is its own component root may have no row here if it
-        # never asked — but every node asks, and label ≤ node ids present,
-        # so labmap covers all keys; left-merge guards the empty partition
-        lab = res["lab"].fillna(res["key"]).to_numpy(dtype=np.int64)
-        return pd.DataFrame({"node": res["asker"].to_numpy(dtype=np.int64),
-                             "label": lab})
+    def pointer_rows_fn(t: pa.Table) -> pa.Table:
+        """Derived edges (v, label(v)) for label(v) != v — fuses pointer
+        doubling into the forward step: the partition holding label(v)'s
+        own label row answers with label(label(v)) in the same merge."""
+        n = np.asarray(t["node"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        l = np.asarray(t["label"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        m = n != l
+        n, l = n[m], l[m]
+        return pa.table({"key": pa.array(np.concatenate([n, l])),
+                         "partner": pa.array(np.concatenate([l, n])),
+                         "lab": pa.nulls(2 * len(n), pa.int64())})
 
     def label_sum(lab_ds: rd.Dataset) -> int:
         from ray.data.aggregate import Sum
@@ -333,27 +333,16 @@ def connected_components(edges: rd.Dataset, src: str = "src",
     prev_sum = label_sum(labels)
     converged = False
     for _ in range(max_iters):
-        # 1. neighbor-min: union label + edge rows, resolve per partition
+        # fused neighbor-min + pointer doubling: label rows answer for
+        # static edges AND derived pointer edges (v, label(v)) in one
+        # forward/min pass — 2 shuffles per round
         msgs = partitioned_group_apply(
-            lab_rows_of(labels).union(edges.map_batches(
-                edge_rows_fn, batch_format="pyarrow")),
+            lab_rows_of(labels).union(
+                edges.map_batches(edge_rows_fn, batch_format="pyarrow"),
+                labels.map_batches(pointer_rows_fn, batch_format="pyarrow")),
             ["key"], forward_partition, num_partitions=num_partitions)
         labels = partitioned_group_apply(
             msgs, ["node"], min_partition,
-            num_partitions=num_partitions).materialize()
-
-        # 2. pointer doubling: label(label(v)) via the same union trick
-        ask_rows = labels.map_batches(
-            lambda t: pa.table({"key": t["label"], "asker": t["node"],
-                                "lab": pa.nulls(t.num_rows, pa.int64())}),
-            batch_format="pyarrow")
-        have_rows = labels.map_batches(
-            lambda t: pa.table({"key": t["node"],
-                                "asker": pa.nulls(t.num_rows, pa.int64()),
-                                "lab": t["label"]}),
-            batch_format="pyarrow")
-        labels = partitioned_group_apply(
-            ask_rows.union(have_rows), ["key"], double_partition,
             num_partitions=num_partitions).materialize()
 
         s = label_sum(labels)
