@@ -27,37 +27,59 @@ def _normalize(X: np.ndarray) -> np.ndarray:
 
 def brute_force_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     metric: str = "cosine", batch_size: int = 8192) -> pa.Table:
+                     metric: str = "cosine", batch_size: int = 8192,
+                     mask_col: str | None = None,
+                     query_mask: np.ndarray | None = None) -> pa.Table:
     """Exact top-k per query row.  Returns (query_id, vec_id, score) sorted
-    by (query_id, score desc, vec_id)."""
+    by (query_id, score desc, vec_id).
+
+    ``mask_col``/``query_mask`` restrict which vectors compete for which
+    queries (IVF semantics): ``query_mask`` is a boolean (n_groups, q)
+    matrix — broadcast once via ``ray.put`` — and a vector with group id
+    ``g`` (its ``mask_col`` value) only scores for queries where
+    ``query_mask[g, qi]`` is True.  Masked scores never reach the merge."""
     Q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     if metric == "cosine":
         Q = _normalize(Q)
     q_ref = ray.put(Q)
+    m_ref = ray.put(query_mask) if query_mask is not None else None
 
     class Scorer:
         def __init__(self):
             self.Q = ray.get(q_ref)
+            self.M = ray.get(m_ref) if m_ref is not None else None
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:     # filters upstream can emit empty blocks
+                return pd.DataFrame({"query_id": np.array([], dtype=np.int64),
+                                     id_col: batch[id_col],
+                                     "score": np.array([], dtype=np.float64)})
             X = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
             if metric == "cosine":
                 X = _normalize(X)
             sims = X @ self.Q.T                      # (n, q)
+            if self.M is not None:
+                # hive-inferred partition values arrive as strings
+                g = batch[mask_col].to_numpy()
+                if g.dtype.kind not in "iu":
+                    g = g.astype(np.int64)
+                allowed = self.M[g]                           # (n, q)
+                sims = np.where(allowed, sims, -np.inf)
             n, q = sims.shape
             kk = min(k, n)
-            # local top-k per query, vectorized argpartition
+            # local top-k per query, vectorized argpartition + gather
             idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (k, q)
             ids = batch[id_col].to_numpy()
-            out = {"query_id": [], id_col: [], "score": []}
-            for qi in range(q):
-                rows = idx[:, qi]
-                out["query_id"].extend([qi] * kk)
-                out[id_col].extend(ids[rows].tolist())
-                out["score"].extend(sims[rows, qi].tolist())
-            return pd.DataFrame(out)
+            qcol = np.repeat(np.arange(q), kk)
+            icol = ids[idx].T.ravel()
+            scol = np.take_along_axis(sims, idx, axis=0).T.ravel()
+            out = pd.DataFrame({"query_id": qcol, id_col: icol, "score": scol})
+            if self.M is not None:
+                out = out[np.isfinite(out["score"].to_numpy())]
+            return out
 
-    local = ds.select_columns([id_col, vec_col]).map_batches(
+    cols = [id_col, vec_col] + ([mask_col] if mask_col else [])
+    local = ds.select_columns(cols).map_batches(
         Scorer, batch_format="pandas", batch_size=batch_size, concurrency=(1, 4))
     pdf = local.to_pandas()  # ≤ k × q × n_batches rows — tiny
     pdf = (pdf.sort_values(["query_id", "score", id_col],
@@ -152,31 +174,33 @@ def ivf_query_index(index_dir: str, queries: np.ndarray, k: int = 10,
         return pa.table({"query_id": pa.array([], pa.int64()),
                          id_col: pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
+    # hive-partition inference recovers ``ivf_cluster`` from the paths, so
+    # the per-query probe mask can apply inside the scorer
     pruned = rd.read_parquet(paths)
-    res = brute_force_topk(pruned, Q, k=k * 4, id_col=id_col, vec_col=vec_col)
-    pdf = res.to_pandas()
-    out = (pdf.sort_values(["query_id", "score", id_col],
-                           ascending=[True, False, True], kind="stable")
-           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
-    return pa.Table.from_pandas(out, preserve_index=False)
+    mask = np.zeros((len(centers), len(Q)), dtype=bool)             # (c, q)
+    for qi in range(len(Q)):
+        mask[probe[qi], qi] = True
+    return brute_force_topk(pruned, Q, k=k, id_col=id_col, vec_col=vec_col,
+                            mask_col="ivf_cluster", query_mask=mask)
 
 
 def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
              n_clusters: int = 16, nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42) -> pa.Table:
     """IVF ANN: probe only the ``nprobe`` clusters nearest each query —
-    scans ~nprobe/n_clusters of the corpus instead of all of it."""
+    scans ~nprobe/n_clusters of the corpus instead of all of it.  True
+    IVF semantics: a vector competes ONLY for queries that probe its
+    cluster (per-query boolean mask applied inside the scorer), not a
+    post-hoc filter — un-probed (vector, query) scores are never
+    computed into the merge."""
     centers, assigned = build_ivf_index(ds, n_clusters, id_col, vec_col, seed=seed)
     Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe = np.argsort(-(Q @ centers.T), axis=1)[:, :nprobe]        # (q, nprobe)
     wanted = set(np.unique(probe).tolist())
     pruned = assigned.map_batches(
         lambda b, w=wanted: b[b["ivf_cluster"].isin(w)], batch_format="pandas")
-    # per-query mask: a vector competes only for queries probing its cluster
-    res = brute_force_topk(pruned, Q, k=max(k * 4, k), id_col=id_col,
-                           vec_col=vec_col)
-    pdf = res.to_pandas()
-    out = (pdf.sort_values(["query_id", "score", id_col],
-                           ascending=[True, False, True], kind="stable")
-           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
-    return pa.Table.from_pandas(out, preserve_index=False)
+    mask = np.zeros((len(centers), len(Q)), dtype=bool)             # (c, q)
+    for qi in range(len(Q)):
+        mask[probe[qi], qi] = True
+    return brute_force_topk(pruned, Q, k=k, id_col=id_col, vec_col=vec_col,
+                            mask_col="ivf_cluster", query_mask=mask)
