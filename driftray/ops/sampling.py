@@ -1,0 +1,158 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+At 100 TB a sample cannot come from a stateful RNG: it must be
+(a) **reproducible** across re-runs and resumed partitions, (b)
+**consistent** — the same key always lands in the same split, even when
+the corpus grows — and (c) **coordination-free**, computable per batch
+with no shared state.  Hashing the key gives all three: every operator
+here is a stateless ``map_batches`` filter/labeler, so the Dataset
+streams and nothing shuffles.
+
+Two hash backends, same semantics:
+
+* ``method="md5"`` — cross-engine verifiable: DuckDB's ``md5()``
+  produces byte-identical digests, so samples/splits are checkable by a
+  SQL oracle (see q37–q39 in ``pipelines/queries.py``).  ~1 M keys/s per
+  core (per-row C hashlib call — the price of a standard digest).
+* ``method="fast"`` — vectorized splitmix64 over int64 keys (numpy
+  only, ~100 M keys/s per core) for production scale.  Same API and
+  statistical behavior, not SQL-verifiable.
+
+The sampling *decision* uses the first 8 hex chars (32 bits) of the
+digest compared against a fixed-width hex threshold — lexicographic
+comparison of fixed-width lowercase hex equals numeric comparison, and
+DuckDB's ``substr(md5(..), 1, 8) < '<hex>'`` evaluates the identical
+predicate (reference parity anchor: the reference selects per-source
+subsets by fixed caps, ``/root/reference/src/data_sources/web/news.py:26``;
+deterministic fractions are the scale generalization).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+_HEX_BITS = 32  # sampling decisions use the first 8 hex chars
+
+
+def fraction_to_hex(fraction: float) -> str:
+    """The 8-char lowercase hex threshold t such that
+    P[digest[:8] < t] == fraction (up to 2**-32 quantization).  Embed the
+    SAME literal in the SQL oracle so both engines evaluate one predicate."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(round(fraction * (1 << _HEX_BITS))),
+                      (1 << _HEX_BITS) - 1), "08x")
+
+
+def md5_hex(keys, seed: int = 42) -> np.ndarray:
+    """Lowercase 32-char md5 hexdigests of ``f"{seed}:{key}"`` — identical
+    to DuckDB's ``md5(CAST(seed AS VARCHAR) || ':' || CAST(key AS VARCHAR))``."""
+    pre = f"{seed}:".encode()
+    return np.array([hashlib.md5(pre + str(k).encode()).hexdigest()
+                     for k in keys], dtype=object)
+
+
+def _splitmix64(keys: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain constants) → uint64."""
+    z = keys.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def _unit_hash(keys, seed: int, method: str) -> np.ndarray:
+    """Map keys to floats uniform on [0, 1) — shared by both backends."""
+    if method == "md5":
+        h = md5_hex(keys, seed)
+        vals = np.array([int(d[:8], 16) for d in h], dtype=np.uint64)
+        return vals / float(1 << _HEX_BITS)
+    if method == "fast":
+        k = np.asarray(keys)
+        if k.dtype.kind not in "iu":
+            raise TypeError("method='fast' needs integer keys; use 'md5' "
+                            "for strings or pre-hash them")
+        return _splitmix64(k, seed) / float(1 << 64)
+    raise ValueError(f"unknown method {method!r} (want 'md5' or 'fast')")
+
+
+def hash_sample(ds: rd.Dataset, key_col: str, fraction: float,
+                seed: int = 42, method: str = "md5") -> rd.Dataset:
+    """Keep rows whose key hashes below ``fraction`` — a deterministic,
+    resume-stable Bernoulli(fraction) sample.  Pure streaming filter:
+    no shuffle, no driver state, safe on any corpus size."""
+    thr = fraction  # compare in unit space; md5 path quantizes identically
+    if method == "md5":
+        thr = int(fraction_to_hex(fraction), 16) / float(1 << _HEX_BITS)
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return b
+        u = _unit_hash(b[key_col].to_numpy(), seed, method)
+        return b[u < thr]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def hash_split(ds: rd.Dataset, key_col: str, weights: dict[str, float],
+               seed: int = 42, method: str = "md5") -> rd.Dataset:
+    """Label every row with a split name (``train``/``val``/``test``…)
+    by cumulative hash buckets.  Deterministic and growth-consistent: a
+    key keeps its split when new data arrives.  Streaming labeler — one
+    vectorized ``searchsorted`` per batch, no shuffle."""
+    total = sum(weights.values())
+    if not np.isclose(total, 1.0):
+        raise ValueError(f"weights must sum to 1, got {total}")
+    names = list(weights)
+    cum = np.cumsum([weights[n] for n in names])
+    if method == "md5":
+        # quantize cut points exactly as the SQL oracle's hex literals do
+        cum = np.array([int(fraction_to_hex(c), 16) / float(1 << _HEX_BITS)
+                        for c in cum])
+    cum[-1] = 1.0 + 1e-9  # the last bucket owns the top edge
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            b = b.copy()
+            b["split"] = pd.Series([], dtype=str)
+            return b
+        u = _unit_hash(b[key_col].to_numpy(), seed, method)
+        idx = np.searchsorted(cum, u, side="right")
+        b = b.copy()
+        b["split"] = np.array(names, dtype=object)[idx]
+        return b
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def stratified_sample_n(ds: rd.Dataset, group_col: str, key_col: str,
+                        n: int, seed: int = 42,
+                        columns: list[str] | None = None) -> pd.DataFrame:
+    """Exactly-n-per-group deterministic sample: the n keys with the
+    SMALLEST md5 digests within each group.  Rides ``grouped_top_k``'s
+    partial-top-k kernel — every batch reduces to ≤ n rows per group it
+    contains, so no worker materializes a group and hot groups cannot
+    straggle.  The full 32-char digest orders (collision odds ~2**-128),
+    making the result unique and SQL-checkable via
+    ``row_number() OVER (PARTITION BY g ORDER BY md5(..), key)``."""
+    from .grouped import grouped_top_k
+
+    cols = columns or [group_col, key_col]
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[cols].copy()
+        b["_h"] = md5_hex(b[key_col].to_numpy(), seed)
+        return b
+
+    hashed = ds.select_columns(cols).map_batches(add_hash,
+                                                 batch_format="pandas")
+    out = grouped_top_k(hashed, [group_col], "_h", n, descending=False,
+                        columns=cols + ["_h"])
+    return out.drop(columns=["_h"]).reset_index(drop=True)

@@ -639,6 +639,44 @@ def q36_text_stats(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def q37_hash_sample(sf_dir: str):
+    """Deterministic 20% Bernoulli sample of documents by md5(key) —
+    resume-stable and coordination-free (ops/sampling.hash_sample); the
+    oracle evaluates the IDENTICAL hex-threshold predicate in DuckDB."""
+    from ..ops.sampling import hash_sample
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    return hash_sample(ds, "doc_id", 0.2, seed=42, method="md5")
+
+
+def q38_hash_split(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10) by cumulative md5
+    buckets — a key keeps its split as the corpus grows
+    (ops/sampling.hash_split)."""
+    from ..ops.sampling import hash_split
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+    return hash_split(ds, "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1},
+                      seed=42, method="md5")
+
+
+def q39_stratified_sample(sf_dir: str):
+    """Exactly-3-per-lang deterministic sample: smallest md5 digests per
+    group via the partial-top-k kernel (no per-group materialization);
+    the oracle is a row_number() window over the same digest order."""
+    from ..ops.sampling import stratified_sample_n
+
+    return stratified_sample_n(_t(sf_dir, "documents", ["doc_id", "lang"]),
+                               "lang", "doc_id", 3, seed=42)
+
+
+def _sample_hex(fraction: float) -> str:
+    from ..ops.sampling import fraction_to_hex
+
+    return fraction_to_hex(fraction)
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -821,6 +859,28 @@ ORACLE_SQL: dict[str, str] = {
                                        'it','that','for','on','with'], w)))
                    AS n_stop
         FROM documents""",
+    "q37_hash_sample": f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE SUBSTR(MD5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < '{_sample_hex(0.2)}'""",
+    "q38_hash_split": f"""
+        SELECT doc_id,
+               CASE WHEN h < '{_sample_hex(0.8)}' THEN 'train'
+                    WHEN h < '{_sample_hex(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     SUBSTR(MD5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+              FROM documents)""",
+    "q39_stratified_sample": """
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY MD5('42:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rn
+            FROM documents)
+        WHERE rn <= 3""",
 }
 
 SQL_QUERIES = {
@@ -860,6 +920,9 @@ SQL_QUERIES = {
     "q34_token_budget_mix": q34_token_budget_mix,
     "q35_norm_fingerprints": q35_norm_fingerprints,
     "q36_text_stats": q36_text_stats,
+    "q37_hash_sample": q37_hash_sample,
+    "q38_hash_split": q38_hash_split,
+    "q39_stratified_sample": q39_stratified_sample,
 }
 
 
