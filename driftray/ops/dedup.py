@@ -48,6 +48,49 @@ from ..sketches import hash64
 
 _SEED_MIX = np.uint64(0x9E3779B97F4A7C15)
 
+# adaptive spill sizing: the driver-side fallback (pandas candidate rows +
+# pair set + union-find) costs roughly this many bytes per candidate row,
+# measured conservative (8 B key + 8 B id + pandas block + pair/UF maps)
+_SPILL_BYTES_PER_ROW = 128
+_SPILL_HEADROOM_FRACTION = 0.10       # of MemAvailable
+_SPILL_FLOOR = 200_000                 # never spill below this (fixed job
+_SPILL_CEIL = 50_000_000               # cost dominates); never trust more
+
+
+def _available_memory_bytes() -> int:
+    """Driver-visible available memory: cgroup limit minus usage when a
+    container bounds us below the host, else /proc/meminfo MemAvailable.
+    Conservative fallback: 4 GiB."""
+    try:  # cgroup v2
+        with open("/sys/fs/cgroup/memory.max") as f:
+            lim = f.read().strip()
+        if lim != "max":
+            with open("/sys/fs/cgroup/memory.current") as f:
+                return max(0, int(lim) - int(f.read().strip()))
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 4 << 30
+
+
+def _resolve_spill_threshold(explicit: int | None) -> int:
+    """``spill_threshold=None`` → derive a candidate-row budget from the
+    driver's actual memory headroom (10% of available / ~128 B per row,
+    clamped to [200 k, 50 M]) so a constrained driver escalates to the
+    distributed path earlier and a large one avoids needless spill jobs.
+    An explicit integer always wins (tests force 0)."""
+    if explicit is not None:
+        return explicit
+    budget = int(_available_memory_bytes() * _SPILL_HEADROOM_FRACTION
+                 // _SPILL_BYTES_PER_ROW)
+    return max(_SPILL_FLOOR, min(budget, _SPILL_CEIL))
+
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Word k-gram shingle hashes (uint64)."""
@@ -660,7 +703,7 @@ def minhash_lsh_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                       jaccard_threshold: float = 0.8,
                       batch_size: int = 2048,
                       max_bucket: int = 4096,
-                      spill_threshold: int = 2_000_000,
+                      spill_threshold: int | None = None,
                       spill_partitions: int = 64) -> rd.Dataset:
     """Near-duplicate clustering: (id, cluster_id, is_duplicate, cluster_size).
 
@@ -701,6 +744,7 @@ def minhash_lsh_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     cand_ds = band_ds.map_batches(
         _BucketFilter, fn_constructor_args=(keys_ref,),
         batch_format="pandas", concurrency=(1, 4)).materialize()
+    spill_threshold = _resolve_spill_threshold(spill_threshold)
     if cand_ds.count() > spill_threshold:
         return _minhash_spill(sig_ds, cand_ds, id_col, jaccard_threshold,
                               max_bucket, spill_partitions)
@@ -840,7 +884,7 @@ def _simhash_verified_pairs_fn(id_col: str, max_bucket: int,
 def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, batch_size: int = 2048,
                   max_bucket: int = 4096,
-                  spill_threshold: int = 2_000_000,
+                  spill_threshold: int | None = None,
                   spill_partitions: int = 64) -> rd.Dataset:
     """SimHash near-dup clustering, distributed like ``minhash_lsh_dedup``:
     band rows carry the 8-byte fingerprint, so the (small) duplicate-bucket
@@ -862,6 +906,7 @@ def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
         _BucketFilter, fn_constructor_args=(keys_ref,),
         batch_format="pandas", concurrency=(1, 4)).materialize()
 
+    spill_threshold = _resolve_spill_threshold(spill_threshold)
     if cand_ds.count() > spill_threshold:
         from .grouped import partitioned_group_apply
 
@@ -891,7 +936,7 @@ def ngram_jaccard_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                         num_bands: int = 16, batch_size: int = 2048,
                         max_bucket: int = 4096,
                         verify_partitions: int = 8,
-                        spill_threshold: int = 2_000_000,
+                        spill_threshold: int | None = None,
                         spill_partitions: int = 64) -> rd.Dataset:
     """Exact character-n-gram Jaccard dedup: MinHash-LSH proposes candidate
     pairs; verification joins each pair with its two texts IN-CLUSTER
@@ -928,6 +973,7 @@ def ngram_jaccard_dedup(ds: rd.Dataset, id_col: str = "doc_id",
         ga, gb = grams(ta or ""), grams(tb or "")
         return len(ga & gb) / max(1, len(ga | gb)) >= threshold
 
+    spill_threshold = _resolve_spill_threshold(spill_threshold)
     if cand_ds.count() > spill_threshold:
         # full escalation: pairs per partition, texts attached via the
         # sparse-safe lookup (the corpus text streams through the shuffle
@@ -1013,7 +1059,7 @@ def embedding_cosine_dedup(ds: rd.Dataset, id_col: str = "vec_id",
                            threshold: float = 0.95, n_planes: int = 12,
                            seed: int = 42, batch_size: int = 4096,
                            max_bucket: int = 2000,
-                           spill_pairs_threshold: int = 5_000_000,
+                           spill_pairs_threshold: int | None = None,
                            spill_partitions: int = 64) -> rd.Dataset:
     """Embedding near-dup: random-hyperplane LSH buckets (sign bits of
     ``X @ P``) over L2-normalized vectors; within-bucket pairwise cosine is
@@ -1059,6 +1105,7 @@ def embedding_cosine_dedup(ds: rd.Dataset, id_col: str = "vec_id",
 
     pairs_ds = hashed.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pandas").materialize()
+    spill_pairs_threshold = _resolve_spill_threshold(spill_pairs_threshold)
     if pairs_ds.count() > spill_pairs_threshold:
         # verification already ran in-cluster; only clustering + labeling
         # escalate: CC over the pair Dataset, partitioned label join

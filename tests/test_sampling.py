@@ -144,3 +144,33 @@ class TestStratifiedSampleN:
         df = pd.DataFrame({"doc_id": [1, 2, 3], "lang": ["en", "en", "de"]})
         out = stratified_sample_n(rds.from_pandas(df), "lang", "doc_id", 10)
         assert len(out) == 3
+
+
+class TestAdaptiveSpillThreshold:
+    def test_explicit_wins(self):
+        from driftray.ops.dedup import _resolve_spill_threshold
+
+        assert _resolve_spill_threshold(0) == 0
+        assert _resolve_spill_threshold(123) == 123
+
+    def test_adaptive_scales_with_headroom(self, monkeypatch):
+        import driftray.ops.dedup as dd
+
+        monkeypatch.setattr(dd, "_available_memory_bytes",
+                            lambda: 1 << 30)          # 1 GiB headroom
+        small = dd._resolve_spill_threshold(None)
+        monkeypatch.setattr(dd, "_available_memory_bytes",
+                            lambda: 64 << 30)         # 64 GiB headroom
+        big = dd._resolve_spill_threshold(None)
+        assert small < big
+        assert dd._SPILL_FLOOR <= small <= dd._SPILL_CEIL
+        assert dd._SPILL_FLOOR <= big <= dd._SPILL_CEIL
+        # 1 GiB * 10% / 128 B = 838,860 rows
+        assert small == 838_860
+
+    def test_tiny_headroom_clamps_to_floor(self, monkeypatch):
+        import driftray.ops.dedup as dd
+
+        monkeypatch.setattr(dd, "_available_memory_bytes",
+                            lambda: 64 << 20)         # 64 MiB
+        assert dd._resolve_spill_threshold(None) == dd._SPILL_FLOOR
