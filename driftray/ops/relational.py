@@ -525,3 +525,114 @@ def salted_groupby_agg(ds: rd.Dataset, keys: list[str], aggs: dict[str, str],
         return pa.table(out)
 
     return folded.map_batches(finalize, batch_format="pyarrow")
+
+
+def range_join(left: rd.Dataset, right: rd.Dataset, left_ts: str,
+               right_start: str, right_end: str,
+               right_values: list[str], bucket_width_s: float,
+               num_partitions: int = 32) -> rd.Dataset:
+    """Pure RANGE join (no equi key): attach ``right_values`` from every
+    right interval ``[right_start, right_end)`` containing ``left_ts``.
+
+    Naive range joins are cross products; the scale shape here is the
+    standard **bucketed interval join**: time is cut into buckets of
+    ``bucket_width_s``, each interval is REPLICATED to every bucket it
+    overlaps, each left row lands in exactly ONE bucket (its own
+    timestamp's), and a hash-shuffle equi-join on the bucket id followed
+    by the exact containment filter yields each matching (row, interval)
+    pair exactly once — no dedup pass needed.
+
+    Choose ``bucket_width_s`` ≈ the typical interval length: replication
+    factor is ceil(len/width)+1 ≤ 2 for intervals no longer than a
+    bucket, and shuffle volume stays ∝ data size.  Skew note: a bucket
+    holding a hot burst of rows is one join partition — salt upstream or
+    narrow the width if a single bucket dominates.
+
+    Inner-join semantics (unmatched left rows drop, rows matching k
+    intervals emit k output rows), mirroring SQL
+    ``FROM left JOIN right ON ts >= start AND ts < end`` (q41's oracle).
+    """
+    width_us = np.int64(round(bucket_width_s * 1_000_000))
+
+    def bucket_left(t: pa.Table) -> pa.Table:
+        tsi = pc.cast(pc.cast(t[left_ts], pa.timestamp("us")), pa.int64())
+        b = pc.floor(pc.divide(pc.cast(tsi, pa.float64()), float(width_us)))
+        return t.append_column("__bucket", pc.cast(b, pa.int64()))
+
+    def explode_right(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__bucket", pa.array([], pa.int64()))
+        s = np.asarray(pc.cast(pc.cast(t[right_start], pa.timestamp("us")),
+                               pa.int64()).to_numpy(zero_copy_only=False))
+        e = np.asarray(pc.cast(pc.cast(t[right_end], pa.timestamp("us")),
+                               pa.int64()).to_numpy(zero_copy_only=False))
+        b0 = np.floor_divide(s, width_us)
+        # last bucket the half-open interval touches: floor((e-1)/width),
+        # degenerate (e <= s) intervals keep one copy and never match
+        b1 = np.maximum(np.floor_divide(np.maximum(e - 1, s), width_us), b0)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        take = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        out = t.take(pa.array(take))
+        # per-copy bucket id: b0[row] + offset within that row's run
+        offsets = np.arange(len(take), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        return out.append_column(
+            "__bucket", pa.array(np.repeat(b0, reps) + offsets))
+
+    lt = left.map_batches(bucket_left, batch_format="pyarrow")
+    rcols = list(dict.fromkeys([right_start, right_end] + right_values))
+    rt = right.select_columns(rcols).map_batches(
+        explode_right, batch_format="pyarrow")
+
+    joined = hash_shuffle_join(lt, rt, on=["__bucket"],
+                               num_partitions=num_partitions)
+
+    left_names = [c for c in left.schema().names]
+
+    def contain_filter(t: pa.Table) -> pa.Table:
+        tsi = pc.cast(pc.cast(t[left_ts], pa.timestamp("us")), pa.int64())
+        s = pc.cast(pc.cast(t[right_start], pa.timestamp("us")), pa.int64())
+        e = pc.cast(pc.cast(t[right_end], pa.timestamp("us")), pa.int64())
+        keep = pc.and_(pc.greater_equal(tsi, s), pc.less(tsi, e))
+        t = t.filter(keep)
+        return t.select(left_names + right_values)
+
+    return joined.map_batches(contain_filter, batch_format="pyarrow")
+
+
+def pivot_counts(ds: rd.Dataset, key_col: str, pivot_col: str,
+                 pivot_values: list[str]) -> rd.Dataset:
+    """PIVOT by counts: one output row per ``key_col`` value with one
+    int64 column per entry of ``pivot_values`` holding the count of rows
+    with that (key, pivot) combination — SQL
+    ``COUNT(*) FILTER (WHERE pivot = v)`` per v (q44's oracle).
+
+    Scale shape: the pivot happens INSIDE ``map_batches`` (each batch
+    reduces to <= #keys-in-batch wide partial rows via one
+    ``pd.crosstab`` C kernel), so the shuffle that follows moves
+    pre-aggregated wide rows, not raw events — the same partial/combine
+    discipline as ``salted_groupby_agg``.  ``pivot_values`` must be the
+    (small, known) pivot domain: unknown values are ignored, matching
+    the SQL FILTER formulation.  A wide pivot (thousands of columns)
+    belongs in a (key, pivot)-grouped long table instead.
+    """
+    from ray.data.aggregate import Sum
+
+    cols = [str(v) for v in pivot_values]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({key_col: batch[key_col],
+                                 **{c: pd.Series([], dtype="int64")
+                                    for c in cols}})
+        ct = pd.crosstab(batch[key_col], batch[pivot_col])
+        ct = ct.reindex(columns=pivot_values, fill_value=0)
+        ct.columns = cols
+        out = ct.reset_index()
+        out[cols] = out[cols].astype("int64")
+        return out
+
+    partials = ds.select_columns([key_col, pivot_col]).map_batches(
+        partial, batch_format="pandas")
+    return partials.groupby(key_col).aggregate(
+        *[Sum(c, alias_name=c) for c in cols])

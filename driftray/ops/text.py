@@ -147,3 +147,90 @@ class Fingerprinter:
         batch["fingerprint"] = [self._fingerprint(t or "")
                                 for t in batch[self.text_col]]
         return batch
+
+
+def token_frequencies(ds, text_col: str = "text", top_n: int = 20,
+                      num_partitions: int = 32):
+    """Global top-N token frequencies over a text column — the
+    flat_map-then-count shape, built for scale:
+
+    1. per-batch PARTIAL combine: each batch reduces to one (token, cnt)
+       row per *distinct* token it contains (numpy ``np.unique`` over the
+       batch's whitespace-split tokens) — shuffle weight ∝ per-batch
+       vocabulary, not corpus length;
+    2. ``groupby(token).sum`` folds partials into global counts (vocab-
+       sized, several orders smaller than the corpus);
+    3. exact top-N with a deterministic (count DESC, token ASC) tie-break:
+       per-block partial top-N (the global top-N is necessarily within
+       some block's local top-N of the aggregated counts), then one tiny
+       driver-side merge of ≤ N×blocks candidate rows.
+
+    Tokenizer is a plain single-space split with empties dropped —
+    deliberately identical to SQL ``string_split(text, ' ')`` so q43's
+    DuckDB oracle is exact.
+    """
+    import pyarrow as pa
+
+    import ray.data as rd  # noqa: F401 (type context)
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        if len(texts) == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        toks = np.array(" ".join(texts).split(" "), dtype=object)
+        toks = toks[toks != ""]
+        uniq, cnt = np.unique(toks, return_counts=True)
+        return pd.DataFrame({"token": uniq, "n": cnt.astype(np.int64)})
+
+    counts = (ds.map_batches(partial_counts, batch_format="pandas")
+              .groupby("token").sum("n"))
+    # Ray names the aggregate sum(n); keep the partials' name
+    counts = counts.map_batches(
+        lambda t: t.rename_columns(["token", "n"]), batch_format="pyarrow")
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.head(top_n), preserve_index=False)
+
+    cand = counts.map_batches(local_top, batch_format="pyarrow").take_all()
+    merged = pd.DataFrame(cand).sort_values(
+        ["n", "token"], ascending=[False, True],
+        kind="mergesort").head(top_n).reset_index(drop=True)
+    return merged
+
+
+def heavy_hitters(ds, col: str, k: int = 64, top_n: int | None = None,
+                  batch_size: int = 8192) -> pd.DataFrame:
+    """Approximate heavy hitters over any column via mergeable
+    Misra-Gries summaries — the sketch path for frequency when the
+    domain is too large for an exact groupby (the exact twin is
+    ``token_frequencies``' groupby-sum; the q31 HLL pattern of
+    exact-vs-sketch applies here too).
+
+    Each batch folds into one k-counter summary (KB-scale), summaries
+    merge pairwise on the driver (<= #blocks tiny dicts — the reduce
+    tree is trivial because each summary is k entries, NOT data-sized).
+    Guarantee: any value with true frequency > n/(k+1) is present and
+    its reported count undercounts by at most ``decrements`` (returned
+    in the attrs dict).
+
+    Returns a pandas DataFrame (value, count_lb) sorted count DESC,
+    value ASC, trimmed to ``top_n`` (default k) — plus
+    ``df.attrs["decrements"]`` carrying the error bound.
+    """
+    from .. import sketches
+
+    def summarize(batch: pd.DataFrame) -> pd.DataFrame:
+        mg = sketches.MisraGries(k)
+        mg.update(batch[col].dropna().to_numpy())
+        return pd.DataFrame({"mg": [sketches.dumps(mg)]})
+
+    blobs = ds.map_batches(summarize, batch_format="pandas",
+                           batch_size=batch_size).take_all()
+    merged = sketches.merge_all(sketches.loads(r["mg"]) for r in blobs)
+    items = merged.items()[: (top_n or k)]
+    out = pd.DataFrame(items, columns=[col, "count_lb"])
+    out.attrs["decrements"] = merged.decrements
+    return out

@@ -1,0 +1,149 @@
+"""Session windows and per-key rolling aggregates.
+
+Completes the streaming-window family (SURVEY.md §2.9: count windows,
+tumbling — `drift.py`; hopping — `relational.hopping_window_flatmap`) with
+the two shapes the reference's micro-batch loop cannot express but a
+training-data/event pipeline needs:
+
+* **session windows** — gap-based activity sessions per key (the classic
+  user-sessionization step before per-session features);
+* **rolling aggregates** — sliding per-key window over the last N rows
+  (local context features: "sum of my previous 4 values").
+
+Both run on ``ops.grouped.partitioned_group_apply``: keys are
+hash-partitioned (O(P) Python callbacks, never one per key) and each
+partition is processed in ONE vectorized pandas/numpy pass over all its
+keys.  Partitioning contract: one partition's rows (~#keys/P keys) fit in
+a worker's heap; raise ``num_partitions`` with data size and salt a
+pathological hot key upstream.
+
+Reference anchor: the drift harness's windowed detector consumes
+count-based windows (/root/reference/DESIGN.md — micro-batch windows);
+session/rolling semantics are engine extensions from the LLM-pipeline
+brief, with DuckDB window-function oracles (q40/q42).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from .grouped import partitioned_group_apply
+
+
+def _epoch_us(s: pd.Series) -> np.ndarray:
+    """Timestamp series -> int64 microseconds since epoch."""
+    return s.astype("datetime64[us]").astype("int64").to_numpy()
+
+
+def session_windows(ds: rd.Dataset, key_cols: list[str], ts_col: str,
+                    gap_s: float, num_partitions: int = 64) -> rd.Dataset:
+    """Gap-based sessionization: rows of the same key whose timestamps are
+    within ``gap_s`` seconds of their predecessor share a session.
+
+    Output: one row per (key, session) with ``session_id`` (0-based per
+    key, in time order), ``n_events``, ``start_ts``, ``end_ts``.
+
+    Semantics match the SQL window-function formulation (q40's oracle):
+    a row opens a new session iff it has no predecessor in its key or
+    ``ts - prev_ts > gap``.  Tied timestamps are order-stable: the gap of
+    a tied row is 0, so all rows of a tie land in the same session
+    regardless of tie order — the result is deterministic.
+    """
+    gap_us = np.int64(round(gap_s * 1_000_000))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({**{k: df[k] for k in key_cols},
+                                 "session_id": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "start_ts": df[ts_col],
+                                 "end_ts": df[ts_col]})
+        df = df.sort_values(key_cols + [ts_col], kind="mergesort",
+                            ignore_index=True)
+        tsi = _epoch_us(df[ts_col])
+        # new-session flag: first row of a key run, or gap exceeded
+        key_change = np.zeros(len(df), dtype=bool)
+        key_change[0] = True
+        for k in key_cols:
+            v = df[k].to_numpy()
+            key_change[1:] |= v[1:] != v[:-1]
+        gap = np.empty(len(df), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = tsi[1:] - tsi[:-1]
+        new_sess = key_change | (gap > gap_us)
+        sess = np.cumsum(new_sess)  # global session id within partition
+        g = df.assign(__sess=sess).groupby("__sess", sort=True)
+        out = g.agg(**{k: (k, "first") for k in key_cols},
+                    n_events=(ts_col, "size"),
+                    start_ts=(ts_col, "min"),
+                    end_ts=(ts_col, "max")).reset_index(drop=True)
+        # 0-based session index per key (sessions are already in time
+        # order within each key because the sort was (key, ts))
+        out["session_id"] = out.groupby(key_cols, sort=False).cumcount()
+        return out[key_cols + ["session_id", "n_events",
+                               "start_ts", "end_ts"]]
+
+    return partitioned_group_apply(
+        ds.select_columns(list(dict.fromkeys(key_cols + [ts_col]))),
+        key_cols, per_partition, num_partitions=num_partitions)
+
+
+def rolling_sum_by_key(ds: rd.Dataset, key_cols: list[str],
+                       order_cols: list[str], value_col: str,
+                       window: int, out_col: str = "roll_sum",
+                       num_partitions: int = 64) -> rd.Dataset:
+    """Per-key rolling sum over the last ``window`` rows (current row
+    included), ordered by ``order_cols`` within each key — SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ord
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    ``order_cols`` must form a total order within a key (include a
+    tie-breaker id) or the window contents at ties are ambiguous.
+
+    The kernel is exact for int64 values: one prefix-sum per partition,
+    run boundaries from adjacent-key change, and the subtracted prefix
+    index clamped to each run's start — no float round-trip anywhere
+    (an int64 cumsum stays int64; q42's oracle casts to BIGINT too).
+    Output: all input columns plus ``out_col``.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values(key_cols + order_cols, kind="mergesort",
+                            ignore_index=True)
+        v = df[value_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"rolling_sum_by_key needs an integer value column for "
+                f"exactness; got {v.dtype} — pre-scale floats to int "
+                f"(e.g. cents) upstream")
+        n = len(df)
+        key_change = np.zeros(n, dtype=bool)
+        key_change[0] = True
+        for k in key_cols:
+            kv = df[k].to_numpy()
+            key_change[1:] |= kv[1:] != kv[:-1]
+        run_id = np.cumsum(key_change) - 1
+        run_start = np.flatnonzero(key_change)          # first idx per run
+        idx = np.arange(n, dtype=np.int64)
+        pos_in_run = idx - run_start[run_id]
+        cs = np.cumsum(v.astype(np.int64))
+        # prefix to subtract: cs[i - window] when the full window fits in
+        # the run, else the prefix just before the run start (0 for run 0)
+        full = pos_in_run >= window
+        sub_idx = np.where(full, idx - window, run_start[run_id] - 1)
+        prefix = np.where(sub_idx >= 0, cs[np.clip(sub_idx, 0, None)], 0)
+        out = df.copy()
+        out[out_col] = cs - prefix
+        return out
+
+    return partitioned_group_apply(ds, key_cols, per_partition,
+                                   num_partitions=num_partitions)

@@ -677,6 +677,102 @@ def _sample_hex(fraction: float) -> str:
     return fraction_to_hex(fraction)
 
 
+# -- session windows / rolling windows / range join / pivot / flat_map -------
+
+SESSION_GAP_S = 6 * 3600  # events arrive ~minutes apart; 6h gap splits runs
+
+
+def q40_session_windows(sf_dir: str):
+    """Gap-based sessionization per user (streaming W-extension; the
+    partitioned vectorized kernel — one pandas pass per hash partition,
+    never per key)."""
+    from ..ops.windowing import session_windows
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+    return session_windows(ev, ["user_id"], "ts", gap_s=SESSION_GAP_S)
+
+
+def q41_range_join(sf_dir: str):
+    """Pure range (interval containment) join, bucketed: lineitem ship
+    dates against order-derived 3-day windows — interval replication to
+    covered buckets + one hash-shuffle equi-join on the bucket id, then
+    count per interval (partial per-batch combine before the groupby)."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.relational import range_join
+
+    def sample_and_end(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False))
+        t = t.filter(pa.array(keys % 97 == 0))
+        end = pc.add(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                     pa.scalar(3 * 86400 * 1_000_000, pa.duration("us")))
+        return t.append_column("end_ts", end)
+
+    iv = (_t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+          .map_batches(sample_and_end, batch_format="pyarrow"))
+    li = _t(sf_dir, "lineitem", ["l_shipdate"])
+    joined = range_join(li, iv, left_ts="l_shipdate",
+                        right_start="o_orderdate", right_end="end_ts",
+                        right_values=["o_orderkey"],
+                        bucket_width_s=3 * 86400)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False)),
+            return_counts=True)
+        return pa.table({"o_orderkey": pa.array(keys, pa.int64()),
+                         "__n": pa.array(counts.astype(np.int64))})
+
+    return (joined.map_batches(partial_counts, batch_format="pyarrow")
+            .groupby("o_orderkey").aggregate(Sum("__n", alias_name="n_lines")))
+
+
+ROLL_WINDOW = 4
+
+
+def q42_rolling_sums(sf_dir: str):
+    """Per-user rolling sum over the last 4 events (ordered by ts then
+    event_id): exact int64 prefix-sum kernel per hash partition — values
+    pre-scaled to cents so Ray and the SQL window frame agree bit-exactly."""
+    from ..ops.windowing import rolling_sum_by_key
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                        pa.int64())
+        return t.drop_columns(["value"]).append_column("value_cents", cents)
+
+    ev = ev.map_batches(to_cents, batch_format="pyarrow")
+    out = rolling_sum_by_key(ev, ["user_id"], ["ts", "event_id"],
+                             "value_cents", window=ROLL_WINDOW,
+                             out_col="roll_sum")
+    return out.select_columns(["event_id", "user_id", "value_cents",
+                               "roll_sum"])
+
+
+def q43_top_tokens(sf_dir: str):
+    """Global top-20 token frequencies: flat_map-shaped tokenization with
+    per-batch partial combine (shuffle ∝ batch vocabulary), vocab-sized
+    groupby-sum, exact tie-broken top-N via per-block partial top-k."""
+    from ..ops.text import token_frequencies
+
+    return token_frequencies(_t(sf_dir, "documents", ["text"]),
+                             "text", top_n=20)
+
+
+PIVOT_SOURCES = [f"src{i}" for i in range(20)]
+
+
+def q44_lang_source_pivot(sf_dir: str):
+    """PIVOT: documents count per (lang × source) as a wide table —
+    per-batch crosstab partials, then a keys×values-sized groupby-sum."""
+    from ..ops.relational import pivot_counts
+
+    return pivot_counts(_t(sf_dir, "documents", ["lang", "source"]),
+                        "lang", "source", PIVOT_SOURCES)
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -881,6 +977,62 @@ ORACLE_SQL: dict[str, str] = {
                                 doc_id) AS rn
             FROM documents)
         WHERE rn <= 3""",
+    # q40: ORDER BY (ts, event_id) is a total order, so the LAG flags and
+    # the cumulative SUM agree on tied timestamps; Ray's kernel sorts by
+    # (user, ts) only, which yields the identical session partition
+    # because a tied row's gap is 0 (can never open a session).
+    "q40_session_windows": f"""
+        WITH flags AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > {SESSION_GAP_S * 1_000_000}
+                        THEN 1 ELSE 0 END AS newflag
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(newflag) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+            FROM flags)
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM sess GROUP BY user_id, sid""",
+    "q41_range_join": """
+        WITH iv AS (
+            SELECT o_orderkey, o_orderdate AS start_ts,
+                   o_orderdate + INTERVAL 3 DAY AS end_ts
+            FROM orders WHERE o_orderkey % 97 = 0)
+        SELECT iv.o_orderkey, COUNT(*) AS n_lines
+        FROM lineitem l JOIN iv
+          ON l.l_shipdate >= iv.start_ts AND l.l_shipdate < iv.end_ts
+        GROUP BY iv.o_orderkey""",
+    "q42_rolling_sums": """
+        WITH e AS (
+            SELECT event_id, user_id, ts,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+            FROM events)
+        SELECT event_id, user_id, value_cents,
+               CAST(SUM(value_cents) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS roll_sum
+        FROM e""",
+    "q43_top_tokens": """
+        SELECT token, n FROM (
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token)
+        ORDER BY n DESC, token LIMIT 20""",
+    "q44_lang_source_pivot": (
+        "SELECT lang, "
+        + ", ".join(f"COUNT(*) FILTER (WHERE source = '{s}') AS {s}"
+                    for s in PIVOT_SOURCES)
+        + " FROM documents GROUP BY lang"),
 }
 
 SQL_QUERIES = {
@@ -923,6 +1075,11 @@ SQL_QUERIES = {
     "q37_hash_sample": q37_hash_sample,
     "q38_hash_split": q38_hash_split,
     "q39_stratified_sample": q39_stratified_sample,
+    "q40_session_windows": q40_session_windows,
+    "q41_range_join": q41_range_join,
+    "q42_rolling_sums": q42_rolling_sums,
+    "q43_top_tokens": q43_top_tokens,
+    "q44_lang_source_pivot": q44_lang_source_pivot,
 }
 
 
@@ -1271,8 +1428,20 @@ def nq_curation_pipeline(sf_dir: str):
     return out.to_pandas().sort_values("lang").reset_index(drop=True)
 
 
+def nq_heavy_hitters(sf_dir: str):
+    """Approximate heavy-hitter users via mergeable Misra-Gries summaries
+    (k-counter sketch per batch, KB-scale driver merge).  The exact twin
+    is a groupby count; the pytest oracle asserts the MG guarantee
+    (every > n/(k+1)-frequent value present, counts within the bound)."""
+    from ..ops.text import heavy_hitters
+
+    return heavy_hitters(_t(sf_dir, "events", ["user_id"]),
+                         "user_id", k=64, top_n=20)
+
+
 NONSQL_QUERIES = {
     "nq_curation_pipeline": nq_curation_pipeline,
+    "nq_heavy_hitters": nq_heavy_hitters,
     "nq_minhash_dedup": nq_minhash_dedup,
     "nq_simhash_dedup": nq_simhash_dedup,
     "nq_ngram_jaccard_dedup": nq_ngram_jaccard_dedup,
