@@ -87,6 +87,13 @@ class ImageDecoder:
             from .png import decode_png
 
             self.decode = lambda payload, h, w: _as_rgb(decode_png(payload))
+        elif decoder == "jpeg":
+            # REAL codec, zero external deps: baseline-sequential JPEG
+            # (ops/jpeg.py) — honors the stream's own DQT/DHT, chroma
+            # subsampling, and restart intervals
+            from .jpeg import decode_jpeg
+
+            self.decode = lambda payload, h, w: _as_rgb(decode_jpeg(payload))
         elif decoder == "pillow":
             try:
                 import PIL.Image
@@ -104,7 +111,7 @@ class ImageDecoder:
             self.decode = _pil_decode
         else:
             raise ValueError(f"unknown decoder {decoder!r} "
-                             "(expected fake|png|pillow)")
+                             "(expected fake|png|jpeg|pillow)")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         feats, thumbs = [], []

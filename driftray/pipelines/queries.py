@@ -1341,6 +1341,35 @@ def nq_png_decode(sf_dir: str):
             .sort_values("media_id").reset_index(drop=True))
 
 
+def nq_jpeg_decode(sf_dir: str):
+    """REAL JPEG decode (dependency-free baseline codec, ops/jpeg.py)
+    through the actor pool: deterministic images round-trip through actual
+    baseline-JPEG bytes (4:4:4 and 4:2:0 interleaved).  Lossy codec, but
+    encode+decode are both deterministic, so the output is stable."""
+    from ..ops.jpeg import encode_jpeg
+    from ..ops.multimodal import MEDIA_SCHEMA, decode_images
+
+    rng = np.random.default_rng(23)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(100):
+        base = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        img = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+        rows["media_id"].append(i)
+        rows["kind"].append("image")
+        rows["format"].append("jpeg")
+        rows["payload"].append(
+            encode_jpeg(img, subsample="420" if i % 2 else "444"))
+        rows["width"].append(16)
+        rows["height"].append(16)
+        rows["sample_rate"].append(0)
+        rows["duration_ms"].append(0)
+    media = rd.from_arrow(pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA))
+    out = decode_images(media, decoder="jpeg").to_pandas()
+    out["mean_r"] = [float(np.round(v[0], 3)) for v in out["mean_rgb"]]
+    return (out[["media_id", "kind", "format", "mean_r"]]
+            .sort_values("media_id").reset_index(drop=True))
+
+
 def nq_audio_features(sf_dir: str):
     """REAL WAV decode (stdlib wave) through the actor pool: rms/peak/
     duration features per clip."""
@@ -1458,6 +1487,7 @@ NONSQL_QUERIES = {
     "nq_multimodal_decode": nq_multimodal_decode,
     "nq_frame_sample": nq_frame_sample,
     "nq_png_decode": nq_png_decode,
+    "nq_jpeg_decode": nq_jpeg_decode,
     "nq_audio_features": nq_audio_features,
     "nq_validate_documents": nq_validate_documents,
     "nq_validate_events": nq_validate_events,
