@@ -184,3 +184,58 @@ def grouped_top_k(ds: rd.Dataset, key_cols: list[str], order_col: str,
                                 kind="mergesort")
             .groupby(key_cols, sort=False, observed=True)
             .head(k).reset_index(drop=True))
+
+def grouped_corr(ds: rd.Dataset, key_cols: list[str], x_col: str,
+                 y_col: str, out_col: str = "corr") -> rd.Dataset:
+    """Pearson correlation of ``x_col`` vs ``y_col`` per key, in ONE
+    distributed pass.
+
+    Per-batch partial moment sums (n, Σx, Σy, Σx², Σy², Σxy) combine
+    inside ``map_batches`` — the shuffle carries #keys × 6 doubles, never
+    row data — then a keys-sized groupby-sum and the closed-form
+    correlation on the merged moments (sample/population normalization
+    cancels, so this equals SQL ``CORR``).  Keys with fewer than 2 rows
+    or zero variance yield null, matching DuckDB.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[x_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        y = np.asarray(t[y_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        pdf = pd.DataFrame({k: t[k].to_pandas() for k in key_cols})
+        pdf["__n"] = np.float64(1.0)
+        pdf["__sx"], pdf["__sy"] = x, y
+        pdf["__sxx"], pdf["__syy"], pdf["__sxy"] = x * x, y * y, x * y
+        g = pdf.groupby(key_cols, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(key_cols)
+            .aggregate(Sum("__n", alias_name="n"),
+                       Sum("__sx", alias_name="sx"),
+                       Sum("__sy", alias_name="sy"),
+                       Sum("__sxx", alias_name="sxx"),
+                       Sum("__syy", alias_name="syy"),
+                       Sum("__sxy", alias_name="sxy")))
+
+    def final(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False))
+        sx = np.asarray(t["sx"].to_numpy(zero_copy_only=False))
+        sy = np.asarray(t["sy"].to_numpy(zero_copy_only=False))
+        sxx = np.asarray(t["sxx"].to_numpy(zero_copy_only=False))
+        syy = np.asarray(t["syy"].to_numpy(zero_copy_only=False))
+        sxy = np.asarray(t["sxy"].to_numpy(zero_copy_only=False))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            r = cov / np.sqrt(vx * vy)
+        ok = (n >= 2) & (vx > 0) & (vy > 0)
+        out = pa.table({k: t[k] for k in key_cols})
+        return out.append_column(
+            out_col, pa.array(np.where(ok, r, np.nan), pa.float64(),
+                              mask=~ok))
+
+    return sums.map_batches(final, batch_format="pyarrow")

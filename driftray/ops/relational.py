@@ -636,3 +636,47 @@ def pivot_counts(ds: rd.Dataset, key_col: str, pivot_col: str,
         partial, batch_format="pandas")
     return partials.groupby(key_col).aggregate(
         *[Sum(c, alias_name=c) for c in cols])
+
+
+def argmax_by(ds: rd.Dataset, key_cols: list[str], value_col: str,
+              arg_col: str, max_name: str = "max_value",
+              arg_name: str = "argmax") -> rd.Dataset:
+    """Distributed ARGMAX: for each key, the ``arg_col`` value (ties
+    broken by MIN) attaining the per-key maximum of ``value_col``.
+
+    Two streaming scans, zero row-data shuffle:
+
+    1. ``groupby(key).max(value)`` — a #keys-row result (partial max
+       combines inside Ray's aggregate);
+    2. the per-key maxima broadcast via ``ray.put`` into a filter pass —
+       each batch keeps only rows equal to its key's max (exact double
+       equality: both sides carry the SAME stored values, no arithmetic)
+       — so only the winning rows (∝ #keys + ties) reach the final tiny
+       ``min(arg)`` aggregate.
+
+    Output: key_cols + ``max_name`` (the max) + ``arg_name`` (the arg).
+    The #keys-row maxima table must fit on the driver/workers (same
+    contract as every broadcast side)."""
+    mx = ds.groupby(key_cols).max(value_col).to_pandas()
+    mcol = f"max({value_col})"
+    mx = mx.rename(columns={mcol: max_name})
+    mx_ref = ray.put(mx)
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        side = ray.get(mx_ref)
+        pdf = t.select(key_cols + [value_col, arg_col]).to_pandas()
+        merged = pdf.merge(side, on=key_cols, how="inner")
+        won = merged[merged[value_col].to_numpy()
+                     == merged[max_name].to_numpy()]
+        return pa.Table.from_pandas(
+            won[key_cols + [max_name, arg_col]], preserve_index=False)
+
+    winners = ds.map_batches(keep_winners, batch_format="pyarrow")
+    out = winners.groupby(key_cols + [max_name]).min(arg_col)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [arg_name if c == f"min({arg_col})" else c
+             for c in t.schema.names])
+
+    return out.map_batches(rename, batch_format="pyarrow")

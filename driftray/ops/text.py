@@ -234,3 +234,32 @@ def heavy_hitters(ds, col: str, k: int = 64, top_n: int | None = None,
     out = pd.DataFrame(items, columns=[col, "count_lb"])
     out.attrs["decrements"] = merged.decrements
     return out
+
+
+def regex_match_counts(ds, text_col: str, group_col: str, pattern: str):
+    """Per-group counts of rows whose text matches an RE2 ``pattern``
+    (Arrow's ``match_substring_regex`` — the same regex engine DuckDB
+    uses, so oracle semantics line up exactly).
+
+    Per-batch partial combine: the shuffle carries (group, n_match,
+    n_rows) partials — #groups rows per batch — never the text.  Output:
+    ``group_col``, ``n_match``, ``n_rows``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(t[text_col], pattern)
+        pdf = pd.DataFrame({
+            group_col: t[group_col].to_pandas(),
+            "__m": np.asarray(m.to_numpy(zero_copy_only=False),
+                              dtype=np.int64),
+            "__n": np.int64(1),
+        })
+        g = pdf.groupby(group_col, as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .aggregate(Sum("__m", alias_name="n_match"),
+                       Sum("__n", alias_name="n_rows")))

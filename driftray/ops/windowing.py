@@ -147,3 +147,41 @@ def rolling_sum_by_key(ds: rd.Dataset, key_cols: list[str],
 
     return partitioned_group_apply(ds, key_cols, per_partition,
                                    num_partitions=num_partitions)
+
+def row_number_by_key(ds: rd.Dataset, key_cols: list[str],
+                      order_cols: list[str], out_col: str = "rn",
+                      num_partitions: int = 64) -> rd.Dataset:
+    """Per-key row numbering ordered by ``order_cols`` — SQL
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord)``.
+
+    ``order_cols`` must totally order rows within a key (include a
+    tie-breaker id), else numbering at ties is ambiguous.
+
+    Same shape as :func:`rolling_sum_by_key`: hash-partition by key, ONE
+    mergesort + run-boundary scan per partition covering ALL its keys —
+    no per-key callbacks, no per-key materialization.  Output: all input
+    columns plus int64 ``out_col`` (1-based).
+    """
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values(key_cols + order_cols, kind="mergesort",
+                            ignore_index=True)
+        n = len(df)
+        key_change = np.zeros(n, dtype=bool)
+        key_change[0] = True
+        for k in key_cols:
+            kv = df[k].to_numpy()
+            key_change[1:] |= kv[1:] != kv[:-1]
+        run_id = np.cumsum(key_change) - 1
+        run_start = np.flatnonzero(key_change)
+        idx = np.arange(n, dtype=np.int64)
+        out = df.copy()
+        out[out_col] = idx - run_start[run_id] + 1
+        return out
+
+    return partitioned_group_apply(ds, key_cols, per_partition,
+                                   num_partitions=num_partitions)

@@ -773,6 +773,103 @@ def q44_lang_source_pivot(sf_dir: str):
                         "lang", "source", PIVOT_SOURCES)
 
 
+# -- as-of join / corr / calendar agg / rank / argmax / regex ----------------
+
+def q45_asof_order_value(sf_dir: str):
+    """AS-OF join with a DuckDB ``ASOF JOIN`` oracle: each event picks up
+    the total price of its user's latest order ON OR BEFORE the event
+    time (J-extension; `ops/relational.asof_join` — hash-partitioned
+    multi-group merge_asof, O(P) callbacks).  The right side is first
+    collapsed to one row per (user, orderdate) — max price — so tie
+    resolution is deterministic on both sides."""
+    from ..ops.relational import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _t(sf_dir, "orders",
+                ["o_custkey", "o_orderdate", "o_totalprice"])
+    last = orders.groupby(["o_custkey", "o_orderdate"]).max("o_totalprice")
+
+    def prep(t: pa.Table) -> pa.Table:
+        ren = {"o_custkey": "user_id", "max(o_totalprice)": "last_price"}
+        return t.rename_columns([ren.get(c, c) for c in t.schema.names])
+
+    last = last.map_batches(prep, batch_format="pyarrow")
+    out = asof_join(ev, last, on=["user_id"], left_ts="ts",
+                    right_ts="o_orderdate", right_values=["last_price"],
+                    suffix="", strict=False)
+    return out.select_columns(["event_id", "user_id", "last_price"])
+
+
+def q46_price_qty_corr(sf_dir: str):
+    """Grouped Pearson correlation in one distributed pass (partial
+    moment sums — #keys×6 doubles shuffled, never rows;
+    `ops/grouped.grouped_corr`)."""
+    from ..ops.grouped import grouped_corr
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_extendedprice", "l_quantity"])
+    out = grouped_corr(ds, ["l_returnflag"], "l_extendedprice",
+                       "l_quantity", out_col="corr_pq").to_pandas()
+    return _round_cols(out, {"corr_pq": ROUND_F})
+
+
+def q47_monthly_revenue(sf_dir: str):
+    """Calendar (month) truncation + grouped aggregate — A1-family over
+    a computed date key."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def add_month(t: pa.Table) -> pa.Table:
+        m = pc.strftime(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                        "%Y-%m")
+        return pa.table({"month": m, "o_totalprice": t["o_totalprice"]})
+
+    out = (ds.map_batches(add_month, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                      Count(alias_name="n_orders"))).to_pandas()
+    return _round_cols(out, {"revenue": ROUND})
+
+
+def q48_event_rank(sf_dir: str):
+    """ROW_NUMBER per key (W-extension; `ops/windowing.row_number_by_key`
+    — hash-partitioned run-boundary kernel, no per-key callbacks)."""
+    from ..ops.windowing import row_number_by_key
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = row_number_by_key(ev, ["user_id"], ["ts", "event_id"],
+                            out_col="rn")
+    return out.select_columns(["event_id", "user_id", "rn"])
+
+
+def q49_flag_argmax_order(sf_dir: str):
+    """Distributed ARGMAX (`ops/relational.argmax_by`): per return flag,
+    the smallest l_orderkey attaining the flag's maximum extended price —
+    keys-sized broadcast of the maxima, winners-only second scan."""
+    from ..ops.relational import argmax_by
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_extendedprice", "l_orderkey"])
+    out = argmax_by(ds, ["l_returnflag"], "l_extendedprice", "l_orderkey",
+                    max_name="max_price",
+                    arg_name="argmax_orderkey").to_pandas()
+    return _round_cols(out, {"max_price": ROUND})
+
+
+DIGIT_RUN_RE = "[0-9]{3,}"
+
+
+def q50_regex_digit_docs(sf_dir: str):
+    """Per-lang regex match counts (`ops/text.regex_match_counts`) —
+    Arrow RE2 kernel per batch, #langs-row partials shuffled, matching
+    DuckDB's regexp_matches (also RE2) exactly."""
+    from ..ops.text import regex_match_counts
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    return regex_match_counts(ds, "text", "lang", DIGIT_RUN_RE)
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1033,6 +1130,46 @@ ORACLE_SQL: dict[str, str] = {
         + ", ".join(f"COUNT(*) FILTER (WHERE source = '{s}') AS {s}"
                     for s in PIVOT_SOURCES)
         + " FROM documents GROUP BY lang"),
+    "q45_asof_order_value": """
+        WITH last AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   MAX(o_totalprice) AS last_price
+            FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, l.last_price
+        FROM events e ASOF LEFT JOIN last l
+          ON e.user_id = l.user_id AND e.ts >= l.o_orderdate""",
+    "q46_price_qty_corr": f"""
+        SELECT l_returnflag,
+               ROUND(CORR(l_extendedprice, l_quantity), {ROUND_F}) AS corr_pq
+        FROM lineitem GROUP BY l_returnflag""",
+    "q47_monthly_revenue": f"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               ROUND(SUM(o_totalprice), {ROUND}) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1""",
+    "q48_event_rank": """
+        SELECT event_id, user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events""",
+    "q49_flag_argmax_order": f"""
+        WITH m AS (SELECT l_returnflag, MAX(l_extendedprice) AS mp
+                   FROM lineitem GROUP BY 1),
+             w AS (SELECT l.l_returnflag, m.mp,
+                          MIN(l.l_orderkey) AS argmax_orderkey
+                   FROM lineitem l
+                   JOIN m ON l.l_returnflag = m.l_returnflag
+                         AND l.l_extendedprice = m.mp
+                   GROUP BY 1, 2)
+        SELECT l_returnflag, ROUND(mp, {ROUND}) AS max_price,
+               argmax_orderkey
+        FROM w""",
+    "q50_regex_digit_docs": f"""
+        SELECT lang,
+               COUNT(*) FILTER (WHERE regexp_matches(text, '{DIGIT_RUN_RE}'))
+                   AS n_match,
+               COUNT(*) AS n_rows
+        FROM documents GROUP BY lang""",
 }
 
 SQL_QUERIES = {
@@ -1080,6 +1217,12 @@ SQL_QUERIES = {
     "q42_rolling_sums": q42_rolling_sums,
     "q43_top_tokens": q43_top_tokens,
     "q44_lang_source_pivot": q44_lang_source_pivot,
+    "q45_asof_order_value": q45_asof_order_value,
+    "q46_price_qty_corr": q46_price_qty_corr,
+    "q47_monthly_revenue": q47_monthly_revenue,
+    "q48_event_rank": q48_event_rank,
+    "q49_flag_argmax_order": q49_flag_argmax_order,
+    "q50_regex_digit_docs": q50_regex_digit_docs,
 }
 
 

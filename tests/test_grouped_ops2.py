@@ -1,0 +1,99 @@
+"""Unit oracles for the round-3 batch-2 operators: row_number_by_key,
+grouped_corr, argmax_by, regex_match_counts (each also oracle-checked
+end-to-end by q45-q50 in tools/check_queries.py)."""
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _events(n=2000, keys=37, seed=3):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, keys, size=n).astype(np.int64),
+        "ts": rng.integers(0, 500, size=n).astype(np.int64),
+        "v": rng.normal(10, 4, size=n),
+        "w": rng.normal(0, 1, size=n),
+    })
+
+
+def test_row_number_by_key_matches_pandas(ray_session):
+    from driftray.ops.windowing import row_number_by_key
+
+    df = _events()
+    out = (row_number_by_key(rd.from_pandas(df), ["k"], ["ts", "id"],
+                             out_col="rn", num_partitions=8)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = df.sort_values(["k", "ts", "id"], ignore_index=True)
+    exp["rn"] = exp.groupby("k").cumcount() + 1
+    exp = exp.sort_values("id").reset_index(drop=True)
+    np.testing.assert_array_equal(out["rn"].to_numpy(), exp["rn"].to_numpy())
+
+
+def test_grouped_corr_matches_pandas(ray_session):
+    from driftray.ops.grouped import grouped_corr
+
+    df = _events()
+    df["v"] = df["v"] + 0.5 * df["w"]          # real correlation
+    out = (grouped_corr(rd.from_pandas(df), ["k"], "v", "w", out_col="c")
+           .to_pandas().set_index("k")["c"])
+    exp = df.groupby("k").apply(lambda g: g["v"].corr(g["w"]),
+                                include_groups=False)
+    for k in exp.index:
+        assert out[k] == pytest.approx(exp[k], rel=1e-9, abs=1e-12)
+
+
+def test_grouped_corr_degenerate_groups(ray_session):
+    from driftray.ops.grouped import grouped_corr
+
+    df = pd.DataFrame({
+        "k": ["single", "flatx", "ok", "ok", "ok", "flatx"],
+        "x": [1.0, 2.0, 1.0, 2.0, 3.0, 2.0],
+        "y": [1.0, 5.0, 2.0, 4.0, 6.0, 9.0],
+    })
+    out = (grouped_corr(rd.from_pandas(df), ["k"], "x", "y", out_col="c")
+           .to_pandas().set_index("k")["c"])
+    assert pd.isna(out["single"])      # n < 2
+    assert pd.isna(out["flatx"])       # zero variance in x
+    assert out["ok"] == pytest.approx(1.0)
+
+
+def test_argmax_by_matches_pandas(ray_session):
+    from driftray.ops.relational import argmax_by
+
+    df = _events()
+    # plant ties: duplicate each key's max value on a smaller id
+    mx = df.loc[df.groupby("k")["v"].idxmax(), ["k", "v"]]
+    tied = mx.copy()
+    tied["id"] = -df.groupby("k")["id"].transform("max").loc[mx.index]
+    tied["ts"], tied["w"] = 0, 0.0
+    df2 = pd.concat([df, tied], ignore_index=True)
+
+    out = (argmax_by(rd.from_pandas(df2), ["k"], "v", "id",
+                     max_name="mv", arg_name="arg")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp_rows = []
+    for k, g in df2.groupby("k"):
+        m = g["v"].max()
+        exp_rows.append((k, m, g.loc[g["v"] == m, "id"].min()))
+    exp = pd.DataFrame(exp_rows, columns=["k", "mv", "arg"])
+    pd.testing.assert_frame_equal(out[["k", "mv", "arg"]], exp,
+                                  check_dtype=False)
+
+
+def test_regex_match_counts_matches_pandas(ray_session):
+    from driftray.ops.text import regex_match_counts
+
+    rng = np.random.default_rng(11)
+    texts = [f"doc {i} " + ("code 12345" if rng.random() < 0.3 else "prose")
+             for i in range(400)]
+    langs = [("en", "de", "fr")[i % 3] for i in range(400)]
+    df = pd.DataFrame({"lang": langs, "text": texts})
+    out = (regex_match_counts(rd.from_pandas(df), "text", "lang",
+                              "[0-9]{3,}")
+           .to_pandas().set_index("lang"))
+    exp = df.assign(m=df["text"].str.contains("[0-9]{3,}", regex=True))
+    for lang, g in exp.groupby("lang"):
+        assert out.loc[lang, "n_match"] == int(g["m"].sum())
+        assert out.loc[lang, "n_rows"] == len(g)
