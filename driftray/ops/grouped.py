@@ -239,3 +239,32 @@ def grouped_corr(ds: rd.Dataset, key_cols: list[str], x_col: str,
                               mask=~ok))
 
     return sums.map_batches(final, batch_format="pyarrow")
+
+def grouped_concat(ds: rd.Dataset, key_cols: list[str],
+                   order_cols: list[str], value_col: str, sep: str,
+                   out_col: str = "concat",
+                   num_partitions: int = 64) -> rd.Dataset:
+    """Ordered per-key string concatenation — SQL
+    ``STRING_AGG(value, sep ORDER BY order_cols)``.
+
+    Hash-partitioned: one callback per partition sorts ALL its keys once
+    (mergesort) and joins per key with pandas' grouped agg — no per-key
+    Ray tasks, no global sort.  ``order_cols`` must totally order rows
+    within a key.  Partitioning contract: one partition's rows and its
+    output strings fit in a worker's heap — raise ``num_partitions``
+    with data size; a pathological hot key (giant output string) should
+    be capped or salted upstream."""
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df[key_cols].copy()
+            out[out_col] = pd.Series([], dtype=object)
+            return out
+        df = df.sort_values(key_cols + order_cols, kind="mergesort",
+                            ignore_index=True)
+        g = (df.groupby(key_cols, sort=False)[value_col]
+             .agg(sep.join).reset_index())
+        return g.rename(columns={value_col: out_col})
+
+    return partitioned_group_apply(ds, key_cols, per_partition,
+                                   num_partitions=num_partitions)

@@ -870,6 +870,39 @@ def q50_regex_digit_docs(sf_dir: str):
     return regex_match_counts(ds, "text", "lang", DIGIT_RUN_RE)
 
 
+def q51_json_props_stats(sf_dir: str):
+    """Vectorized JSON field extraction (M4-family): pull the integer
+    ``k`` out of the ``props`` JSON column with ONE Arrow RE2 kernel per
+    batch (no per-row json.loads), then a grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return (ds.map_batches(extract, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("k", alias_name="sum_k"),
+                       Count(alias_name="n_events")))
+
+
+JOURNEY_SEP = ">"
+
+
+def q52_user_journeys(sf_dir: str):
+    """Per-user ordered event-type journey string (STRING_AGG ... ORDER
+    BY) via `ops/grouped.grouped_concat` — hash-partitioned, one sort +
+    grouped join per partition, never a per-key task."""
+    from ..ops.grouped import grouped_concat
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return grouped_concat(ev, ["user_id"], ["ts", "event_id"],
+                          "event_type", JOURNEY_SEP, out_col="journey")
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1170,6 +1203,16 @@ ORACLE_SQL: dict[str, str] = {
                    AS n_match,
                COUNT(*) AS n_rows
         FROM documents GROUP BY lang""",
+    "q51_json_props_stats": """
+        SELECT event_type,
+               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type""",
+    "q52_user_journeys": """
+        SELECT user_id,
+               STRING_AGG(event_type, '>' ORDER BY ts, event_id)
+                   AS journey
+        FROM events GROUP BY user_id""",
 }
 
 SQL_QUERIES = {
@@ -1223,6 +1266,8 @@ SQL_QUERIES = {
     "q48_event_rank": q48_event_rank,
     "q49_flag_argmax_order": q49_flag_argmax_order,
     "q50_regex_digit_docs": q50_regex_digit_docs,
+    "q51_json_props_stats": q51_json_props_stats,
+    "q52_user_journeys": q52_user_journeys,
 }
 
 

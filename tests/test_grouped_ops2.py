@@ -97,3 +97,17 @@ def test_regex_match_counts_matches_pandas(ray_session):
     for lang, g in exp.groupby("lang"):
         assert out.loc[lang, "n_match"] == int(g["m"].sum())
         assert out.loc[lang, "n_rows"] == len(g)
+
+
+def test_grouped_concat_matches_pandas(ray_session):
+    from driftray.ops.grouped import grouped_concat
+
+    df = _events(n=600, keys=19, seed=9)
+    df["tag"] = [("a", "b", "c", "d")[i % 4] for i in range(len(df))]
+    out = (grouped_concat(rd.from_pandas(df), ["k"], ["ts", "id"],
+                          "tag", ">", out_col="j", num_partitions=8)
+           .to_pandas().set_index("k")["j"])
+    exp = (df.sort_values(["k", "ts", "id"])
+           .groupby("k")["tag"].agg(">".join))
+    for k in exp.index:
+        assert out[k] == exp[k]
