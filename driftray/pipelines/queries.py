@@ -903,6 +903,28 @@ def q52_user_journeys(sf_dir: str):
                           "event_type", JOURNEY_SEP, out_col="journey")
 
 
+SKEW_HOT_KEYS = [1, 7, 33, 4096]   # forced-salted keys; result invariant
+
+
+def q53_skew_join_lines(sf_dir: str):
+    """Skew-aware salted join (`ops/relational.skew_join`): hot keys'
+    rows are salted across reducers and the right side replicated per
+    salt, so no reducer receives a hot key's full row set.  The oracle is
+    the plain join — salting is a physical plan change only."""
+    from ..ops.relational import skew_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["l_orderkey", "o_totalprice"])
+
+    out = skew_join(li, orders.map_batches(ren, batch_format="pyarrow"),
+                    ["l_orderkey"], how="inner", num_salts=8,
+                    hot_keys=SKEW_HOT_KEYS)
+    return out.select_columns(["l_orderkey", "l_quantity", "o_totalprice"])
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1213,6 +1235,9 @@ ORACLE_SQL: dict[str, str] = {
                STRING_AGG(event_type, '>' ORDER BY ts, event_id)
                    AS journey
         FROM events GROUP BY user_id""",
+    "q53_skew_join_lines": """
+        SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
 }
 
 SQL_QUERIES = {
@@ -1268,6 +1293,7 @@ SQL_QUERIES = {
     "q50_regex_digit_docs": q50_regex_digit_docs,
     "q51_json_props_stats": q51_json_props_stats,
     "q52_user_journeys": q52_user_journeys,
+    "q53_skew_join_lines": q53_skew_join_lines,
 }
 
 

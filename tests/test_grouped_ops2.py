@@ -111,3 +111,53 @@ def test_grouped_concat_matches_pandas(ray_session):
            .groupby("k")["tag"].agg(">".join))
     for k in exp.index:
         assert out[k] == exp[k]
+
+
+def _skewed_frames(seed=13):
+    rng = np.random.default_rng(seed)
+    n = 3000
+    # ~40% of left rows share key 7 (the hot key); rest uniform over 50
+    keys = np.where(rng.random(n) < 0.4, 7,
+                    rng.integers(0, 50, size=n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "lv": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 45, dtype=np.int64),
+                          "rv": np.arange(0, 45, dtype=np.int64) * 10})
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_skew_join_matches_plain_join(ray_session, how):
+    from driftray.ops.relational import hash_shuffle_join, skew_join
+
+    left, right = _skewed_frames()
+    out = (skew_join(rd.from_pandas(left), rd.from_pandas(right), ["k"],
+                     how=how, num_salts=4, hot_keys=[7], num_partitions=4)
+           .to_pandas().sort_values(["lv"]).reset_index(drop=True))
+    exp = (hash_shuffle_join(rd.from_pandas(left), rd.from_pandas(right),
+                             ["k"], how=how, num_partitions=4)
+           .to_pandas().sort_values(["lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[sorted(out.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+def test_skew_join_autodetect_hot_key(ray_session):
+    from driftray.ops.relational import hash_shuffle_join, skew_join
+
+    left, right = _skewed_frames()
+    out = (skew_join(rd.from_pandas(left), rd.from_pandas(right), ["k"],
+                     num_salts=4, hot_frac=0.05, num_partitions=4)
+           .to_pandas().sort_values(["lv"]).reset_index(drop=True))
+    exp = (hash_shuffle_join(rd.from_pandas(left), rd.from_pandas(right),
+                             ["k"], num_partitions=4)
+           .to_pandas().sort_values(["lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[sorted(out.columns)],
+                                  exp[sorted(exp.columns)])
+
+
+def test_skew_join_rejects_unsupported(ray_session):
+    from driftray.ops.relational import skew_join
+
+    left, right = _skewed_frames()
+    with pytest.raises(ValueError, match="inner/left_outer"):
+        skew_join(rd.from_pandas(left), rd.from_pandas(right), ["k"],
+                  how="full_outer", hot_keys=[7])
