@@ -9,9 +9,14 @@ Codec paths, most capable first:
   ``NotImplementedError`` otherwise (PIL is absent in this container);
 * ``decoder="png"`` — REAL baseline-PNG decode via the dependency-free
   ``ops/png.py`` codec (stdlib zlib), round-trip tested on real bytes;
+* ``decoder="jpeg"`` — REAL baseline-JPEG (``ops/jpeg.py``: stream's own
+  DQT/DHT, 4:2:0, restart markers);
+* ``decoder="gif"`` — REAL GIF89a incl. animation (``ops/gif.py``: LZW,
+  disposal, transparency, interlace) — also the real
+  ``FrameSampler(decoder="gif")`` video path;
 * ``AudioDecoder`` — REAL WAV decode via stdlib ``wave``;
-* ``decoder="fake"`` — deterministic hash-seeded stand-in for formats
-  that genuinely need an absent library (jpeg, mp4, ...).
+* ``decoder="fake"`` — deterministic hash-seeded stand-in for container
+  formats that genuinely need an absent library (mp4, webm, ...).
 
 Scale notes: binary payloads are large → small ``batch_size`` (64-256) and
 ``num_cpus`` sized so decode pools don't starve the read stage; outputs
@@ -94,6 +99,12 @@ class ImageDecoder:
             from .jpeg import decode_jpeg
 
             self.decode = lambda payload, h, w: _as_rgb(decode_jpeg(payload))
+        elif decoder == "gif":
+            # REAL codec, zero external deps (ops/gif.py) — first frame
+            from .gif import decode_gif
+
+            self.decode = \
+                lambda payload, h, w: _as_rgb(decode_gif(payload)[0][0])
         elif decoder == "pillow":
             try:
                 import PIL.Image
@@ -111,7 +122,7 @@ class ImageDecoder:
             self.decode = _pil_decode
         else:
             raise ValueError(f"unknown decoder {decoder!r} "
-                             "(expected fake|png|jpeg|pillow)")
+                             "(expected fake|png|jpeg|gif|pillow)")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         feats, thumbs = [], []
@@ -129,18 +140,45 @@ class ImageDecoder:
 
 
 class FrameSampler:
-    """Video frame-sampling stage: emits ``n_frames`` deterministic frame
-    features per clip (flat_map-shaped: one row per sampled frame)."""
+    """Video frame-sampling stage: emits ``n_frames`` frame features per
+    clip (flat_map-shaped: one row per sampled frame).
+
+    ``decoder="gif"`` decodes REAL animated-GIF payloads with the
+    dependency-free ``ops/gif.py`` codec (LZW, disposal, transparency,
+    interlace) — frames are sampled evenly across the clip's actual
+    frame list and ``frame_ms`` is the frame's true start time from the
+    stream's own delays.  ``decoder="fake"`` is the deterministic
+    stand-in for container formats that genuinely need absent libraries
+    (mp4/webm)."""
 
     def __init__(self, n_frames: int = 4, decoder: str = "fake"):
         self.n = n_frames
-        if decoder != "fake":
-            raise NotImplementedError("only the deterministic fake decoder ships here")
+        self.mode = decoder
+        if decoder == "gif":
+            from .gif import decode_gif
+
+            self._decode = decode_gif
+        elif decoder != "fake":
+            raise NotImplementedError(
+                "decoder must be 'gif' (real, dependency-free) or 'fake' "
+                "(mp4/webm need absent container libs)")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {"media_id": [], "frame_idx": [], "frame_ms": [], "mean_rgb": []}
         for mid, payload, dur in zip(batch["media_id"], batch["payload"],
                                      batch["duration_ms"]):
+            if self.mode == "gif":
+                frames, delays = self._decode(payload)
+                starts = np.concatenate([[0], np.cumsum(delays[:-1])])
+                picks = np.linspace(0, len(frames) - 1,
+                                    self.n).round().astype(int)
+                for f, src in enumerate(picks):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(f)
+                    out["frame_ms"].append(int(starts[src]))
+                    out["mean_rgb"].append(
+                        frames[src].mean(axis=(0, 1)).astype(np.float32))
+                continue
             for f in range(self.n):
                 ms = int(dur) * f // max(self.n - 1, 1)
                 img = _fake_decode(payload + f.to_bytes(2, "little"), 16, 16)
@@ -160,9 +198,10 @@ def decode_images(ds: rd.Dataset, decoder: str = "fake",
                           concurrency=concurrency)
 
 
-def sample_frames(ds: rd.Dataset, n_frames: int = 4,
+def sample_frames(ds: rd.Dataset, n_frames: int = 4, decoder: str = "fake",
                   batch_size: int = 64, concurrency: int = 4) -> rd.Dataset:
-    return ds.map_batches(FrameSampler, fn_constructor_args=(n_frames,),
+    return ds.map_batches(FrameSampler,
+                          fn_constructor_args=(n_frames, decoder),
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=concurrency)
 

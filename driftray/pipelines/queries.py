@@ -1584,6 +1584,38 @@ def nq_jpeg_decode(sf_dir: str):
             .sort_values("media_id").reset_index(drop=True))
 
 
+def nq_gif_frames(sf_dir: str):
+    """REAL video-path frame sampling: deterministic animated GIFs
+    (dependency-free ops/gif.py codec — LZW, per-frame delays) decoded
+    and sampled in the actor pool; frame_ms comes from the stream's own
+    timing, not metadata."""
+    from ..ops.gif import encode_gif
+    from ..ops.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rng = np.random.default_rng(24)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(50):
+        base = rng.integers(0, 4, size=(16, 16, 3)).astype(np.uint8) * 64
+        frames = []
+        for f in range(6):
+            fr = base.copy()
+            fr[(f * 2):(f * 2 + 3), :, 0] = 224
+            frames.append(fr)
+        rows["media_id"].append(i)
+        rows["kind"].append("video")
+        rows["format"].append("gif")
+        rows["payload"].append(encode_gif(frames, delay_ms=100))
+        rows["width"].append(16)
+        rows["height"].append(16)
+        rows["sample_rate"].append(0)
+        rows["duration_ms"].append(600)
+    media = rd.from_arrow(pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA))
+    out = sample_frames(media, n_frames=4, decoder="gif").to_pandas()
+    out["mean_r"] = [float(np.round(v[0], 3)) for v in out["mean_rgb"]]
+    return (out[["media_id", "frame_idx", "frame_ms", "mean_r"]]
+            .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+
+
 def nq_audio_features(sf_dir: str):
     """REAL WAV decode (stdlib wave) through the actor pool: rms/peak/
     duration features per clip."""
@@ -1702,6 +1734,7 @@ NONSQL_QUERIES = {
     "nq_frame_sample": nq_frame_sample,
     "nq_png_decode": nq_png_decode,
     "nq_jpeg_decode": nq_jpeg_decode,
+    "nq_gif_frames": nq_gif_frames,
     "nq_audio_features": nq_audio_features,
     "nq_validate_documents": nq_validate_documents,
     "nq_validate_events": nq_validate_events,
