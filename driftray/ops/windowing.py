@@ -185,3 +185,46 @@ def row_number_by_key(ds: rd.Dataset, key_cols: list[str],
 
     return partitioned_group_apply(ds, key_cols, per_partition,
                                    num_partitions=num_partitions)
+
+def shift_by_key(ds: rd.Dataset, key_cols: list[str],
+                 order_cols: list[str], value_col: str, offset: int = 1,
+                 out_col: str = "shifted",
+                 num_partitions: int = 64) -> rd.Dataset:
+    """Per-key row shift — SQL ``LAG(value, offset)`` (positive offset)
+    or ``LEAD(value, -offset)`` (negative), ordered by ``order_cols``
+    within each key; nulls where the shifted row falls outside the key.
+
+    Complements the time-based backward as-of self-join (q28): this is
+    the ROW-offset window family.  Same partitioned shape as
+    :func:`rolling_sum_by_key` — one mergesort + run-boundary pass per
+    hash partition, all keys at once."""
+    if offset == 0:
+        raise ValueError("offset must be nonzero")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out[out_col] = pd.Series([], dtype=df[value_col].dtype
+                                     if len(df) else object)
+            return out
+        df = df.sort_values(key_cols + order_cols, kind="mergesort",
+                            ignore_index=True)
+        n = len(df)
+        key_change = np.zeros(n, dtype=bool)
+        key_change[0] = True
+        for k in key_cols:
+            kv = df[k].to_numpy()
+            key_change[1:] |= kv[1:] != kv[:-1]
+        run_id = np.cumsum(key_change) - 1
+        src = np.arange(n, dtype=np.int64) - offset
+        valid = (src >= 0) & (src < n)
+        valid[valid] &= run_id[src[valid]] == run_id[valid.nonzero()[0]]
+        out = df.copy()
+        shifted = df[value_col].reindex(
+            np.where(valid, src, -1)).reset_index(drop=True)
+        shifted[~valid] = None
+        out[out_col] = shifted
+        return out
+
+    return partitioned_group_apply(ds, key_cols, per_partition,
+                                   num_partitions=num_partitions)

@@ -925,6 +925,19 @@ def q53_skew_join_lines(sf_dir: str):
     return out.select_columns(["l_orderkey", "l_quantity", "o_totalprice"])
 
 
+def q54_next_event_value(sf_dir: str):
+    """LEAD window function per user (`ops/windowing.shift_by_key`,
+    offset=-1) — the row-offset twin of q28's time-based backward
+    as-of."""
+    from ..ops.windowing import shift_by_key
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = shift_by_key(ev, ["user_id"], ["ts", "event_id"], "value",
+                       offset=-1, out_col="value_next")
+    return out.select_columns(["event_id", "user_id", "value",
+                               "value_next"])
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1238,6 +1251,11 @@ ORACLE_SQL: dict[str, str] = {
     "q53_skew_join_lines": """
         SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+    "q54_next_event_value": """
+        SELECT event_id, user_id, value,
+               LEAD(value) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS value_next
+        FROM events""",
 }
 
 SQL_QUERIES = {
@@ -1294,6 +1312,7 @@ SQL_QUERIES = {
     "q51_json_props_stats": q51_json_props_stats,
     "q52_user_journeys": q52_user_journeys,
     "q53_skew_join_lines": q53_skew_join_lines,
+    "q54_next_event_value": q54_next_event_value,
 }
 
 

@@ -161,3 +161,18 @@ def test_skew_join_rejects_unsupported(ray_session):
     with pytest.raises(ValueError, match="inner/left_outer"):
         skew_join(rd.from_pandas(left), rd.from_pandas(right), ["k"],
                   how="full_outer", hot_keys=[7])
+
+
+@pytest.mark.parametrize("offset", [1, -1, 3])
+def test_shift_by_key_matches_pandas(ray_session, offset):
+    from driftray.ops.windowing import shift_by_key
+
+    df = _events(n=800, keys=23, seed=21)
+    out = (shift_by_key(rd.from_pandas(df), ["k"], ["ts", "id"], "v",
+                        offset=offset, out_col="s", num_partitions=8)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    exp = df.sort_values(["k", "ts", "id"], ignore_index=True)
+    exp["s"] = exp.groupby("k")["v"].shift(offset)
+    exp = exp.sort_values("id").reset_index(drop=True)
+    np.testing.assert_allclose(out["s"].to_numpy(dtype=float),
+                               exp["s"].to_numpy(dtype=float), rtol=1e-12)
