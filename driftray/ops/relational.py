@@ -768,3 +768,21 @@ def skew_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     joined = hash_shuffle_join(lsalted, rsalted, on + [SALT_COL], how=how,
                                num_partitions=num_partitions)
     return joined.drop_columns([SALT_COL])
+
+
+def grouped_mode(ds: rd.Dataset, key_cols: list[str], value_col: str,
+                 out_col: str = "mode",
+                 count_name: str = "mode_count") -> rd.Dataset:
+    """Most frequent ``value_col`` per key (exact), ties broken by MIN
+    value — a deterministic MODE() (SQL's is tie-ambiguous).
+
+    Composition: #(key,value)-sized count groupby, then
+    :func:`argmax_by` over the counts — so the broadcast side is the
+    #keys-row maxima and no raw rows shuffle beyond the count
+    partials."""
+    from ray.data.aggregate import Count
+
+    counts = (ds.groupby(key_cols + [value_col])
+              .aggregate(Count(alias_name="__n")))
+    return argmax_by(counts, key_cols, "__n", value_col,
+                     max_name=count_name, arg_name=out_col)

@@ -938,6 +938,16 @@ def q54_next_event_value(sf_dir: str):
                                "value_next"])
 
 
+def q55_lang_mode_source(sf_dir: str):
+    """Exact per-key MODE with deterministic MIN tie-break
+    (`ops/relational.grouped_mode` = count groupby ∘ argmax_by)."""
+    from ..ops.relational import grouped_mode
+
+    ds = _t(sf_dir, "documents", ["lang", "source"])
+    return grouped_mode(ds, ["lang"], "source", out_col="mode_source",
+                        count_name="mode_count")
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1256,6 +1266,15 @@ ORACLE_SQL: dict[str, str] = {
                LEAD(value) OVER (PARTITION BY user_id
                                  ORDER BY ts, event_id) AS value_next
         FROM events""",
+    "q55_lang_mode_source": """
+        WITH c AS (SELECT lang, source, COUNT(*) AS n
+                   FROM documents GROUP BY 1, 2),
+             r AS (SELECT lang, source, n,
+                          ROW_NUMBER() OVER (PARTITION BY lang
+                                             ORDER BY n DESC, source) AS rn
+                   FROM c)
+        SELECT lang, n AS mode_count, source AS mode_source
+        FROM r WHERE rn = 1""",
 }
 
 SQL_QUERIES = {
@@ -1313,6 +1332,7 @@ SQL_QUERIES = {
     "q52_user_journeys": q52_user_journeys,
     "q53_skew_join_lines": q53_skew_join_lines,
     "q54_next_event_value": q54_next_event_value,
+    "q55_lang_mode_source": q55_lang_mode_source,
 }
 
 

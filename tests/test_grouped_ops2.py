@@ -176,3 +176,18 @@ def test_shift_by_key_matches_pandas(ray_session, offset):
     exp = exp.sort_values("id").reset_index(drop=True)
     np.testing.assert_allclose(out["s"].to_numpy(dtype=float),
                                exp["s"].to_numpy(dtype=float), rtol=1e-12)
+
+
+def test_grouped_mode_tie_break(ray_session):
+    from driftray.ops.relational import grouped_mode
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3,
+        "v": ["y", "x", "x", "y",      # tie 2-2 in a -> min value "x"
+              "z", "z", "w"],          # clear winner z in b
+    })
+    out = (grouped_mode(rd.from_pandas(df), ["k"], "v", out_col="m",
+                        count_name="n")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out.loc[0, "m"] == "x" and out.loc[0, "n"] == 2
+    assert out.loc[1, "m"] == "z" and out.loc[1, "n"] == 2
