@@ -1119,3 +1119,101 @@ def embedding_cosine_dedup(ds: rd.Dataset, id_col: str = "vec_id",
                 if len(vdf) and "pa_" in vdf.columns else set())
     clusters, sizes = _union_find_clusters(verified)
     return _cluster_output(hashed, id_col, clusters, sizes)
+
+
+def dedup_segments(ds: rd.Dataset, id_col: str, text_col: str,
+                   sep: str = "\n\n") -> rd.Dataset:
+    """Corpus-level duplicated-SEGMENT removal (the CCNet/C4-style
+    "drop every repeated paragraph except its first occurrence" pass):
+    each document's text is split on ``sep``; any segment whose
+    normalized hash occurs more than once ANYWHERE in the corpus is
+    removed from all but the globally-first position (min ``(id_col,
+    segment index)``) — including repeats inside one document.
+
+    Scale shape (two-tier, mirrors ``relational.dedup_exact``):
+
+    1. one flat pass emits 8-byte segment hashes ONLY (never text);
+       duplicated hashes come from the distributed sort +
+       adjacent-equal scan (``duplicate_values_sorted``);
+    2. candidate positions of duplicated hashes (∝ duplicate density)
+       reduce to a winner per hash via a #dup-hash-sized groupby-min of
+       the packed (doc, idx) position, broadcast via ``ray.put``;
+    3. one streaming rebuild pass re-splits each doc, keeps segments
+       whose hash is unduplicated or whose position IS the winner, and
+       rejoins with ``sep``.
+
+    Hash collisions (~n²/2⁶⁴) may over-drop a colliding segment —
+    acceptable at dedup semantics (same tradeoff as MinHash banding);
+    exactness can be restored by verifying candidate text equality per
+    bucket as ``ngram_jaccard_dedup`` does.  ``id_col`` must be int64
+    and segment index < 2²⁰ per doc (packed ordering).
+
+    Output: ``id_col``, cleaned ``text_col``, ``n_kept``, ``n_dropped``.
+    """
+    from .relational import duplicate_values_sorted
+
+    def _seg_rows(t: pa.Table):
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_h, out_pack = [], []
+        for d, txt in zip(ids, texts):
+            segs = (txt or "").split(sep)
+            h = hash64(np.array([s.strip() for s in segs], dtype=object))
+            out_h.append(h.astype(np.int64))
+            out_pack.append((np.int64(d) << np.int64(20))
+                            + np.arange(len(segs), dtype=np.int64))
+        return (np.concatenate(out_h) if out_h else
+                np.array([], np.int64),
+                np.concatenate(out_pack) if out_pack else
+                np.array([], np.int64))
+
+    def hashes_only(t: pa.Table) -> pa.Table:
+        h, _ = _seg_rows(t)
+        return pa.table({"h": pa.array(h)})
+
+    proj = ds.select_columns([id_col, text_col]).materialize()
+    dup_h = duplicate_values_sorted(
+        proj.map_batches(hashes_only, batch_format="pyarrow"), "h")
+    if len(dup_h) == 0:
+        winners: dict = {}
+    else:
+        dup_sorted = np.sort(dup_h.astype(np.int64))
+        dup_ref = ray.put(dup_sorted)
+
+        def candidates(t: pa.Table) -> pa.Table:
+            h, pack = _seg_rows(t)
+            m = np.isin(h, ray.get(dup_ref))
+            return pa.table({"h": pa.array(h[m]),
+                             "pack": pa.array(pack[m])})
+
+        win_df = (proj.map_batches(candidates, batch_format="pyarrow")
+                  .groupby("h").min("pack").to_pandas())
+        winners = dict(zip(win_df["h"].astype(np.int64),
+                           win_df["min(pack)"].astype(np.int64)))
+    win_ref = ray.put(winners)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        win = ray.get(win_ref)
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        cleaned, kept_n, drop_n = [], [], []
+        for d, txt in zip(ids, texts):
+            segs = (txt or "").split(sep)
+            h = hash64(np.array([s.strip() for s in segs], dtype=object))
+            keep = []
+            dropped = 0
+            for i, (s, hv) in enumerate(zip(segs, h.astype(np.int64))):
+                w = win.get(int(hv))
+                if w is None or w == (int(d) << 20) + i:
+                    keep.append(s)
+                else:
+                    dropped += 1
+            cleaned.append(sep.join(keep))
+            kept_n.append(len(keep))
+            drop_n.append(dropped)
+        return pa.table({id_col: t[id_col],
+                         text_col: pa.array(cleaned, pa.string()),
+                         "n_kept": pa.array(kept_n, pa.int64()),
+                         "n_dropped": pa.array(drop_n, pa.int64())})
+
+    return proj.map_batches(rebuild, batch_format="pyarrow")

@@ -1623,6 +1623,34 @@ def nq_jpeg_decode(sf_dir: str):
             .sort_values("media_id").reset_index(drop=True))
 
 
+def nq_paragraph_dedup(sf_dir: str):
+    """Corpus-level duplicated-paragraph removal (CCNet/C4-style;
+    `ops/dedup.dedup_segments`): boilerplate paragraphs planted across a
+    deterministic corpus are dropped everywhere but their first global
+    occurrence.  Two-tier distributed shape — 8-byte segment hashes
+    shuffle, winner set ∝ duplicate density; pytest oracle in
+    tests/test_grouped_ops2.py."""
+    from ..ops.dedup import dedup_segments
+
+    rng = np.random.default_rng(25)
+    vocab = np.array(["alpha", "bravo", "charlie", "delta", "echo"])
+    boiler = ["subscribe to our newsletter today",
+              "all rights reserved worldwide"]
+    rows = []
+    for d in range(300):
+        paras = [" ".join(rng.choice(vocab, size=6)) + f" u{d}_{i}"
+                 for i in range(4)]
+        if d % 3 == 0:
+            paras.insert(1, boiler[0])
+        if d % 5 == 0:
+            paras.append(boiler[1])
+        rows.append((d, "\n\n".join(paras)))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = dedup_segments(rd.from_pandas(df), "doc_id", "text")
+    return (out.select_columns(["doc_id", "n_kept", "n_dropped"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
 def nq_gif_frames(sf_dir: str):
     """REAL video-path frame sampling: deterministic animated GIFs
     (dependency-free ops/gif.py codec — LZW, per-frame delays) decoded
@@ -1773,6 +1801,7 @@ NONSQL_QUERIES = {
     "nq_frame_sample": nq_frame_sample,
     "nq_png_decode": nq_png_decode,
     "nq_jpeg_decode": nq_jpeg_decode,
+    "nq_paragraph_dedup": nq_paragraph_dedup,
     "nq_gif_frames": nq_gif_frames,
     "nq_audio_features": nq_audio_features,
     "nq_validate_documents": nq_validate_documents,

@@ -191,3 +191,66 @@ def test_grouped_mode_tie_break(ray_session):
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert out.loc[0, "m"] == "x" and out.loc[0, "n"] == 2
     assert out.loc[1, "m"] == "z" and out.loc[1, "n"] == 2
+
+
+def _paragraph_corpus(n_docs=60, seed=33):
+    rng = np.random.default_rng(seed)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    boiler = ["subscribe to our newsletter today",
+              "all rights reserved worldwide"]
+    docs = []
+    for d in range(n_docs):
+        paras = [" ".join(rng.choice(vocab, size=5)) + f" u{d}_{i}"
+                 for i in range(4)]
+        if d % 3 == 0:
+            paras.insert(1, boiler[0])       # cross-doc duplicate
+        if d % 5 == 0:
+            paras.append(boiler[1])
+        if d == 7:
+            paras.append(paras[0])           # within-doc repeat
+        docs.append((d, "\n\n".join(paras)))
+    return pd.DataFrame(docs, columns=["doc_id", "text"])
+
+
+def _segment_dedup_oracle(df, sep="\n\n"):
+    seen = {}
+    for _, r in df.sort_values("doc_id").iterrows():
+        for i, s in enumerate(r["text"].split(sep)):
+            key = s.strip()
+            seen.setdefault(key, []).append((r["doc_id"], i))
+    out = {}
+    for _, r in df.iterrows():
+        keep = []
+        for i, s in enumerate(r["text"].split(sep)):
+            occ = seen[s.strip()]
+            if len(occ) == 1 or min(occ) == (r["doc_id"], i):
+                keep.append(s)
+        out[r["doc_id"]] = sep.join(keep)
+    return out
+
+
+def test_dedup_segments_matches_oracle(ray_session):
+    from driftray.ops.dedup import dedup_segments
+
+    df = _paragraph_corpus()
+    out = (dedup_segments(rd.from_pandas(df), "doc_id", "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = _segment_dedup_oracle(df)
+    for _, r in out.iterrows():
+        assert r["text"] == exp[r["doc_id"]], r["doc_id"]
+        assert r["n_kept"] == len(exp[r["doc_id"]].split("\n\n"))
+        assert r["n_kept"] + r["n_dropped"] == \
+            len(df.loc[df["doc_id"] == r["doc_id"], "text"].iloc[0]
+                .split("\n\n"))
+
+
+def test_dedup_segments_no_duplicates_passthrough(ray_session):
+    from driftray.ops.dedup import dedup_segments
+
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": [f"only {i}\n\nunique {i}"
+                                for i in range(5)]})
+    out = (dedup_segments(rd.from_pandas(df), "doc_id", "text")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert (out["n_dropped"] == 0).all()
+    assert list(out["text"]) == list(df["text"])
