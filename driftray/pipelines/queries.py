@@ -948,6 +948,26 @@ def q55_lang_mode_source(sf_dir: str):
                         count_name="mode_count")
 
 
+PPL_ALPHA = 0.5
+
+
+def q56_doc_perplexity(sf_dir: str):
+    """Unigram-LM perplexity per document (CCNet-style quality filter;
+    `ops/text.perplexity_scores`): corpus token counts via the partial-
+    combine path, vocab logprobs broadcast once, one vectorized scoring
+    pass.  The oracle recomputes the identical Lidstone-smoothed model
+    in SQL (documents' vocab is far below the cap, so no OOV bucket
+    engages at this scale)."""
+    from ..ops.text import perplexity_scores
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = perplexity_scores(ds, vocab_size=100000,
+                            alpha=PPL_ALPHA).to_pandas()
+    out = _round_cols(out, {"logprob_per_token": ROUND_F})
+    return (out[["doc_id", "n_tokens", "logprob_per_token"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1275,6 +1295,20 @@ ORACLE_SQL: dict[str, str] = {
                    FROM c)
         SELECT lang, n AS mode_count, source AS mode_source
         FROM r WHERE rn = 1""",
+    "q56_doc_perplexity": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+        toks2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        cnt AS (SELECT tok, COUNT(*) AS n FROM toks2 GROUP BY tok),
+        tot AS (SELECT (SELECT COUNT(*) FROM toks2) AS total,
+                       (SELECT COUNT(*) FROM cnt) AS v)
+        SELECT t.doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(LN((c.n + {PPL_ALPHA})
+                            / (tot.total + {PPL_ALPHA} * (tot.v + 1)))),
+                     {ROUND_F}) AS logprob_per_token
+        FROM toks2 t JOIN cnt c USING (tok), tot
+        GROUP BY t.doc_id""",
 }
 
 SQL_QUERIES = {
@@ -1333,6 +1367,7 @@ SQL_QUERIES = {
     "q53_skew_join_lines": q53_skew_join_lines,
     "q54_next_event_value": q54_next_event_value,
     "q55_lang_mode_source": q55_lang_mode_source,
+    "q56_doc_perplexity": q56_doc_perplexity,
 }
 
 

@@ -254,3 +254,44 @@ def test_dedup_segments_no_duplicates_passthrough(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert (out["n_dropped"] == 0).all()
     assert list(out["text"]) == list(df["text"])
+
+
+def test_perplexity_scores_matches_formula(ray_session):
+    from driftray.ops.text import perplexity_scores
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["the cat sat", "the the the", "dog ran fast today",
+                 "zzz qqq"],
+    })
+    out = (perplexity_scores(rd.from_pandas(df), vocab_size=100, alpha=0.5)
+           .to_pandas().set_index("doc_id"))
+
+    toks = [t.split(" ") for t in df["text"]]
+    flat = [w for ts in toks for w in ts]
+    from collections import Counter
+    cnt = Counter(flat)
+    total = len(flat)
+    denom = total + 0.5 * (len(cnt) + 1)
+
+    import math
+    for d, ts in enumerate(toks):
+        lp = np.mean([math.log((cnt[w] + 0.5) / denom) for w in ts])
+        assert out.loc[d, "logprob_per_token"] == pytest.approx(lp, rel=1e-9)
+        assert out.loc[d, "ppl"] == pytest.approx(math.exp(-lp), rel=1e-9)
+        assert out.loc[d, "n_tokens"] == len(ts)
+    # common-token doc scores better (lower ppl) than the all-rare doc
+    assert out.loc[1, "ppl"] < out.loc[3, "ppl"]
+
+
+def test_perplexity_oov_bucket(ray_session):
+    from driftray.ops.text import perplexity_scores
+
+    # vocab cap of 2 forces everything but the two most common tokens OOV
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a a a b b rare1", "a b", "rare2 rare3"],
+    })
+    out = (perplexity_scores(rd.from_pandas(df), vocab_size=2, alpha=0.5)
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[2, "ppl"] > out.loc[1, "ppl"]
