@@ -334,3 +334,45 @@ def perplexity_scores(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(Scorer, batch_format="pandas",
                           concurrency=(1, 4))
+
+
+def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_tokens: int = 128, overlap: int = 16):
+    """Split documents into fixed-token-window training chunks with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the standard pretraining sharding step (flat_map-shaped: one row per
+    chunk, pure streaming, no shuffle anywhere).
+
+    Chunk starts are ``range(0, max(n_tokens - overlap, 1), step)`` with
+    ``step = chunk_tokens - overlap``; each chunk covers tokens
+    ``[start, min(start + chunk_tokens, n))``.  A doc shorter than one
+    chunk yields exactly one chunk.  Same single-space tokenizer as
+    ``token_frequencies``/q43, so the q57 DuckDB oracle (string_split +
+    range + list_slice) is exact.
+
+    Output: ``id_col``, ``chunk_idx``, ``n_tokens``, ``chunk_text``."""
+    import pyarrow as pa
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        o_id, o_idx, o_n, o_txt = [], [], [], []
+        for d, txt in zip(ids, texts):
+            toks = [w for w in (txt or "").split(" ") if w]
+            n = len(toks)
+            for ci, start in enumerate(range(0, max(n - overlap, 1), step)):
+                piece = toks[start:start + chunk_tokens]
+                o_id.append(d)
+                o_idx.append(ci)
+                o_n.append(len(piece))
+                o_txt.append(" ".join(piece))
+        return pa.table({id_col: pa.array(o_id),
+                         "chunk_idx": pa.array(o_idx, pa.int64()),
+                         "n_tokens": pa.array(o_n, pa.int64()),
+                         "chunk_text": pa.array(o_txt, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -968,6 +968,21 @@ def q56_doc_perplexity(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+
+
+def q57_doc_chunks(sf_dir: str):
+    """Fixed-token-window training chunking with overlap
+    (`ops/text.chunk_documents`): flat_map-shaped, pure streaming; the
+    oracle reproduces the identical windows via string_split + range +
+    list_slice."""
+    from ..ops.text import chunk_documents
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=CHUNK_TOKENS,
+                           overlap=CHUNK_OVERLAP)
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1309,6 +1324,25 @@ ORACLE_SQL: dict[str, str] = {
                      {ROUND_F}) AS logprob_per_token
         FROM toks2 t JOIN cnt c USING (tok), tot
         GROUP BY t.doc_id""",
+    "q57_doc_chunks": f"""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '),
+                                      x -> x <> '') AS toks
+                   FROM documents),
+        f AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        s AS (SELECT doc_id, toks, n,
+                     unnest(range(0, GREATEST(n - {CHUNK_OVERLAP}, 1),
+                                  {CHUNK_TOKENS - CHUNK_OVERLAP})) AS start
+              FROM f)
+        SELECT doc_id,
+               CAST(start / {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT)
+                   AS chunk_idx,
+               LEAST({CHUNK_TOKENS}, n - start) AS n_tokens,
+               array_to_string(
+                   list_slice(toks, start + 1,
+                              LEAST(start + {CHUNK_TOKENS}, n)), ' ')
+                   AS chunk_text
+        FROM s""",
 }
 
 SQL_QUERIES = {
@@ -1368,6 +1402,7 @@ SQL_QUERIES = {
     "q54_next_event_value": q54_next_event_value,
     "q55_lang_mode_source": q55_lang_mode_source,
     "q56_doc_perplexity": q56_doc_perplexity,
+    "q57_doc_chunks": q57_doc_chunks,
 }
 
 

@@ -295,3 +295,30 @@ def test_perplexity_oov_bucket(ray_session):
     out = (perplexity_scores(rd.from_pandas(df), vocab_size=2, alpha=0.5)
            .to_pandas().set_index("doc_id"))
     assert out.loc[2, "ppl"] > out.loc[1, "ppl"]
+
+
+def test_chunk_documents_edges(ray_session):
+    from driftray.ops.text import chunk_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a b c d e f g h i j",   # 10 toks, 4/2 -> 4 chunks
+                 "a b",                   # shorter than one chunk
+                 "a b c d e"],            # partial tail chunk
+    })
+    out = (chunk_documents(rd.from_pandas(df), chunk_tokens=4, overlap=2)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    exp = [
+        (0, 0, 4, "a b c d"), (0, 1, 4, "c d e f"),
+        (0, 2, 4, "e f g h"), (0, 3, 4, "g h i j"),
+        (1, 0, 2, "a b"),
+        (2, 0, 4, "a b c d"), (2, 1, 3, "c d e"),
+    ]
+    assert len(out) == len(exp)
+    for row, (d, ci, n, txt) in zip(out.itertuples(index=False), exp):
+        assert (row.doc_id, row.chunk_idx, row.n_tokens,
+                row.chunk_text) == (d, ci, n, txt)
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(rd.from_pandas(df), chunk_tokens=4, overlap=4)
