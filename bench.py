@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "q34_token_budget_mix",     # token-budget curation (prefix-sum)
     "nq_minhash_dedup",         # MinHash-LSH near-dup
     "nq_drift_events",          # KS/PSI/JS drift over events
+    "q45_asof_order_value",     # as-of join (partitioned multi-group kernel)
+    "q56_doc_perplexity",       # unigram-LM quality scoring
 ]
 
 
