@@ -786,3 +786,44 @@ def grouped_mode(ds: rd.Dataset, key_cols: list[str], value_col: str,
               .aggregate(Count(alias_name="__n")))
     return argmax_by(counts, key_cols, "__n", value_col,
                      max_name=count_name, arg_name=out_col)
+
+
+MARK_COL = "__semi_mark"
+
+
+def shuffle_semi_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
+                      right_on: list[str] | None = None,
+                      anti: bool = False,
+                      num_partitions: int = 32) -> rd.Dataset:
+    """LARGE-LARGE semi/anti join — referential membership when the
+    build side is itself too big to broadcast (the complement of
+    ``broadcast_join(how="semi"/"anti")`` / ``semi_join_keys``).
+
+    The right side reduces to its DISTINCT key set (key columns only —
+    the shuffle never carries right payload), gains a marker column, and
+    left_outer-joins the left; keys being distinct guarantees no left
+    row duplication.  Semi keeps marker hits, anti keeps misses; the
+    marker is dropped.  Left row content is otherwise untouched."""
+    r_on = right_on or on
+    keys = distinct(right.select_columns(r_on), r_on)
+    if right_on:
+        ren = dict(zip(r_on, on))
+        keys = keys.map_batches(
+            lambda t, _m=ren: t.rename_columns(
+                [_m.get(c, c) for c in t.schema.names]),
+            batch_format="pyarrow")
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            MARK_COL, pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    keys = keys.map_batches(mark, batch_format="pyarrow")
+    joined = left.join(keys, join_type="left_outer",
+                       num_partitions=num_partitions, on=tuple(on))
+
+    def keep(t: pa.Table) -> pa.Table:
+        hit = pc.is_valid(t[MARK_COL])
+        mask = pc.invert(hit) if anti else hit
+        return t.filter(mask).drop_columns([MARK_COL])
+
+    return joined.map_batches(keep, batch_format="pyarrow")

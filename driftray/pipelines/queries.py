@@ -983,6 +983,33 @@ def q57_doc_chunks(sf_dir: str):
                            overlap=CHUNK_OVERLAP)
 
 
+def q58_customers_with_orders_ll(sf_dir: str):
+    """LARGE-LARGE semi join (`ops/relational.shuffle_semi_join`): the
+    referential-membership shape when the build side can't broadcast —
+    distinct right keys + marker left_outer join, key-columns-only
+    shuffle.  Broadcast twin: q07."""
+    from ..ops.relational import shuffle_semi_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+    return shuffle_semi_join(cust, orders, ["c_custkey"],
+                             right_on=["o_custkey"])
+
+
+def q59_parts_never_ordered_ll(sf_dir: str):
+    """LARGE-LARGE anti join — q08's broadcast twin at shuffle scale."""
+    from ..ops.relational import shuffle_semi_join
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    li = _t(sf_dir, "lineitem", ["l_partkey"])
+    out = shuffle_semi_join(part, li, ["p_partkey"],
+                            right_on=["l_partkey"], anti=True).to_pandas()
+    if out.empty:  # keep the schema even when the anti-join is empty
+        out = pd.DataFrame({"p_partkey": pd.Series([], dtype="int64"),
+                            "p_name": pd.Series([], dtype="object")})
+    return out
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1343,6 +1370,14 @@ ORACLE_SQL: dict[str, str] = {
                               LEAST(start + {CHUNK_TOKENS}, n)), ' ')
                    AS chunk_text
         FROM s""",
+    "q58_customers_with_orders_ll": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)""",
+    "q59_parts_never_ordered_ll": """
+        SELECT p_partkey, p_name FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey)""",
 }
 
 SQL_QUERIES = {
@@ -1403,6 +1438,8 @@ SQL_QUERIES = {
     "q55_lang_mode_source": q55_lang_mode_source,
     "q56_doc_perplexity": q56_doc_perplexity,
     "q57_doc_chunks": q57_doc_chunks,
+    "q58_customers_with_orders_ll": q58_customers_with_orders_ll,
+    "q59_parts_never_ordered_ll": q59_parts_never_ordered_ll,
 }
 
 

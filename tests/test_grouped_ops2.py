@@ -322,3 +322,30 @@ def test_chunk_documents_edges(ray_session):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(rd.from_pandas(df), chunk_tokens=4, overlap=4)
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_shuffle_semi_join_matches_broadcast(ray_session, anti):
+    from driftray.ops.relational import broadcast_join, shuffle_semi_join
+
+    left, right = _skewed_frames(seed=17)
+    right = pd.concat([right, right.head(10)], ignore_index=True)  # dup keys
+    out = (shuffle_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                             ["k"], anti=anti, num_partitions=4)
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    how = "anti" if anti else "semi"
+    exp = (broadcast_join(rd.from_pandas(left), right[["k"]], ["k"],
+                          how=how)
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[["k", "lv"]], exp[["k", "lv"]])
+
+
+def test_shuffle_semi_join_right_on(ray_session):
+    from driftray.ops.relational import shuffle_semi_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = pd.DataFrame({"rk": [2, 3, 3, 9]})
+    out = (shuffle_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                             ["k"], right_on=["rk"], num_partitions=2)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert list(out["k"]) == [2, 3]
