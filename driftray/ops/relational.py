@@ -827,3 +827,54 @@ def shuffle_semi_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
         return t.filter(mask).drop_columns([MARK_COL])
 
     return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def bloom_semi_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
+                    right_on: list[str] | None = None,
+                    capacity: int | None = None, fpr: float = 1e-4,
+                    exact: bool = True, anti: bool = False,
+                    num_partitions: int = 32) -> rd.Dataset:
+    """Bloom-accelerated semi/anti join — the classic bloom-join shuffle
+    reducer for when BOTH sides are large.
+
+    A distributed Bloom over the right keys (per-block partial bit
+    arrays OR-merged — the driver never sees keys) broadcasts once;
+    left rows failing the probe are dropped BEFORE any shuffle (a Bloom
+    has no false negatives, so no true match is lost).  With
+    ``exact=True`` the surviving ~match+fpr rows then pass through
+    :func:`shuffle_semi_join` for exactness — the shuffle now carries
+    only the match-side fraction of the left table instead of all of
+    it.  ``exact=False`` returns the probabilistic superset (a valid
+    pre-filter stage).  ``anti=True`` (exact only) subtracts the exact
+    semi result's keys... for anti the Bloom cannot pre-drop (false
+    positives would surface as false negatives of the anti), so it
+    degrades to :func:`shuffle_semi_join` directly."""
+    if anti:
+        # Bloom passes can't help anti (a false positive would wrongly
+        # drop an anti row) — delegate to the exact path.
+        return shuffle_semi_join(left, right, on, right_on=right_on,
+                                 anti=True, num_partitions=num_partitions)
+    from ..checks import hash_keys
+    from ..pipeline import build_membership_distributed
+
+    r_on = right_on or on
+    cap = capacity if capacity is not None else right.count()
+    bf = build_membership_distributed(right.select_columns(r_on), r_on,
+                                      capacity=max(cap, 1), fpr=fpr)
+    ref = ray.put(bf)
+
+    class Probe:
+        def __init__(self):
+            self.bf = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            return t.filter(pa.array(self.bf.contains(hash_keys(t, on))))
+
+    survivors = left.map_batches(Probe, batch_format="pyarrow",
+                                 concurrency=(1, 4))
+    if not exact:
+        return survivors
+    return shuffle_semi_join(survivors, right, on, right_on=right_on,
+                             num_partitions=num_partitions)

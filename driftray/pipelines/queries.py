@@ -1010,6 +1010,20 @@ def q59_parts_never_ordered_ll(sf_dir: str):
     return out
 
 
+def q60_bloom_semi_customers(sf_dir: str):
+    """Bloom-accelerated EXACT semi join (`ops/relational.bloom_semi_join`):
+    a distributed Bloom over the build keys pre-drops non-matching left
+    rows before the shuffle (no false negatives), then the exact
+    marker-join verifies the ~fpr survivors.  Same result set as q58 —
+    the Bloom changes the physical plan only."""
+    from ..ops.relational import bloom_semi_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+    return bloom_semi_join(cust, orders, ["c_custkey"],
+                           right_on=["o_custkey"])
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1378,6 +1392,10 @@ ORACLE_SQL: dict[str, str] = {
         SELECT p_partkey, p_name FROM part p
         WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                           WHERE l.l_partkey = p.p_partkey)""",
+    "q60_bloom_semi_customers": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)""",
 }
 
 SQL_QUERIES = {
@@ -1440,6 +1458,7 @@ SQL_QUERIES = {
     "q57_doc_chunks": q57_doc_chunks,
     "q58_customers_with_orders_ll": q58_customers_with_orders_ll,
     "q59_parts_never_ordered_ll": q59_parts_never_ordered_ll,
+    "q60_bloom_semi_customers": q60_bloom_semi_customers,
 }
 
 

@@ -349,3 +349,42 @@ def test_shuffle_semi_join_right_on(ray_session):
                              ["k"], right_on=["rk"], num_partitions=2)
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert list(out["k"]) == [2, 3]
+
+
+def test_bloom_semi_join_exact_matches(ray_session):
+    from driftray.ops.relational import bloom_semi_join, shuffle_semi_join
+
+    left, right = _skewed_frames(seed=29)
+    out = (bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                           ["k"], num_partitions=4)
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    exp = (shuffle_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                             ["k"], num_partitions=4)
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[["k", "lv"]], exp[["k", "lv"]])
+
+
+def test_bloom_semi_join_prefilter_superset(ray_session):
+    from driftray.ops.relational import bloom_semi_join
+
+    left, right = _skewed_frames(seed=31)
+    sup = (bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                           ["k"], exact=False)
+           .to_pandas())
+    true_keys = set(right["k"])
+    matched = left[left["k"].isin(true_keys)]
+    # no false negatives: every true match survives the probe
+    assert set(matched["lv"]) <= set(sup["lv"])
+
+
+def test_bloom_semi_join_anti_delegates_exact(ray_session):
+    from driftray.ops.relational import bloom_semi_join, shuffle_semi_join
+
+    left, right = _skewed_frames(seed=37)
+    out = (bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                           ["k"], anti=True, num_partitions=4)
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    exp = (shuffle_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                             ["k"], anti=True, num_partitions=4)
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[["k", "lv"]], exp[["k", "lv"]])
