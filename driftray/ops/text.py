@@ -169,9 +169,15 @@ def token_frequencies(ds, text_col: str = "text", top_n: int = 20,
     deliberately identical to SQL ``string_split(text, ' ')`` so q43's
     DuckDB oracle is exact.
     """
-    import pyarrow as pa
+    counts = global_token_counts(ds, text_col)
+    return _top_tokens(counts, top_n)
 
-    import ray.data as rd  # noqa: F401 (type context)
+
+def global_token_counts(ds, text_col: str = "text"):
+    """Vocab-sized (token, n) counts Dataset: per-batch partial combine
+    (shuffle ∝ per-batch vocabulary) + ``groupby(token).sum`` — the
+    shared training stage for ``token_frequencies`` and
+    ``perplexity_scores``."""
 
     def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[text_col].fillna("")
@@ -186,8 +192,17 @@ def token_frequencies(ds, text_col: str = "text", top_n: int = 20,
     counts = (ds.map_batches(partial_counts, batch_format="pandas")
               .groupby("token").sum("n"))
     # Ray names the aggregate sum(n); keep the partials' name
-    counts = counts.map_batches(
+    import pyarrow as pa  # noqa: F401
+
+    return counts.map_batches(
         lambda t: t.rename_columns(["token", "n"]), batch_format="pyarrow")
+
+
+def _top_tokens(counts, top_n: int) -> pd.DataFrame:
+    """Exact top-N of a (token, n) counts Dataset with the deterministic
+    (count DESC, token ASC) tie-break: per-block partial top-N, then one
+    tiny driver merge of ≤ N×blocks candidates."""
+    import pyarrow as pa
 
     def local_top(t: pa.Table) -> pa.Table:
         df = t.to_pandas().sort_values(
@@ -290,18 +305,16 @@ def perplexity_scores(ds, text_col: str = "text", id_col: str = "doc_id",
 
     import ray
 
-    counts = token_frequencies(ds, text_col=text_col, top_n=vocab_size)
-    cdf = counts if isinstance(counts, pd.DataFrame) else counts.to_pandas()
+    # ONE counts stage feeds both the vocab trim and the total token
+    # mass (the tail beyond the cap): materialize the vocab-sized counts
+    # Dataset (KB-MB scale — orders below the corpus) and reduce it
+    # twice, instead of paying a second full corpus scan for the total
+    counts_ds = global_token_counts(ds, text_col).materialize()
+    cdf = _top_tokens(counts_ds, vocab_size)
     vocab = np.sort(np.asarray(cdf["token"], dtype=object))
     vcnt = (cdf.set_index("token").loc[vocab, "n"]
             .to_numpy(dtype=np.float64))
-    # total corpus tokens includes the tail beyond the vocab cap: the
-    # partial-count pass already summed everything, but the cap dropped
-    # tail rows — recover the tail mass from a cheap token-count pass
-    total = float(ds.map_batches(
-        lambda b: pd.DataFrame({"n": [sum(len([w for w in (t or "").split(" ")
-                                               if w]) for t in b[text_col])]}),
-        batch_format="pandas").sum("n"))
+    total = float(counts_ds.sum("n"))
     denom = total + alpha * (len(vocab) + 1)
     logp = np.log((vcnt + alpha) / denom)
     oov_logp = float(np.log(alpha / denom))
