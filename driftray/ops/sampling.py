@@ -156,3 +156,34 @@ def stratified_sample_n(ds: rd.Dataset, group_col: str, key_col: str,
     out = grouped_top_k(hashed, [group_col], "_h", n, descending=False,
                         columns=cols + ["_h"])
     return out.drop(columns=["_h"]).reset_index(drop=True)
+
+
+def diverse_sample(ds: rd.Dataset, id_col: str, vec_col: str,
+                   n_per_cluster: int, n_clusters: int = 16,
+                   seed: int = 42,
+                   columns: list[str] | None = None) -> pd.DataFrame:
+    """Cluster-balanced (diversity-aware) sampling over an embedding
+    column — the curation move that keeps coverage of ALL embedding
+    regions instead of letting a dominant mode swamp a uniform sample.
+
+    Composition, fully distributed: k-means centroids fit on a sample
+    and broadcast once, every vector assigned by one vectorized cosine
+    matmul per batch (``ann.build_ivf_index``), then the deterministic
+    smallest-md5-per-group pick (``stratified_sample_n`` — partial-top-k
+    kernel, no per-group materialization) takes exactly
+    ``n_per_cluster`` rows per cluster (fewer if a cluster is smaller).
+    Deterministic given (corpus, seed)."""
+    from .ann import build_ivf_index
+
+    _, assigned = build_ivf_index(ds, n_clusters, id_col=id_col,
+                                  vec_col=vec_col, seed=seed)
+    keep = assigned
+    if columns is not None:
+        keep = assigned.select_columns(
+            list(dict.fromkeys(columns + [id_col, "ivf_cluster"])))
+    else:
+        # embeddings are the widest column and the sample doesn't need
+        # them — drop before the shuffle-side top-k
+        keep = assigned.drop_columns([vec_col])
+    return stratified_sample_n(keep, "ivf_cluster", id_col,
+                               n_per_cluster, seed=seed)

@@ -1749,6 +1749,20 @@ def nq_jpeg_decode(sf_dir: str):
             .sort_values("media_id").reset_index(drop=True))
 
 
+def nq_diverse_sample(sf_dir: str):
+    """Cluster-balanced diversity sampling over the embeddings table
+    (`ops/sampling.diverse_sample`): k-means assignment + deterministic
+    per-cluster pick — every embedding region represented regardless of
+    mode imbalance; pytest oracle on planted blobs."""
+    from ..ops.sampling import diverse_sample
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = diverse_sample(emb, "vec_id", "embedding",
+                         n_per_cluster=5, n_clusters=8, seed=7)
+    return (out[["ivf_cluster", "vec_id"]]
+            .sort_values(["ivf_cluster", "vec_id"]).reset_index(drop=True))
+
+
 def nq_paragraph_dedup(sf_dir: str):
     """Corpus-level duplicated-paragraph removal (CCNet/C4-style;
     `ops/dedup.dedup_segments`): boilerplate paragraphs planted across a
@@ -1927,6 +1941,7 @@ NONSQL_QUERIES = {
     "nq_frame_sample": nq_frame_sample,
     "nq_png_decode": nq_png_decode,
     "nq_jpeg_decode": nq_jpeg_decode,
+    "nq_diverse_sample": nq_diverse_sample,
     "nq_paragraph_dedup": nq_paragraph_dedup,
     "nq_gif_frames": nq_gif_frames,
     "nq_audio_features": nq_audio_features,

@@ -388,3 +388,30 @@ def test_bloom_semi_join_anti_delegates_exact(ray_session):
                              ["k"], anti=True, num_partitions=4)
            .to_pandas().sort_values("lv").reset_index(drop=True))
     pd.testing.assert_frame_equal(out[["k", "lv"]], exp[["k", "lv"]])
+
+
+def test_diverse_sample_covers_all_clusters(ray_session):
+    from driftray.ops.sampling import diverse_sample
+
+    rng = np.random.default_rng(41)
+    # 3 well-separated blobs, heavily imbalanced (400/80/20)
+    centers = np.array([[10.0, 0, 0], [0, 10.0, 0], [0, 0, 10.0]])
+    sizes = [400, 80, 20]
+    vecs, ids = [], []
+    for ci, sz in enumerate(sizes):
+        vecs.append(centers[ci] + rng.normal(0, 0.2, size=(sz, 3)))
+        ids.extend(range(ci * 1000, ci * 1000 + sz))
+    df = pd.DataFrame({"vec_id": np.array(ids, dtype=np.int64),
+                       "embedding": list(np.concatenate(vecs))})
+
+    out = diverse_sample(rd.from_pandas(df), "vec_id", "embedding",
+                         n_per_cluster=5, n_clusters=3, seed=7)
+    # exactly 5 per discovered cluster, and every blob represented
+    assert (out.groupby("ivf_cluster").size() == 5).all()
+    blobs = set(out["vec_id"] // 1000)
+    assert blobs == {0, 1, 2}
+    # deterministic
+    out2 = diverse_sample(rd.from_pandas(df), "vec_id", "embedding",
+                          n_per_cluster=5, n_clusters=3, seed=7)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
