@@ -323,11 +323,19 @@ def connected_components(edges: rd.Dataset, src: str = "src",
               .groupby("node").aggregate(Min("node", alias_name="label"))
               .materialize())
 
+    # Row kinds share one schema with NO nulls: a nullable int64 column
+    # would go through Arrow->pandas as float64 inside
+    # partitioned_group_apply, silently corrupting node ids above 2^53 —
+    # exactly the hash-derived ids _require_int_ids steers callers to.
+    # kind 0 = label row (lab valid), kind 1 = edge row (partner valid).
     def lab_rows_of(lab_ds: rd.Dataset) -> rd.Dataset:
         return lab_ds.map_batches(
             lambda t: pa.table({"key": t["node"],
-                                "partner": pa.nulls(t.num_rows, pa.int64()),
-                                "lab": t["label"]}),
+                                "partner": pa.array(
+                                    np.zeros(t.num_rows, np.int64)),
+                                "lab": t["label"],
+                                "kind": pa.array(
+                                    np.zeros(t.num_rows, np.int8))}),
             batch_format="pyarrow")
 
     def edge_rows_fn(t: pa.Table) -> pa.Table:
@@ -335,12 +343,14 @@ def connected_components(edges: rd.Dataset, src: str = "src",
         b = np.asarray(t[dst].to_numpy(zero_copy_only=False), dtype=np.int64)
         return pa.table({"key": pa.array(np.concatenate([a, b])),
                          "partner": pa.array(np.concatenate([b, a])),
-                         "lab": pa.nulls(2 * t.num_rows, pa.int64())})
+                         "lab": pa.array(np.zeros(2 * t.num_rows, np.int64)),
+                         "kind": pa.array(np.ones(2 * t.num_rows, np.int8))})
 
     def forward_partition(g: pd.DataFrame) -> pd.DataFrame:
         """All keys of one partition: one merge + concat, no per-key loop."""
-        labmap = g.loc[g["lab"].notna(), ["key", "lab"]]
-        partners = g.loc[g["partner"].notna(), ["key", "partner"]]
+        kind = g["kind"].to_numpy()
+        labmap = g.loc[kind == 0, ["key", "lab"]]
+        partners = g.loc[kind == 1, ["key", "partner"]]
         msgs = partners.merge(labmap, on="key", how="inner")
         node = np.concatenate([labmap["key"].to_numpy(dtype=np.int64),
                                msgs["partner"].to_numpy(dtype=np.int64)])
@@ -365,7 +375,8 @@ def connected_components(edges: rd.Dataset, src: str = "src",
         n, l = n[m], l[m]
         return pa.table({"key": pa.array(np.concatenate([n, l])),
                          "partner": pa.array(np.concatenate([l, n])),
-                         "lab": pa.nulls(2 * len(n), pa.int64())})
+                         "lab": pa.array(np.zeros(2 * len(n), np.int64)),
+                         "kind": pa.array(np.ones(2 * len(n), np.int8))})
 
     def label_sum(lab_ds: rd.Dataset) -> int:
         from ray.data.aggregate import Sum
@@ -585,7 +596,10 @@ def _bloom_prefilter_members(value_ds: rd.Dataset, id_col: str,
 
     n_pairs = pairs_ds.count()  # pairs_ds is materialized by callers
     if n_pairs == 0:
-        return pairs_ds  # empty: attach has no askers anyway
+        # attach has no askers — return an EMPTY value table (keeping
+        # the value schema; returning pairs_ds here would hand the
+        # wrong schema to _attach_value's select_columns)
+        return value_ds.limit(0)
     # callers pass n_values only when it is cheaply known (materialized)
     if n_values is not None and 8 * n_pairs >= n_values:
         return value_ds  # members ~dense in corpus: prefilter can't pay

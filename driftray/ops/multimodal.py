@@ -241,7 +241,20 @@ class AudioDecoder:
             n = f.getnframes()
             raw = f.readframes(n)
             width = f.getsampwidth()
-        dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+        if width == 1:
+            # 8-bit WAV PCM is UNSIGNED with silence at 128 — center it
+            return (np.frombuffer(raw, dtype=np.uint8)
+                    .astype(np.int16) - 128), rate
+        if width == 3:
+            # 24-bit little-endian: assemble and sign-extend
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            v = (b[:, 0].astype(np.int32)
+                 | (b[:, 1].astype(np.int32) << 8)
+                 | (b[:, 2].astype(np.int32) << 16))
+            return np.where(v >= 1 << 23, v - (1 << 24), v), rate
+        dtype = {2: np.int16, 4: np.int32}.get(width)
+        if dtype is None:
+            raise NotImplementedError(f"WAV sample width {width}")
         return np.frombuffer(raw, dtype=dtype), rate
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -698,9 +698,11 @@ def skew_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
 
     1. hot-key detection (unless ``hot_keys`` given): mergeable
        Misra-Gries summaries over the left key column (KB-scale sketch,
-       one streaming pass) — any key with frequency > ``hot_frac`` is
-       caught (MG upper bound, a superset: false positives only cost a
-       little extra replication, never correctness);
+       one streaming pass) — ``detect_k`` is raised to ≥ 1/hot_frac so
+       the MG presence guarantee (any value with frequency > n/(k+1) is
+       in the summary) actually covers every key above ``hot_frac``;
+       with the upper-bound test this is a superset: false positives
+       only cost a little extra replication, never correctness;
     2. left hot rows get a salt in [0, num_salts) (round-robin per
        batch), cold rows salt 0;
     3. right hot rows are REPLICATED once per salt; cold rows salt 0;
@@ -725,31 +727,41 @@ def skew_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
 
         key = on[0]
         total = left.count()
-        hh = heavy_hitters(left.select_columns([key]), key, k=detect_k)
+        # MG guarantees presence only for freq > n/(k+1): size k to the
+        # threshold so a key at hot_frac can never be evicted unseen
+        k = max(detect_k, int(np.ceil(1.0 / hot_frac)) + 1)
+        hh = heavy_hitters(left.select_columns([key]), key, k=k)
         ub = hh["count_lb"] + hh.attrs.get("decrements", 0)
         hot_keys = hh.loc[ub >= hot_frac * max(total, 1), key].tolist()
     if not hot_keys:
         return hash_shuffle_join(left, right, on, how=how,
                                  num_partitions=num_partitions)
 
-    key = on[0]
-    if len(on) > 1:
-        raise NotImplementedError("composite-key salting: salt on a "
-                                  "precomputed combined key column")
-    hot_ref = ray.put(pd.Index(hot_keys))
+    if len(on) == 1:
+        hot_obj = pd.Index(hot_keys)
+
+        def is_hot_mask(t: pa.Table, hot) -> np.ndarray:
+            return t[on[0]].to_pandas().isin(hot).to_numpy()
+    else:
+        hot_obj = pd.DataFrame(list(hot_keys), columns=on)
+
+        def is_hot_mask(t: pa.Table, hot) -> np.ndarray:
+            probe = t.select(on).to_pandas()
+            m = probe.merge(hot.assign(__hot=1), on=on, how="left")
+            return m["__hot"].notna().to_numpy()
+
+    hot_ref = ray.put(hot_obj)
 
     def salt_left(t: pa.Table) -> pa.Table:
-        keys = t[key].to_pandas()
-        is_hot = keys.isin(ray.get(hot_ref)).to_numpy()
-        salt = np.zeros(len(keys), dtype=np.int64)
+        is_hot = is_hot_mask(t, ray.get(hot_ref))
+        salt = np.zeros(t.num_rows, dtype=np.int64)
         n_hot = int(is_hot.sum())
         if n_hot:
             salt[is_hot] = np.arange(n_hot, dtype=np.int64) % num_salts
         return t.append_column(SALT_COL, pa.array(salt))
 
     def explode_right(t: pa.Table) -> pa.Table:
-        keys = t[key].to_pandas()
-        is_hot = keys.isin(ray.get(hot_ref)).to_numpy()
+        is_hot = is_hot_mask(t, ray.get(hot_ref))
         cold = t.filter(pa.array(~is_hot)).append_column(
             SALT_COL, pa.array(np.zeros(int((~is_hot).sum()),
                                         dtype=np.int64)))

@@ -177,13 +177,14 @@ def diverse_sample(ds: rd.Dataset, id_col: str, vec_col: str,
 
     _, assigned = build_ivf_index(ds, n_clusters, id_col=id_col,
                                   vec_col=vec_col, seed=seed)
-    keep = assigned
     if columns is not None:
-        keep = assigned.select_columns(
-            list(dict.fromkeys(columns + [id_col, "ivf_cluster"])))
+        out_cols = list(dict.fromkeys(["ivf_cluster", id_col] + columns))
+        keep = assigned.select_columns(out_cols)
     else:
         # embeddings are the widest column and the sample doesn't need
         # them — drop before the shuffle-side top-k
         keep = assigned.drop_columns([vec_col])
+        out_cols = [c for c in keep.schema().names]
     return stratified_sample_n(keep, "ivf_cluster", id_col,
-                               n_per_cluster, seed=seed)
+                               n_per_cluster, seed=seed,
+                               columns=out_cols)

@@ -210,6 +210,9 @@ def _top_tokens(counts, top_n: int) -> pd.DataFrame:
         return pa.Table.from_pandas(df.head(top_n), preserve_index=False)
 
     cand = counts.map_batches(local_top, batch_format="pyarrow").take_all()
+    if not cand:   # all-empty corpus: typed empty result, not a KeyError
+        return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                             "n": pd.Series([], dtype="int64")})
     merged = pd.DataFrame(cand).sort_values(
         ["n", "token"], ascending=[False, True],
         kind="mergesort").head(top_n).reset_index(drop=True)
@@ -290,8 +293,13 @@ def perplexity_scores(ds, text_col: str = "text", id_col: str = "doc_id",
 
     1. TRAIN: global token counts via the ``token_frequencies`` partial-
        combine path (shuffle ∝ per-batch vocabulary), capped to the top
-       ``vocab_size`` tokens; everything else folds into one OOV bucket
-       with Lidstone ``alpha`` smoothing;
+       ``vocab_size`` tokens.  Tokens beyond the cap are scored as
+       UNSEEN — the Lidstone ``alpha`` smoothing mass only, NOT their
+       true (dropped) counts — so a cap smaller than the corpus
+       vocabulary deliberately penalizes tail tokens as if novel; size
+       ``vocab_size`` to the full vocabulary when calibrated tail
+       probabilities matter (their counts still inflate the
+       denominator either way);
     2. SCORE: the (≤ vocab_size)-entry logprob table broadcasts via
        ``ray.put`` ONCE; each batch scores all its docs with a single
        vectorized lookup (np.searchsorted over the sorted vocab) — no
@@ -314,7 +322,7 @@ def perplexity_scores(ds, text_col: str = "text", id_col: str = "doc_id",
     vocab = np.sort(np.asarray(cdf["token"], dtype=object))
     vcnt = (cdf.set_index("token").loc[vocab, "n"]
             .to_numpy(dtype=np.float64))
-    total = float(counts_ds.sum("n"))
+    total = float(counts_ds.sum("n") or 0.0)  # None on an empty corpus
     denom = total + alpha * (len(vocab) + 1)
     logp = np.log((vcnt + alpha) / denom)
     oov_logp = float(np.log(alpha / denom))

@@ -963,6 +963,9 @@ def q56_doc_perplexity(sf_dir: str):
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     out = perplexity_scores(ds, vocab_size=100000,
                             alpha=PPL_ALPHA).to_pandas()
+    # zero-token docs have no defined per-token logprob; the oracle's
+    # token join drops them too
+    out = out[out["n_tokens"] > 0]
     out = _round_cols(out, {"logprob_per_token": ROUND_F})
     return (out[["doc_id", "n_tokens", "logprob_per_token"]]
             .sort_values("doc_id").reset_index(drop=True))
