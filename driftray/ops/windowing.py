@@ -228,3 +228,71 @@ def shift_by_key(ds: rd.Dataset, key_cols: list[str],
 
     return partitioned_group_apply(ds, key_cols, per_partition,
                                    num_partitions=num_partitions)
+
+def rolling_sum_time_by_key(ds: rd.Dataset, key_cols: list[str],
+                            ts_col: str, value_col: str, window_s: float,
+                            out_col: str = "roll_sum",
+                            num_partitions: int = 64) -> rd.Dataset:
+    """Per-key TIME-range rolling sum — SQL ``SUM(v) OVER (PARTITION BY
+    key ORDER BY ts RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)``.
+
+    RANGE-frame semantics exactly: each row sums ALL rows of its key
+    with ``ts`` in ``[ts_i - window, ts_i]`` — including ties sorted
+    after the current row (the frame is defined by the ORDER value, not
+    row position; that is where this differs from the ROWS-frame
+    :func:`rolling_sum_by_key`).
+
+    Kernel: one mergesort per hash partition, per-run-normalized
+    timestamps offset so runs occupy disjoint ranges, then TWO global
+    ``np.searchsorted`` calls bound every row's frame at once — no
+    per-key or per-row Python.  Integer values required (pre-scale to
+    cents) so the prefix-sum difference is exact."""
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values(key_cols + [ts_col], kind="mergesort",
+                            ignore_index=True)
+        v = df[value_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError("rolling_sum_time_by_key needs an integer "
+                            f"value column; got {v.dtype}")
+        ts = _epoch_us(df[ts_col])               # int64 microseconds
+        w = np.int64(round(float(window_s) * 1e6))
+        n = len(df)
+        key_change = np.zeros(n, dtype=bool)
+        key_change[0] = True
+        for k in key_cols:
+            kv = df[k].to_numpy()
+            key_change[1:] |= kv[1:] != kv[:-1]
+        run_id = np.cumsum(key_change) - 1
+        run_start = np.flatnonzero(key_change)
+        cs = np.concatenate([[0], np.cumsum(v.astype(np.int64))])
+        # normalize each run to start at 0, then push runs onto disjoint
+        # int64 ranges so one global searchsorted bounds every frame
+        # bit-exactly (float normalization would round away microsecond
+        # gaps once run_id*span passes 2^53)
+        t0 = ts[run_start][run_id]
+        span = np.int64(int(ts.max()) - int(ts.min())) + w + np.int64(2)
+        n_runs = int(run_id[-1]) + 1
+        if span > 0 and n_runs * int(span) < (1 << 62):
+            t_norm = (ts - t0) + run_id.astype(np.int64) * span
+            hi = np.searchsorted(t_norm, t_norm, side="right")
+            lo = np.searchsorted(t_norm, t_norm - w, side="left")
+        else:   # offset would overflow int64: bound frames run by run
+            hi = np.empty(n, dtype=np.int64)
+            lo = np.empty(n, dtype=np.int64)
+            bounds = np.append(run_start, n)
+            for r in range(n_runs):
+                a, b = bounds[r], bounds[r + 1]
+                seg = ts[a:b]
+                hi[a:b] = a + np.searchsorted(seg, seg, side="right")
+                lo[a:b] = a + np.searchsorted(seg, seg - w, side="left")
+        out = df.copy()
+        out[out_col] = cs[hi] - cs[lo]
+        return out
+
+    return partitioned_group_apply(ds, key_cols, per_partition,
+                                   num_partitions=num_partitions)

@@ -1027,6 +1027,30 @@ def q60_bloom_semi_customers(sf_dir: str):
                            right_on=["o_custkey"])
 
 
+RANGE_WINDOW_S = 600
+
+
+def q61_rolling_time_sums(sf_dir: str):
+    """TIME-range rolling sum per user (RANGE frame — ties at the same
+    ts all count, unlike q42's ROWS frame;
+    `ops/windowing.rolling_sum_time_by_key`)."""
+    from ..ops.windowing import rolling_sum_time_by_key
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                        pa.int64())
+        return t.drop_columns(["value"]).append_column("value_cents", cents)
+
+    ev = ev.map_batches(to_cents, batch_format="pyarrow")
+    out = rolling_sum_time_by_key(ev, ["user_id"], "ts", "value_cents",
+                                  window_s=RANGE_WINDOW_S,
+                                  out_col="roll_sum")
+    return out.select_columns(["event_id", "user_id", "value_cents",
+                               "roll_sum"])
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1399,6 +1423,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT c_custkey, c_name FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey)""",
+    "q61_rolling_time_sums": f"""
+        WITH e AS (
+            SELECT event_id, user_id, ts,
+                   CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+            FROM events)
+        SELECT event_id, user_id, value_cents,
+               CAST(SUM(value_cents) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL {RANGE_WINDOW_S} SECONDS
+                       PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum
+        FROM e""",
 }
 
 SQL_QUERIES = {
@@ -1462,6 +1497,7 @@ SQL_QUERIES = {
     "q58_customers_with_orders_ll": q58_customers_with_orders_ll,
     "q59_parts_never_ordered_ll": q59_parts_never_ordered_ll,
     "q60_bloom_semi_customers": q60_bloom_semi_customers,
+    "q61_rolling_time_sums": q61_rolling_time_sums,
 }
 
 

@@ -415,3 +415,31 @@ def test_diverse_sample_covers_all_clusters(ray_session):
                           n_per_cluster=5, n_clusters=3, seed=7)
     pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                   out2.reset_index(drop=True))
+
+
+def test_rolling_sum_time_matches_bruteforce(ray_session):
+    from driftray.ops.windowing import rolling_sum_time_by_key
+
+    rng = np.random.default_rng(53)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 13, size=n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 3600, size=n), unit="s"),   # planted ties
+        "v": rng.integers(-50, 100, size=n).astype(np.int64),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    W = 300  # 5 minutes
+    out = (rolling_sum_time_by_key(rd.from_pandas(df), ["k"], "ts", "v",
+                                   window_s=W, out_col="s",
+                                   num_partitions=8)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # brute force: sum over same-key rows with ts in [t - W, t] — RANGE
+    # peer semantics (ties count regardless of row order)
+    exp = []
+    for _, r in df.sort_values("id").iterrows():
+        g = df[df["k"] == r["k"]]
+        lo = r["ts"] - pd.Timedelta(seconds=W)
+        exp.append(int(g.loc[(g["ts"] >= lo) & (g["ts"] <= r["ts"]),
+                             "v"].sum()))
+    np.testing.assert_array_equal(out["s"].to_numpy(), np.array(exp))
