@@ -248,6 +248,161 @@ def except_(left: rd.Dataset, right: rd.Dataset, cols: list[str]) -> rd.Dataset:
     return _setop(left, right, cols, keep="left-only")
 
 
+def _bag_setop(left: rd.Dataset, right: rd.Dataset, cols: list[str],
+               mode: Literal["intersect", "except"]) -> rd.Dataset:
+    """Shared INTERSECT ALL / EXCEPT ALL core (BAG semantics — multiplicity
+    preserved, SQL ``INTERSECT ALL`` / ``EXCEPT ALL``).
+
+    Same single-shuffle shape as :func:`_setop`, but each side contributes
+    its per-key COUNT instead of a 0/1 marker (local per-batch counting is
+    the partial-aggregation step, so the exchange carries one row per
+    distinct key per block, not per input row).  The output multiplicity is
+    ``min(nl, nr)`` (intersect) or ``max(nl - nr, 0)`` (except), and rows
+    are re-expanded VECTORIZED (``np.repeat`` over take indices) inside the
+    same map_batches — never on the driver."""
+    from ray.data.aggregate import Sum
+
+    def count_side(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.group_by(cols).aggregate([([], "count_all")])
+            n = t.column("count_all")
+            zero = pa.nulls(t.num_rows, pa.int64())
+            zero = pc.fill_null(zero, 0)
+            if side == "l":
+                t = t.append_column("__l", pc.cast(n, pa.int64()))
+                t = t.append_column("__r", zero)
+            else:
+                t = t.append_column("__l", zero)
+                t = t.append_column("__r", pc.cast(n, pa.int64()))
+            return t.drop_columns(["count_all"])
+
+        return fn
+
+    l = left.select_columns(cols).map_batches(count_side("l"),
+                                              batch_format="pyarrow")
+    r = right.select_columns(cols).map_batches(count_side("r"),
+                                               batch_format="pyarrow")
+    agg = (l.union(r).groupby(cols)
+           .aggregate(Sum("__l", alias_name="__nl"),
+                      Sum("__r", alias_name="__nr")))
+
+    def expand(t: pa.Table) -> pa.Table:
+        nl = pc.fill_null(t["__nl"], 0).to_numpy(zero_copy_only=False)
+        nr = pc.fill_null(t["__nr"], 0).to_numpy(zero_copy_only=False)
+        if mode == "intersect":
+            mult = np.minimum(nl, nr)
+        else:
+            mult = np.maximum(nl - nr, 0)
+        mult = np.maximum(mult, 0)
+        idx = np.repeat(np.arange(len(mult), dtype=np.int64), mult)
+        return t.select(cols).take(pa.array(idx))
+
+    return agg.map_batches(expand, batch_format="pyarrow")
+
+
+def intersect_all(left: rd.Dataset, right: rd.Dataset,
+                  cols: list[str]) -> rd.Dataset:
+    """Bag INTERSECT ALL: each row kept min(count_left, count_right)
+    times (D5 bag variant)."""
+    return _bag_setop(left, right, cols, mode="intersect")
+
+
+def except_all(left: rd.Dataset, right: rd.Dataset,
+               cols: list[str]) -> rd.Dataset:
+    """Bag EXCEPT ALL: each row kept max(count_left - count_right, 0)
+    times (D5 bag variant)."""
+    return _bag_setop(left, right, cols, mode="except")
+
+
+def rollup_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
+                     out_col: str, total_label: str = "ALL") -> rd.Dataset:
+    """SQL ``GROUP BY ROLLUP(keys...)`` (sum): one row per prefix level of
+    ``keys``, coarser levels labelled ``total_label`` (string keys only —
+    the label substitutes for SQL's NULL grouping marker so the output is
+    hash-stable and join-friendly).
+
+    Scale shape: ONE full-data shuffle at the finest level; every coarser
+    level re-aggregates the PREVIOUS level's (group-cardinality-sized)
+    result, so the rollup costs one big exchange plus len(keys) tiny ones.
+    """
+    from ray.data.aggregate import Sum
+
+    def pad(kept: tuple):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (t[k] if k in kept else
+                           pa.array([total_label] * t.num_rows, pa.string()))
+            cols[out_col] = t[out_col]
+            return pa.table(cols)
+
+        return fn
+
+    cur = (ds.select_columns(keys + [value_col]).groupby(keys)
+           .aggregate(Sum(value_col, alias_name=out_col)))
+    out = cur
+    for depth in range(len(keys) - 1, -1, -1):
+        kept = keys[:depth]
+        if kept:
+            cur = cur.groupby(kept).aggregate(Sum(out_col,
+                                                  alias_name=out_col))
+        else:
+            total = cur.sum(out_col)
+            cur = rd.from_arrow(pa.table({out_col: pa.array([total])}))
+        out = out.union(cur.map_batches(pad(tuple(kept)),
+                                        batch_format="pyarrow"))
+    return out
+
+
+def unpivot(ds: rd.Dataset, id_cols: list[str], value_cols: list[str],
+            attr_col: str = "attr", val_col: str = "val") -> rd.Dataset:
+    """UNPIVOT / melt: one output row per (input row × value column),
+    ``attr_col`` naming the source column (SQL ``UNPIVOT`` / ``UNION ALL``
+    of per-column selects).  Purely per-batch — no shuffle; value columns
+    are cast to a common float64."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = {c: pa.concat_arrays(
+            [t[c].combine_chunks()] * len(value_cols)) for c in id_cols}
+        attr = pa.array([v for v in value_cols for _ in range(n)],
+                        pa.string())
+        vals = pa.concat_arrays(
+            [pc.cast(t[c], pa.float64()).combine_chunks()
+             for c in value_cols])
+        out = dict(ids)
+        out[attr_col] = attr
+        out[val_col] = vals
+        return pa.table(out)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        melt, batch_format="pyarrow")
+
+
+def cross_join_small(ds: rd.Dataset, small: pa.Table,
+                     suffix: str = "_r") -> rd.Dataset:
+    """CROSS JOIN against a SMALL broadcast side: every batch row pairs
+    with every ``small`` row (``ray.put`` once; per batch, vectorized
+    repeat/tile take — no shuffle).  Output size = |ds| × |small|; the
+    small side must genuinely be small (dimension tables)."""
+    ref = ray.put(small)
+
+    def cross(t: pa.Table) -> pa.Table:
+        s: pa.Table = ray.get(ref)
+        n, m = t.num_rows, s.num_rows
+        left_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+        right_idx = pa.array(np.tile(np.arange(m, dtype=np.int64), n))
+        lt = t.take(left_idx)
+        rt = s.take(right_idx)
+        out = lt
+        for name in rt.schema.names:
+            out_name = name + suffix if name in lt.schema.names else name
+            out = out.append_column(out_name, rt[name])
+        return out
+
+    return ds.map_batches(cross, batch_format="pyarrow")
+
+
 def hash_shuffle_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
                       right_on: list[str] | None = None,
                       how: Literal["inner", "left_outer", "right_outer",

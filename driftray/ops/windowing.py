@@ -296,3 +296,62 @@ def rolling_sum_time_by_key(ds: rd.Dataset, key_cols: list[str],
 
     return partitioned_group_apply(ds, key_cols, per_partition,
                                    num_partitions=num_partitions)
+
+
+def rank_window_by_key(ds: rd.Dataset, key_cols: list[str],
+                       order_cols: list[str], n_tiles: int = 4,
+                       num_partitions: int = 64) -> rd.Dataset:
+    """Ranking window-function family — SQL ``NTILE(n) / PERCENT_RANK() /
+    CUME_DIST() / ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord)`` in
+    one pass.
+
+    ``order_cols`` must totally order rows within a key (include an id
+    tie-breaker) so every function is deterministic and hash-stable.
+    Output columns: int64 ``rn`` (1-based), int64 ``tile`` (SQL NTILE
+    distribution: first ``n % k`` tiles get the extra row), float64
+    ``pct_rank`` ((rn-1)/(count-1), 0.0 for singleton keys) and float64
+    ``cume_dist`` (rn/count).
+
+    Same partitioned shape as :func:`row_number_by_key`: one mergesort +
+    run-boundary numpy pass per hash partition covering ALL its keys."""
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            for c, dt in (("rn", "int64"), ("tile", "int64"),
+                          ("pct_rank", "float64"), ("cume_dist", "float64")):
+                out[c] = pd.Series([], dtype=dt)
+            return out
+        df = df.sort_values(key_cols + order_cols, kind="mergesort",
+                            ignore_index=True)
+        n = len(df)
+        key_change = np.zeros(n, dtype=bool)
+        key_change[0] = True
+        for k in key_cols:
+            kv = df[k].to_numpy()
+            key_change[1:] |= kv[1:] != kv[:-1]
+        run_id = np.cumsum(key_change) - 1
+        run_start = np.flatnonzero(key_change)
+        run_len = np.diff(np.append(run_start, n))
+        idx0 = np.arange(n, dtype=np.int64) - run_start[run_id]  # 0-based
+        cnt = run_len[run_id]
+        # SQL NTILE: q=n//k rows per tile, first r=n%k tiles get one extra
+        q, r = cnt // n_tiles, cnt % n_tiles
+        big_span = r * (q + 1)
+        in_big = idx0 < big_span
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                in_big, idx0 // np.maximum(q + 1, 1),
+                r + np.where(q > 0, (idx0 - big_span) // np.maximum(q, 1), 0))
+        pct = np.where(cnt > 1, idx0 / np.maximum(cnt - 1, 1), 0.0)
+        out = df.copy()
+        out["rn"] = idx0 + 1
+        out["tile"] = tile.astype(np.int64) + 1
+        out["pct_rank"] = pct
+        out["cume_dist"] = (idx0 + 1) / cnt
+        return out
+
+    return partitioned_group_apply(ds, key_cols, per_partition,
+                                   num_partitions=num_partitions)

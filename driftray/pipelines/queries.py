@@ -1051,6 +1051,189 @@ def q61_rolling_time_sums(sf_dir: str):
                                "roll_sum"])
 
 
+def _filter_eq(ds, col: str, value: str):
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t[col], pa.scalar(value)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _filter_ts(ds, col: str, op: str, ts: str):
+    cmp = {"<": pc.less, ">=": pc.greater_equal, ">": pc.greater,
+           "<=": pc.less_equal}[op]
+    bound = pa.scalar(np.datetime64(ts.replace(" ", "T"), "us"))
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(cmp(t[col], bound))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q62_click_purchase_outer(sf_dir: str):
+    """FULL OUTER large-large join (J1 completion): per-user click counts
+    vs purchase counts — users present on either side survive, missing
+    side filled with 0 (`ops/relational.hash_shuffle_join` full_outer;
+    Ray's hash-shuffle join coalesces the key column)."""
+    from ..ops.relational import hash_shuffle_join
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def side(ev, etype, out):
+        return (_filter_eq(ev, "event_type", etype)
+                .groupby("user_id").count()
+                .map_batches(lambda t, out=out: t.rename_columns(
+                    ["user_id", out]), batch_format="pyarrow"))
+
+    clicks = side(ev, "click", "n_clicks")
+    purch = side(ev, "purchase", "n_purchases")
+    j = hash_shuffle_join(clicks, purch, on=["user_id"], how="full_outer",
+                          num_partitions=4)
+
+    def fill0(t: pa.Table) -> pa.Table:
+        out = {"user_id": t["user_id"]}
+        for c in ("n_clicks", "n_purchases"):
+            out[c] = pc.fill_null(pc.cast(t[c], pa.int64()), 0)
+        return pa.table(out)
+
+    return j.map_batches(fill0, batch_format="pyarrow")
+
+
+def q63_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP (A3 extension): revenue at (flag, status), per-flag
+    subtotal, and grand total in one result
+    (`ops/relational.rollup_aggregate` — one full shuffle at the finest
+    level, coarser levels re-aggregate the previous level's small result)."""
+    from ..ops.relational import rollup_aggregate
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                 "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = rollup_aggregate(ds.map_batches(add_rev, batch_format="pyarrow"),
+                           ["l_returnflag", "l_linestatus"], "revenue",
+                           out_col="revenue")
+    return _round_cols(out.to_pandas(), {"revenue": ROUND})
+
+
+_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def q64_events_intersect_all(sf_dir: str):
+    """INTERSECT ALL (D5 bag variant): (user_id, event_type) pairs with
+    multiplicity min(count_first_half, count_second_half) across the two
+    month halves (`ops/relational.intersect_all` — one count shuffle +
+    vectorized np.repeat re-expansion)."""
+    from ..ops.relational import intersect_all
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+    first = _filter_ts(ev, "ts", "<", _SPLIT_TS)
+    second = _filter_ts(ev, "ts", ">=", _SPLIT_TS)
+    return intersect_all(first, second, ["user_id", "event_type"])
+
+
+def q65_events_except_all(sf_dir: str):
+    """EXCEPT ALL (D5 bag variant): first-half pairs surviving with
+    multiplicity max(count_first - count_second, 0)
+    (`ops/relational.except_all`)."""
+    from ..ops.relational import except_all
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+    first = _filter_ts(ev, "ts", "<", _SPLIT_TS)
+    second = _filter_ts(ev, "ts", ">=", _SPLIT_TS)
+    return except_all(first, second, ["user_id", "event_type"])
+
+
+def q66_value_quartiles(sf_dir: str):
+    """Ranking window functions (NTILE/PERCENT_RANK/CUME_DIST, SURVEY A1
+    extension): quartile + rank stats of value within each event_type
+    (`ops/windowing.rank_window_by_key` — one mergesort + run-boundary
+    pass per hash partition, all keys at once)."""
+    from ..ops.windowing import rank_window_by_key
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = rank_window_by_key(ev, ["event_type"], ["value", "event_id"],
+                             n_tiles=4)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "rn": t["rn"],
+            "tile": t["tile"],
+            "pct_rank": pc.round(t["pct_rank"], ROUND_F),
+            "cume_dist": pc.round(t["cume_dist"], ROUND_F),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def q67_part_attrs_unpivot(sf_dir: str):
+    """UNPIVOT / melt (M-family reshape): part attributes to long form —
+    one row per (part, attribute) (`ops/relational.unpivot`, pure
+    per-batch, no shuffle)."""
+    from ..ops.relational import unpivot
+
+    return unpivot(_t(sf_dir, "part", ["p_partkey", "p_size",
+                                       "p_retailprice"]),
+                   ["p_partkey"], ["p_size", "p_retailprice"])
+
+
+def q68_region_pairs(sf_dir: str):
+    """CROSS JOIN against a small broadcast side (J-family completion):
+    all ordered region-name pairs (`ops/relational.cross_join_small` —
+    ray.put once, vectorized repeat×tile take per batch)."""
+    import pyarrow.parquet as pq
+
+    from ..ops.relational import cross_join_small
+
+    small = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_name"])
+    ds = _t(sf_dir, "region", ["r_name"])
+    return cross_join_small(ds, small, suffix="_r")
+
+
+def q69_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped 3-way join composition (J1+A3+O4): BUILDING-segment
+    customers ⋈ pre-cutoff orders ⋈ post-cutoff lineitems, grouped
+    revenue, top-10 without a global sort (two
+    `hash_shuffle_join`s + partial top-k merge)."""
+    from ..ops.relational import hash_shuffle_join, top_k
+
+    cutoff = "1998-06-01 00:00:00"
+    cust = _filter_eq(_t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+                      "c_mktsegment", "BUILDING").select_columns(["c_custkey"])
+    orders = _filter_ts(_t(sf_dir, "orders",
+                           ["o_orderkey", "o_custkey", "o_orderdate"]),
+                        "o_orderdate", "<", cutoff)
+    li = _filter_ts(_t(sf_dir, "lineitem",
+                       ["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]),
+                    "l_shipdate", ">", cutoff)
+    o_b = hash_shuffle_join(orders, cust, on=["o_custkey"],
+                            right_on=["c_custkey"], num_partitions=4)
+    j = hash_shuffle_join(li, o_b.select_columns(["o_orderkey"]),
+                          on=["l_orderkey"], right_on=["o_orderkey"],
+                          num_partitions=4)
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue": rev})
+
+    from ray.data.aggregate import Sum
+
+    agg = (j.map_batches(add_rev, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("revenue",
+                                                alias_name="revenue")))
+    cand = top_k(agg, "revenue", k=20).to_pandas()
+    cand = cand.sort_values(["revenue", "l_orderkey"],
+                            ascending=[False, True]).head(10)
+    return _round_cols(cand.reset_index(drop=True), {"revenue": ROUND})
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1434,6 +1617,63 @@ ORACLE_SQL: dict[str, str] = {
                    RANGE BETWEEN INTERVAL {RANGE_WINDOW_S} SECONDS
                        PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum
         FROM e""",
+    "q62_click_purchase_outer": """
+        WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+                   WHERE event_type = 'click' GROUP BY user_id),
+             p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id)
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(n_clicks, 0) AS n_clicks,
+               COALESCE(n_purchases, 0) AS n_purchases
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""",
+    "q63_rollup_revenue": f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), {ROUND})
+                   AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q64_events_intersect_all": f"""
+        SELECT user_id, event_type FROM events
+        WHERE ts < TIMESTAMP '{_SPLIT_TS}'
+        INTERSECT ALL
+        SELECT user_id, event_type FROM events
+        WHERE ts >= TIMESTAMP '{_SPLIT_TS}'""",
+    "q65_events_except_all": f"""
+        SELECT user_id, event_type FROM events
+        WHERE ts < TIMESTAMP '{_SPLIT_TS}'
+        EXCEPT ALL
+        SELECT user_id, event_type FROM events
+        WHERE ts >= TIMESTAMP '{_SPLIT_TS}'""",
+    "q66_value_quartiles": f"""
+        SELECT event_id, event_type,
+               ROW_NUMBER() OVER w AS rn,
+               NTILE(4) OVER w AS tile,
+               ROUND(PERCENT_RANK() OVER w, {ROUND_F}) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, {ROUND_F}) AS cume_dist
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
+    "q67_part_attrs_unpivot": """
+        SELECT p_partkey, 'p_size' AS attr,
+               CAST(p_size AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS attr,
+               p_retailprice AS val FROM part""",
+    "q68_region_pairs": """
+        SELECT a.r_name AS r_name, b.r_name AS r_name_r
+        FROM region a CROSS JOIN region b""",
+    "q69_shipping_priority": f"""
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), {ROUND})
+                   AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 }
 
 SQL_QUERIES = {
@@ -1498,6 +1738,14 @@ SQL_QUERIES = {
     "q59_parts_never_ordered_ll": q59_parts_never_ordered_ll,
     "q60_bloom_semi_customers": q60_bloom_semi_customers,
     "q61_rolling_time_sums": q61_rolling_time_sums,
+    "q62_click_purchase_outer": q62_click_purchase_outer,
+    "q63_rollup_revenue": q63_rollup_revenue,
+    "q64_events_intersect_all": q64_events_intersect_all,
+    "q65_events_except_all": q65_events_except_all,
+    "q66_value_quartiles": q66_value_quartiles,
+    "q67_part_attrs_unpivot": q67_part_attrs_unpivot,
+    "q68_region_pairs": q68_region_pairs,
+    "q69_shipping_priority": q69_shipping_priority,
 }
 
 

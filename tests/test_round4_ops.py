@@ -1,0 +1,144 @@
+"""Round-4 operator batch: bag set ops, rollup, unpivot, cross join,
+ranking window family.  Unit-level checks against in-memory references
+(the DuckDB oracle sweep at sf0.01 lives in tools/check_queries.py)."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _ds(d: dict) -> rd.Dataset:
+    return rd.from_arrow(pa.table(d))
+
+
+def test_intersect_all_multiplicity(ray_session):
+    from driftray.ops.relational import intersect_all
+
+    left = _ds({"k": ["a", "a", "a", "b", "c"], "v": [1, 1, 1, 2, 3]})
+    right = _ds({"k": ["a", "a", "b", "b", "d"], "v": [1, 1, 2, 2, 4]})
+    out = intersect_all(left, right, ["k", "v"]).to_pandas()
+    got = collections.Counter(map(tuple, out.itertuples(index=False)))
+    # min(count_l, count_r) per key
+    assert got == {("a", 1): 2, ("b", 2): 1}
+
+
+def test_except_all_multiplicity(ray_session):
+    from driftray.ops.relational import except_all
+
+    left = _ds({"k": ["a", "a", "a", "b", "c"]})
+    right = _ds({"k": ["a", "b", "b"]})
+    out = except_all(left, right, ["k"]).to_pandas()
+    got = collections.Counter(out["k"])
+    assert got == {"a": 2, "c": 1}
+
+
+def test_rollup_aggregate_levels(ray_session):
+    from driftray.ops.relational import rollup_aggregate
+
+    ds = _ds({"f": ["x", "x", "y"], "s": ["p", "q", "p"],
+              "v": [1.0, 2.0, 4.0]})
+    out = rollup_aggregate(ds, ["f", "s"], "v", out_col="total").to_pandas()
+    got = {(r.f, r.s): r.total for r in out.itertuples(index=False)}
+    assert got == {("x", "p"): 1.0, ("x", "q"): 2.0, ("y", "p"): 4.0,
+                   ("x", "ALL"): 3.0, ("y", "ALL"): 4.0,
+                   ("ALL", "ALL"): 7.0}
+    assert len(out) == 6
+
+
+def test_unpivot_long_form(ray_session):
+    from driftray.ops.relational import unpivot
+
+    ds = _ds({"id": [1, 2], "a": [10, 20], "b": [0.5, 1.5]})
+    out = unpivot(ds, ["id"], ["a", "b"]).to_pandas()
+    got = {(r.id, r.attr): r.val for r in out.itertuples(index=False)}
+    assert got == {(1, "a"): 10.0, (2, "a"): 20.0,
+                   (1, "b"): 0.5, (2, "b"): 1.5}
+    assert out["val"].dtype == np.float64
+
+
+def test_cross_join_small_pairs(ray_session):
+    from driftray.ops.relational import cross_join_small
+
+    ds = _ds({"name": ["u", "v", "w"]})
+    small = pa.table({"name": ["p", "q"], "extra": [1, 2]})
+    out = cross_join_small(ds, small).to_pandas()
+    assert len(out) == 6
+    assert set(out.columns) == {"name", "name_r", "extra"}
+    assert collections.Counter(zip(out["name"], out["name_r"])) == {
+        (l, r): 1 for l in "uvw" for r in "pq"}
+
+
+def test_rank_window_matches_sql_semantics(ray_session):
+    """ntile/percent_rank/cume_dist vs a direct per-group reference,
+    including the uneven-tile distribution (first n%k tiles bigger)."""
+    from driftray.ops.windowing import rank_window_by_key
+
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 50, n),  # ties on purpose; id breaks them
+    })
+    out = (rank_window_by_key(_ds(dict(df)), ["g"], ["v", "id"], n_tiles=4,
+                              num_partitions=4)
+           .to_pandas().sort_values(["g", "v", "id"]).reset_index(drop=True))
+
+    for g, grp in out.groupby("g"):
+        cnt = len(grp)
+        assert list(grp["rn"]) == list(range(1, cnt + 1))
+        # ntile: first r tiles have q+1 rows
+        q, r = divmod(cnt, 4)
+        sizes = collections.Counter(grp["tile"])
+        expect = {t + 1: (q + 1 if t < r else q) for t in range(4)}
+        expect = {t: s for t, s in expect.items() if s > 0}
+        assert sizes == expect
+        np.testing.assert_allclose(grp["pct_rank"],
+                                   (grp["rn"] - 1) / max(cnt - 1, 1))
+        np.testing.assert_allclose(grp["cume_dist"], grp["rn"] / cnt)
+
+
+def test_rank_window_singleton_key(ray_session):
+    from driftray.ops.windowing import rank_window_by_key
+
+    out = (rank_window_by_key(_ds({"g": ["solo"], "id": [1], "v": [9]}),
+                              ["g"], ["v", "id"], n_tiles=4,
+                              num_partitions=2).to_pandas())
+    assert out.iloc[0]["rn"] == 1
+    assert out.iloc[0]["tile"] == 1
+    assert out.iloc[0]["pct_rank"] == 0.0
+    assert out.iloc[0]["cume_dist"] == 1.0
+
+
+def test_full_outer_query_fills_zero(ray_session):
+    from driftray.pipelines.queries import q62_click_purchase_outer
+
+    import duckdb
+
+    from driftray.pipelines.queries import ORACLE_SQL
+
+    out = (q62_click_purchase_outer("/root/testdata/sf0.001").to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM "
+            "'/root/testdata/sf0.001/events.parquet'")
+    sql = (con.sql(ORACLE_SQL["q62_click_purchase_outer"]).df()
+           .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[sorted(out.columns)],
+                                  sql[sorted(sql.columns)],
+                                  check_dtype=False)
+
+
+def test_rollup_query_grand_total(ray_session):
+    from driftray.pipelines.queries import q63_rollup_revenue
+
+    out = q63_rollup_revenue("/root/testdata/sf0.001")
+    fine = out[(out.l_returnflag != "ALL") & (out.l_linestatus != "ALL")]
+    total = out[(out.l_returnflag == "ALL") & (out.l_linestatus == "ALL")]
+    assert len(total) == 1
+    assert abs(fine["revenue"].sum() - total["revenue"].iloc[0]) < 0.05
