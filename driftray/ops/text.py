@@ -397,3 +397,221 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
                          "chunk_text": pa.array(o_txt, pa.string())})
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+# -- repetition / tf-idf / bm25 (LLM-pipeline text quality family) ------------
+
+def _explode_tokens(batch: pd.DataFrame, id_col: str, text_col: str):
+    """Batch -> (doc_ids, tokens) flat numpy arrays via one vectorized
+    explode (single-space split, empties dropped — identical to SQL
+    ``string_split(text, ' ')`` with '' filtered, so oracles line up)."""
+    texts = batch[text_col].fillna("")
+    split = texts.str.split(" ")
+    lens = split.map(len).to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        return (np.array([], dtype=np.int64), np.array([], dtype=object))
+    doc_ids = np.repeat(batch[id_col].to_numpy(), lens)
+    toks = np.concatenate([np.asarray(t, dtype=object) for t in split])
+    keep = toks != ""
+    return doc_ids[keep], toks[keep]
+
+
+def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher/MassiveText-style within-document repetition signals:
+    per doc, total tokens, tokens belonging to REPEATED token types
+    (count > 1), total trigrams and trigram instances of repeated
+    trigram types — the inputs to "duplicate n-gram fraction" quality
+    gates (integer counters, so the DuckDB oracle is hash-exact; the
+    caller divides for fractions).
+
+    Purely per-batch (each document lives in one row): ONE vectorized
+    explode + two pandas groupby C kernels per batch — no shuffle, no
+    per-row Python loop.  Output: (id, n_tokens, dup_tokens, n_trigrams,
+    dup_trigrams)."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "dup_tokens": pd.Series([], dtype="int64"),
+            "n_trigrams": pd.Series([], dtype="int64"),
+            "dup_trigrams": pd.Series([], dtype="int64")})
+        if len(batch) == 0:
+            return empty
+        doc_ids, toks = _explode_tokens(batch, id_col, text_col)
+        if len(toks) == 0:
+            return empty
+        tf = (pd.DataFrame({"d": doc_ids, "t": toks})
+              .groupby(["d", "t"], sort=False).size())
+        per_doc = tf.groupby(level="d").sum()
+        dup_per_doc = tf[tf > 1].groupby(level="d").sum()
+        # trigrams: join adjacent tokens, valid where all 3 in same doc
+        s = pd.Series(toks, dtype=object)
+        tri = s + " " + s.shift(-1) + " " + s.shift(-2)
+        same = (doc_ids == np.roll(doc_ids, -1)) & \
+               (doc_ids == np.roll(doc_ids, -2))
+        same[-2:] = False
+        tri = tri[same]
+        tri_docs = doc_ids[same]
+        if len(tri):
+            gf = (pd.DataFrame({"d": tri_docs, "g": tri.to_numpy()})
+                  .groupby(["d", "g"], sort=False).size())
+            tri_per_doc = gf.groupby(level="d").sum()
+            tri_dup = gf[gf > 1].groupby(level="d").sum()
+        else:
+            tri_per_doc = pd.Series(dtype="int64")
+            tri_dup = pd.Series(dtype="int64")
+        out = pd.DataFrame({id_col: per_doc.index.to_numpy()})
+        out["n_tokens"] = per_doc.to_numpy()
+        out["dup_tokens"] = (dup_per_doc.reindex(per_doc.index)
+                             .fillna(0).astype(np.int64).to_numpy())
+        out["n_trigrams"] = (tri_per_doc.reindex(per_doc.index)
+                             .fillna(0).astype(np.int64).to_numpy())
+        out["dup_trigrams"] = (tri_dup.reindex(per_doc.index)
+                               .fillna(0).astype(np.int64).to_numpy())
+        return out
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pandas")
+
+
+def document_frequencies(ds, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """(token, df) document-frequency Dataset: per-batch partial combine
+    of per-doc DISTINCT tokens (shuffle ∝ batch vocabulary), then
+    ``groupby(token).sum`` — same scale shape as
+    :func:`global_token_counts`."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "df": pd.Series([], dtype="int64")})
+        doc_ids, toks = _explode_tokens(batch, id_col, text_col)
+        if len(toks) == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "df": pd.Series([], dtype="int64")})
+        pairs = pd.DataFrame({"d": doc_ids, "t": toks}).drop_duplicates()
+        cnt = pairs.groupby("t", sort=False).size()
+        return pd.DataFrame({"token": cnt.index.to_numpy(dtype=object),
+                             "df": cnt.to_numpy(dtype=np.int64)})
+
+    out = (ds.select_columns([id_col, text_col])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("token").sum("df"))
+    return out.map_batches(lambda t: t.rename_columns(["token", "df"]),
+                           batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3, max_vocab: int = 1_000_000,
+                    round_to: int = 4):
+    """Per-document top-k terms by tf-idf (score = tf * ln(N/df)).
+
+    Pass 1 computes N and the (token, df) vocabulary on-cluster and
+    broadcasts it via ``ray.put`` (capped at ``max_vocab`` most-frequent
+    tokens — at web scale the tail below the cap has df≈1 and
+    near-constant idf, so truncation is principled; a broadcast-free
+    variant would hash-join token scores instead).  Pass 2 scores each
+    batch vectorized (explode + groupby tf, idf lookup via pandas map)
+    and keeps each doc's top-k with a deterministic (score DESC, term
+    ASC) tie-break.  Output: (id, term, score) — k rows per doc."""
+    import ray
+
+    n_docs = ds.count()
+    dfs = document_frequencies(ds, text_col=text_col, id_col=id_col)
+    vocab_pd = dfs.to_pandas()
+    if len(vocab_pd) > max_vocab:
+        vocab_pd = vocab_pd.nlargest(max_vocab, "df")
+    idf = np.log(n_docs / vocab_pd["df"].to_numpy(dtype=np.float64))
+    vocab_ref = ray.put(pd.Series(idf, index=vocab_pd["token"].to_numpy()))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "term": pd.Series([], dtype="object"),
+                              "score": pd.Series([], dtype="float64")})
+        if len(batch) == 0:
+            return empty
+        idf_s: pd.Series = ray.get(vocab_ref)
+        doc_ids, toks = _explode_tokens(batch, id_col, text_col)
+        if len(toks) == 0:
+            return empty
+        tf = (pd.DataFrame({"d": doc_ids, "t": toks})
+              .groupby(["d", "t"], sort=False).size().reset_index(name="c"))
+        tf["score"] = (tf["c"] * tf["t"].map(idf_s).fillna(0.0)).round(round_to)
+        tf = tf.sort_values(["d", "score", "t"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = tf.groupby("d", sort=False).head(k)
+        return pd.DataFrame({id_col: top["d"].to_numpy(),
+                             "term": top["t"].to_numpy(),
+                             "score": top["score"].to_numpy()})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas")
+
+
+def bm25_topk(ds, query: str, id_col: str = "doc_id",
+              text_col: str = "text", k: int = 20, k1: float = 1.2,
+              b: float = 0.75) -> pd.DataFrame:
+    """BM25 top-k retrieval against ONE broadcast query string.
+
+    Global stats pass: N, avgdl (mean token count, one tiny aggregate)
+    and df for the QUERY terms only (the (token, df) Dataset filtered to
+    the handful of query tokens — nothing vocabulary-sized ships
+    anywhere).  Scoring pass: per batch, vectorized term-frequency of
+    query terms (np.isin + groupby), BM25 with idf =
+    ln((N - df + .5)/(df + .5) + 1), local top-k, tiny driver merge.
+    Returns a pandas DataFrame (id, score) of ≤ k rows, score DESC,
+    id ASC tie-break."""
+    q_terms = sorted({t for t in query.split(" ") if t})
+    if not q_terms:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    n_docs = ds.count()
+
+    def doclen(batch: pd.DataFrame) -> pd.DataFrame:
+        split = batch[text_col].fillna("").str.split(" ")
+        n = split.map(lambda ts: sum(1 for t in ts if t))
+        return pd.DataFrame({"dl": n.to_numpy(dtype=np.int64)})
+
+    avgdl = ds.select_columns([text_col]).map_batches(
+        doclen, batch_format="pandas").mean("dl")
+    dfs = document_frequencies(ds, text_col=text_col, id_col=id_col)
+    qset = set(q_terms)
+    df_rows = dfs.filter(lambda r: r["token"] in qset).take_all()
+    df_map = {r["token"]: r["df"] for r in df_rows}
+    idf = {t: float(np.log((n_docs - df_map.get(t, 0) + 0.5)
+                           / (df_map.get(t, 0) + 0.5) + 1.0))
+           for t in q_terms}
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if len(batch) == 0:
+            return empty
+        doc_ids, toks = _explode_tokens(batch, id_col, text_col)
+        if len(toks) == 0:
+            return empty
+        dl = (pd.Series(1, index=doc_ids).groupby(level=0).sum())
+        mask = np.isin(toks, q_terms)
+        if not mask.any():
+            return empty
+        tf = (pd.DataFrame({"d": doc_ids[mask], "t": toks[mask]})
+              .groupby(["d", "t"], sort=False).size().reset_index(name="f"))
+        tf["dl"] = tf["d"].map(dl).to_numpy(dtype=np.float64)
+        f = tf["f"].to_numpy(dtype=np.float64)
+        denom = f + k1 * (1.0 - b + b * tf["dl"].to_numpy() / avgdl)
+        tf["s"] = tf["t"].map(idf).to_numpy() * f * (k1 + 1.0) / denom
+        per_doc = tf.groupby("d", sort=False)["s"].sum().reset_index()
+        per_doc = per_doc.sort_values(["s", "d"], ascending=[False, True],
+                                      kind="mergesort").head(k)
+        return pd.DataFrame({id_col: per_doc["d"].to_numpy(),
+                             "score": per_doc["s"].to_numpy()})
+
+    cand = ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas").to_pandas()
+    if len(cand) == 0:  # no doc hit any query term
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    cand = cand.sort_values(["score", id_col], ascending=[False, True],
+                            kind="mergesort").head(k)
+    return cand.reset_index(drop=True)

@@ -1234,6 +1234,28 @@ def q69_shipping_priority(sf_dir: str):
     return _round_cols(cand.reset_index(drop=True), {"revenue": ROUND})
 
 
+def q70_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition counters (LLM quality gates):
+    tokens in repeated token types + trigram instances of repeated
+    trigrams, integer outputs (`ops/text.repetition_stats` — one
+    vectorized explode + two pandas groupby kernels per batch, no
+    shuffle)."""
+    from ..ops.text import repetition_stats
+
+    return repetition_stats(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q71_tfidf_terms(sf_dir: str):
+    """Per-doc top-3 tf-idf terms (LLM keyword extraction): global df
+    pass + broadcast idf + vectorized per-batch scoring
+    (`ops/text.tfidf_top_terms`; deterministic (score DESC, term ASC)
+    tie-break mirrors the SQL window order)."""
+    from ..ops.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(sf_dir, "documents", ["doc_id", "text"]),
+                           k=3, round_to=4)
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1674,6 +1696,55 @@ ORACLE_SQL: dict[str, str] = {
           AND l_shipdate > TIMESTAMP '1998-06-01'
         GROUP BY l_orderkey
         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q70_repetition_stats": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        flat AS (
+            SELECT doc_id, unnest(a) AS tok FROM toks),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM flat
+            WHERE tok <> '' GROUP BY doc_id, tok),
+        tok_stats AS (
+            SELECT doc_id, SUM(c) AS n_tokens,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tokens
+            FROM tf GROUP BY doc_id),
+        tri AS (
+            SELECT doc_id, array_to_string(a[i:i+2], ' ') AS g
+            FROM toks,
+                 LATERAL UNNEST(generate_series(1, len(a) - 2)) AS t(i)),
+        trif AS (
+            SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
+        tri_stats AS (
+            SELECT doc_id, SUM(c) AS n_trigrams,
+                   SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_trigrams
+            FROM trif GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(dup_tokens AS BIGINT) AS dup_tokens,
+               CAST(COALESCE(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+               CAST(COALESCE(dup_trigrams, 0) AS BIGINT) AS dup_trigrams
+        FROM tok_stats t LEFT JOIN tri_stats USING (doc_id)""",
+    "q71_tfidf_terms": """
+        WITH flat AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+        tf AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM flat
+            WHERE tok <> '' GROUP BY doc_id, tok),
+        dfv AS (
+            SELECT tok, COUNT(DISTINCT doc_id) AS dfc FROM flat
+            WHERE tok <> '' GROUP BY tok),
+        scored AS (
+            SELECT doc_id, tok,
+                   ROUND(c * ln((SELECT COUNT(*) FROM documents) * 1.0
+                                / dfc), 4) AS score
+            FROM tf JOIN dfv USING (tok)),
+        ranked AS (
+            SELECT doc_id, tok, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, tok) AS rn
+            FROM scored)
+        SELECT doc_id, tok AS term, score FROM ranked WHERE rn <= 3""",
 }
 
 SQL_QUERIES = {
@@ -1746,6 +1817,8 @@ SQL_QUERIES = {
     "q67_part_attrs_unpivot": q67_part_attrs_unpivot,
     "q68_region_pairs": q68_region_pairs,
     "q69_shipping_priority": q69_shipping_priority,
+    "q70_repetition_stats": q70_repetition_stats,
+    "q71_tfidf_terms": q71_tfidf_terms,
 }
 
 
@@ -2208,7 +2281,20 @@ def nq_heavy_hitters(sf_dir: str):
                          "user_id", k=64, top_n=20)
 
 
+def nq_bm25_search(sf_dir: str):
+    """BM25 top-20 retrieval over the documents table against a broadcast
+    query string (`ops/text.bm25_topk`): global N/avgdl/df stats pass
+    (df shipped for QUERY terms only), vectorized per-batch scoring,
+    partial top-k + tiny merge.  Floats + ranking → pytest oracle
+    (tests/test_round4_ops.py) instead of a hash-exact SQL one."""
+    from ..ops.text import bm25_topk
+
+    return bm25_topk(_t(sf_dir, "documents", ["doc_id", "text"]),
+                     query="hash join merge", k=20)
+
+
 NONSQL_QUERIES = {
+    "nq_bm25_search": nq_bm25_search,
     "nq_curation_pipeline": nq_curation_pipeline,
     "nq_heavy_hitters": nq_heavy_hitters,
     "nq_minhash_dedup": nq_minhash_dedup,

@@ -142,3 +142,83 @@ def test_rollup_query_grand_total(ray_session):
     total = out[(out.l_returnflag == "ALL") & (out.l_linestatus == "ALL")]
     assert len(total) == 1
     assert abs(fine["revenue"].sum() - total["revenue"].iloc[0]) < 0.05
+
+
+# -- text ops: repetition / tfidf / bm25 --------------------------------------
+
+def test_repetition_stats_counts(ray_session):
+    from driftray.ops.text import repetition_stats
+
+    ds = _ds({"doc_id": [1, 2, 3],
+              "text": ["a b a b c",          # dup tokens a,b; no dup tri
+                       "x y x y x y x y",    # dup trigrams too
+                       "u v w"]})
+    out = (repetition_stats(ds).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1].tolist() == [5, 4, 3, 0]
+    # doc2: 8 tokens all dup; 6 trigrams: "x y x"(x3? -> x y x at 0,2,4)=3,
+    # "y x y" at 1,3,5 = 3 -> all 6 are dup instances
+    assert out.loc[2].tolist() == [8, 8, 6, 6]
+    assert out.loc[3].tolist() == [3, 0, 1, 0]
+
+
+def test_tfidf_top_terms_reference(ray_session):
+    import math
+
+    from driftray.ops.text import tfidf_top_terms
+
+    texts = {1: "apple banana apple", 2: "banana cherry", 3: "apple dog"}
+    ds = _ds({"doc_id": list(texts), "text": list(texts.values())})
+    out = tfidf_top_terms(ds, k=2, round_to=6).to_pandas()
+    # reference
+    dfc = {"apple": 2, "banana": 2, "cherry": 1, "dog": 1}
+    ref = {}
+    for d, txt in texts.items():
+        tf = collections.Counter(txt.split())
+        scored = sorted(((round(c * math.log(3 / dfc[t]), 6), t)
+                         for t, c in tf.items()),
+                        key=lambda p: (-p[0], p[1]))[:2]
+        ref[d] = [(t, s) for s, t in scored]
+    got = {d: list(zip(g["term"], g["score"]))
+           for d, g in out.groupby("doc_id")}
+    assert got == ref
+
+
+def _bm25_reference(texts: dict, query: str, k1=1.2, b=0.75):
+    import math
+
+    toks = {d: [t for t in s.split(" ") if t] for d, s in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in sorted(set(query.split())):
+        dfc = sum(1 for v in toks.values() if term in v)
+        idf = math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        for d, v in toks.items():
+            f = v.count(term)
+            if f:
+                s = idf * f * (k1 + 1) / (f + k1 * (1 - b + b * len(v) / avgdl))
+                scores[d] = scores.get(d, 0.0) + s
+    return sorted(scores.items(), key=lambda p: (-p[1], p[0]))
+
+
+def test_bm25_matches_reference(ray_session):
+    from driftray.ops.text import bm25_topk
+
+    rng = np.random.default_rng(11)
+    vocab = ["hash", "join", "merge", "scan", "sort", "index", "tree"]
+    texts = {i: " ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+             for i in range(60)}
+    ds = _ds({"doc_id": list(texts), "text": list(texts.values())})
+    out = bm25_topk(ds, "hash join", k=10)
+    ref = _bm25_reference(texts, "hash join")[:10]
+    assert list(out["doc_id"]) == [d for d, _ in ref]
+    np.testing.assert_allclose(out["score"], [s for _, s in ref], rtol=1e-9)
+
+
+def test_bm25_empty_query_and_no_hits(ray_session):
+    from driftray.ops.text import bm25_topk
+
+    ds = _ds({"doc_id": [1, 2], "text": ["a b", "c d"]})
+    assert len(bm25_topk(ds, "", k=5)) == 0
+    assert len(bm25_topk(ds, "zzz", k=5)) == 0
