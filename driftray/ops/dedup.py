@@ -1231,3 +1231,182 @@ def dedup_segments(ds: rd.Dataset, id_col: str, text_col: str,
                          "n_dropped": pa.array(drop_n, pa.int64())})
 
     return proj.map_batches(rebuild, batch_format="pyarrow")
+
+
+# -- exact duplicate-SPAN removal (substring dedup, token-window form) --------
+
+_SPAN_BASE = np.uint64(0x100000001B3)  # FNV-ish odd multiplier
+
+
+def dedup_spans(ds: rd.Dataset, id_col: str = "doc_id",
+                text_col: str = "text", window: int = 8,
+                out_col: str = "clean_text",
+                num_partitions: int = 64) -> rd.Dataset:
+    """EXACT duplicate-span removal across the whole corpus — the
+    substring-dedup pass of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), simplified from suffix arrays to
+    fixed-length TOKEN windows: any ``window``-token span whose rolling
+    hash occurs ≥ 2 times in the corpus (across documents or repeated
+    within one) is removed everywhere EXCEPT its first occurrence
+    (lexicographic min (doc_id, position)).
+
+    Fully distributed, three exchanges, nothing driver-sized:
+
+    1. per batch, VECTORIZED window hashes: tokens explode once
+       (whitespace split, empties dropped), per-token ``hash64``; each
+       window hash is a uint64 polynomial over ``sliding_window_view``
+       (wrap-around arithmetic) — (h, ord, doc, pos) rows, ~32 B/token
+       exchange weight, same order as Lee et al.'s suffix-array pass;
+    2. ONE hash-partition by h (``partitioned_group_apply``): within a
+       partition a pandas groupby finds hashes with count ≥ 2 and emits
+       the NON-winner occurrences (doc, pos) — output ∝ duplicate
+       density;
+    3. masked positions union-tagged with the original docs and
+       hash-partitioned by doc id: per partition, tokens re-explode,
+       span coverage expands vectorized (repeat + tile), an anti-merge
+       drops covered tokens and a groupby-join rebuilds each doc's text.
+
+    ord packs (doc_id, pos) into one int64 (doc < 2^31, pos < 2^32 —
+    checked).  64-bit window hashes mean ~2^-64 per-pair collision odds;
+    at corpora ≥ 2^32 windows add an exact-verify join on the masked
+    spans (the n-gram dedup path shows the shape).
+
+    Returns (id_col, out_col, n_tokens, n_removed) — every input doc,
+    cleaned text with surviving tokens joined by single spaces.
+    """
+    from .text import _explode_tokens
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    _require_int_ids(ds, id_col)
+    powers = _SPAN_BASE ** np.arange(window, dtype=np.uint64)
+
+    def window_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                              "ord": pd.Series([], dtype="int64"),
+                              "doc": pd.Series([], dtype="int64"),
+                              "pos": pd.Series([], dtype="int64")})
+        if len(batch) == 0:
+            return empty
+        doc_ids, toks = _explode_tokens(batch, id_col, text_col)
+        n = len(toks)
+        if n < window:
+            return empty
+        if doc_ids.max() >= 2 ** 31:
+            raise ValueError("doc ids must fit in int32 for span packing")
+        th = hash64(toks)
+        # position within doc (tokens are in row order, docs contiguous)
+        change = np.ones(n, dtype=bool)
+        change[1:] = doc_ids[1:] != doc_ids[:-1]
+        run_start = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        pos = np.arange(n, dtype=np.int64) - run_start[run_id]
+        # windows fully inside one doc
+        valid = np.zeros(n - window + 1, dtype=bool)
+        valid[:] = doc_ids[: n - window + 1] == doc_ids[window - 1:]
+        if not valid.any():
+            return empty
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        wh = (sliding_window_view(th, window) * powers).sum(axis=1)
+        wh = wh[valid].view(np.int64) if wh.flags.writeable else \
+            wh[valid].copy().view(np.int64)
+        d = doc_ids[: n - window + 1][valid].astype(np.int64)
+        p = pos[: n - window + 1][valid]
+        return pd.DataFrame({"h": wh, "ord": (d << np.int64(32)) + p,
+                             "doc": d, "pos": p})
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        window_rows, batch_format="pandas")
+
+    def find_masked(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc": pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64")})
+        grp = df.groupby("h", sort=False)["ord"]
+        cnt = grp.transform("size").to_numpy()
+        winner = grp.transform("min").to_numpy()
+        bad = df.loc[(cnt >= 2) & (df["ord"].to_numpy() != winner),
+                     ["doc", "pos"]]
+        return bad.reset_index(drop=True)
+
+    from .grouped import partitioned_group_apply
+
+    masked = partitioned_group_apply(rows, ["h"], find_masked,
+                                     num_partitions=num_partitions)
+
+    # union-tag docs (kind 0) and masked spans (kind 1); rebuild per doc
+    def tag_docs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": b[id_col].to_numpy(dtype=np.int64),
+            "kind": np.zeros(len(b), dtype=np.int64),
+            "txt": b[text_col].fillna("").to_numpy(dtype=object),
+            "pos": np.full(len(b), -1, dtype=np.int64)})
+
+    def tag_spans(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": b["doc"].to_numpy(dtype=np.int64),
+            "kind": np.ones(len(b), dtype=np.int64),
+            "txt": np.full(len(b), "", dtype=object),
+            "pos": b["pos"].to_numpy(dtype=np.int64)})
+
+    tagged = (ds.select_columns([id_col, text_col])
+              .map_batches(tag_docs, batch_format="pandas")
+              .union(masked.map_batches(tag_spans, batch_format="pandas")))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            out_col: pd.Series([], dtype="object"),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "n_removed": pd.Series([], dtype="int64")})
+        texts = df[df["kind"] == 0]
+        if len(texts) == 0:
+            return empty
+        spans = df[df["kind"] == 1]
+        split = texts["txt"].str.split(" ")
+        lens = split.map(len).to_numpy(dtype=np.int64)
+        tok_doc = np.repeat(texts["doc"].to_numpy(), lens)
+        toks = (np.concatenate([np.asarray(t, dtype=object) for t in split])
+                if lens.sum() else np.array([], dtype=object))
+        keep = toks != ""
+        tok_doc, toks = tok_doc[keep], toks[keep]
+        n = len(toks)
+        change = np.ones(n, dtype=bool)
+        if n:
+            change[1:] = tok_doc[1:] != tok_doc[:-1]
+        run_start = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        tok_pos = (np.arange(n, dtype=np.int64) - run_start[run_id]
+                   if n else np.array([], dtype=np.int64))
+        tok_df = pd.DataFrame({"doc": tok_doc, "pos": tok_pos, "tok": toks})
+        if len(spans):
+            cov_doc = np.repeat(spans["doc"].to_numpy(), window)
+            cov_pos = (np.repeat(spans["pos"].to_numpy(), window)
+                       + np.tile(np.arange(window, dtype=np.int64),
+                                 len(spans)))
+            cov = pd.DataFrame({"doc": cov_doc,
+                                "pos": cov_pos}).drop_duplicates()
+            merged = tok_df.merge(cov, on=["doc", "pos"], how="left",
+                                  indicator=True)
+            keep_mask = (merged["_merge"] == "left_only").to_numpy()
+        else:
+            merged = tok_df
+            keep_mask = np.ones(len(tok_df), dtype=bool)
+        kept = merged.loc[keep_mask, ["doc", "tok"]]
+        joined = kept.groupby("doc", sort=False)["tok"].agg(" ".join)
+        doc_index = texts["doc"].to_numpy()
+        total = tok_df.groupby("doc", sort=False).size()
+        out_text = (joined.reindex(doc_index).fillna("")
+                    .to_numpy(dtype=object))
+        n_tok = (total.reindex(doc_index).fillna(0)
+                 .to_numpy(dtype=np.int64))
+        kept_cnt = kept.groupby("doc", sort=False).size()
+        n_keep = (kept_cnt.reindex(doc_index).fillna(0)
+                  .to_numpy(dtype=np.int64))
+        return pd.DataFrame({id_col: doc_index, out_col: out_text,
+                             "n_tokens": n_tok,
+                             "n_removed": n_tok - n_keep})
+
+    return partitioned_group_apply(tagged, ["doc"], rebuild,
+                                   num_partitions=num_partitions)

@@ -1256,6 +1256,19 @@ def q71_tfidf_terms(sf_dir: str):
                            k=3, round_to=4)
 
 
+def q72_span_dedup(sf_dir: str):
+    """Exact duplicate-SPAN removal (Lee et al. substring dedup, token-
+    window form; `ops/dedup.dedup_spans`): every 8-token span occurring
+    ≥2 times corpus-wide survives only at its first (doc, pos)
+    occurrence.  Three distributed exchanges; the DuckDB oracle
+    recomputes winners by window STRING equality (hash-free), so this
+    also certifies the rolling hash collision-free on this corpus."""
+    from ..ops.dedup import dedup_spans
+
+    return dedup_spans(_t(sf_dir, "documents", ["doc_id", "text"]),
+                       window=8, num_partitions=8)
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1745,6 +1758,41 @@ ORACLE_SQL: dict[str, str] = {
                                       ORDER BY score DESC, tok) AS rn
             FROM scored)
         SELECT doc_id, tok AS term, score FROM ranked WHERE rn <= 3""",
+    "q72_span_dedup": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        w AS (
+            SELECT doc_id, i - 1 AS pos, array_to_string(a[i:i+7], ' ') AS g
+            FROM toks,
+                 LATERAL UNNEST(generate_series(1, len(a) - 7)) AS t(i)),
+        winners AS (
+            SELECT g, MIN(doc_id * 4294967296 + pos) AS o, COUNT(*) AS c
+            FROM w GROUP BY g),
+        masked AS (
+            SELECT w.doc_id, w.pos FROM w JOIN winners USING (g)
+            WHERE c >= 2 AND w.doc_id * 4294967296 + w.pos <> o),
+        cov AS (
+            SELECT DISTINCT doc_id, pos + j AS p
+            FROM masked, LATERAL UNNEST(generate_series(0, 7)) AS t(j)),
+        flat AS (
+            SELECT doc_id, i - 1 AS p, a[i] AS tok
+            FROM toks, LATERAL UNNEST(generate_series(1, len(a))) AS t(i)),
+        kept AS (
+            SELECT f.doc_id, f.p, f.tok FROM flat f
+            LEFT JOIN cov ON f.doc_id = cov.doc_id AND f.p = cov.p
+            WHERE cov.p IS NULL),
+        agg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, COUNT(*) AS n_tokens FROM flat
+                GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(clean_text, '') AS clean_text,
+               CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(n_tokens, 0) - COALESCE(n_kept, 0) AS BIGINT)
+                   AS n_removed
+        FROM documents d LEFT JOIN agg USING (doc_id)
+        LEFT JOIN tot USING (doc_id)""",
 }
 
 SQL_QUERIES = {
@@ -1819,6 +1867,7 @@ SQL_QUERIES = {
     "q69_shipping_priority": q69_shipping_priority,
     "q70_repetition_stats": q70_repetition_stats,
     "q71_tfidf_terms": q71_tfidf_terms,
+    "q72_span_dedup": q72_span_dedup,
 }
 
 

@@ -222,3 +222,86 @@ def test_bm25_empty_query_and_no_hits(ray_session):
     ds = _ds({"doc_id": [1, 2], "text": ["a b", "c d"]})
     assert len(bm25_topk(ds, "", k=5)) == 0
     assert len(bm25_topk(ds, "zzz", k=5)) == 0
+
+
+# -- exact duplicate-span removal ---------------------------------------------
+
+def _span_oracle(texts: dict, window: int):
+    """Pure-Python reference: windows of `window` tokens hashed by value;
+    any window occurring >= 2 times keeps only its first (doc, pos)
+    occurrence; other occurrences' token ranges are masked."""
+    toks = {d: [t for t in s.split(" ") if t] for d, s in texts.items()}
+    occ = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for i in range(len(ts) - window + 1):
+            occ.setdefault(tuple(ts[i:i + window]), []).append((d, i))
+    masked = {d: set() for d in toks}
+    for w, places in occ.items():
+        if len(places) >= 2:
+            for d, i in places[1:]:
+                masked[d].update(range(i, i + window))
+    out = {}
+    for d, ts in toks.items():
+        kept = [t for i, t in enumerate(ts) if i not in masked[d]]
+        out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_dedup_spans_planted(ray_session):
+    from driftray.ops.dedup import dedup_spans
+
+    rng = np.random.default_rng(5)
+    # unique-ish background tokens so no accidental duplicate windows
+    texts = {d: " ".join(f"w{d}_{i}" for i in range(30)) for d in range(10)}
+    span = " ".join(f"dup{i}" for i in range(12))
+    for d in (3, 7, 9):  # plant the same 12-token span
+        base = texts[d].split(" ")
+        at = int(rng.integers(0, 18))
+        texts[d] = " ".join(base[:at] + span.split(" ") + base[at:])
+    # within-doc repetition: same 8-token run twice in doc 5
+    rep = " ".join(f"rep{i}" for i in range(8))
+    texts[5] = rep + " " + texts[5] + " " + rep
+
+    ds = _ds({"doc_id": list(texts), "text": list(texts.values())})
+    out = (dedup_spans(ds, window=8, num_partitions=4).to_pandas()
+           .set_index("doc_id").sort_index())
+    ref = _span_oracle(texts, window=8)
+    assert len(out) == len(texts)
+    for d, (clean, ntok, nrem) in ref.items():
+        assert out.loc[d, "clean_text"] == clean, d
+        assert out.loc[d, "n_tokens"] == ntok
+        assert out.loc[d, "n_removed"] == nrem
+    # sanity: the planted span survives exactly once across the corpus
+    total_span_hits = sum(out.loc[d, "clean_text"].count("dup0")
+                          for d in (3, 7, 9))
+    assert total_span_hits == 1
+
+
+def test_dedup_spans_random_matches_oracle(ray_session):
+    from driftray.ops.dedup import dedup_spans
+
+    rng = np.random.default_rng(17)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> natural dup windows
+    texts = {d: " ".join(rng.choice(vocab, size=int(rng.integers(6, 40))))
+             for d in range(40)}
+    ds = _ds({"doc_id": list(texts), "text": list(texts.values())})
+    out = (dedup_spans(ds, window=4, num_partitions=4).to_pandas()
+           .set_index("doc_id").sort_index())
+    ref = _span_oracle(texts, window=4)
+    for d, (clean, ntok, nrem) in ref.items():
+        assert out.loc[d, "clean_text"] == clean, d
+        assert out.loc[d, "n_removed"] == nrem
+
+
+def test_dedup_spans_no_duplicates_passthrough(ray_session):
+    from driftray.ops.dedup import dedup_spans
+
+    texts = {1: "a b c d e f g h i", 2: "j k l m n o p q r", 3: ""}
+    ds = _ds({"doc_id": list(texts), "text": list(texts.values())})
+    out = (dedup_spans(ds, window=8, num_partitions=2).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert out.loc[1, "clean_text"] == texts[1]
+    assert out.loc[2, "clean_text"] == texts[2]
+    assert out.loc[3, "clean_text"] == ""
+    assert (out["n_removed"] == 0).all()
