@@ -1269,6 +1269,49 @@ def q72_span_dedup(sf_dir: str):
                        window=8, num_partitions=8)
 
 
+def q73_lang_outliers(sf_dir: str):
+    """Robust per-group outlier detection (A4 extension): per language,
+    count docs whose |n_chars − median| exceeds 3×MAD — two
+    `grouped_quantile` passes (median, then MAD as the median absolute
+    deviation), group stats broadcast back (group cardinality = #langs,
+    tiny), one counting aggregate.  Integer outputs keep the DuckDB
+    MEDIAN/MAD oracle hash-exact."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.grouped import grouped_quantile
+
+    docs = _t(sf_dir, "documents", ["lang", "n_chars"])
+    med = grouped_quantile(docs, ["lang"], "n_chars", q=0.5,
+                           out_col="med", num_partitions=4).to_pandas()
+    med_map = dict(zip(med["lang"], med["med"]))
+
+    def add_dev(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        m = np.array([med_map[x] for x in langs])
+        dev = np.abs(t["n_chars"].to_numpy(zero_copy_only=False) - m)
+        return pa.table({"lang": t["lang"], "dev": pa.array(dev),
+                         "n_chars": t["n_chars"]})
+
+    dev_ds = docs.map_batches(add_dev, batch_format="pyarrow")
+    mad = grouped_quantile(dev_ds.select_columns(["lang", "dev"]),
+                           ["lang"], "dev", q=0.5, out_col="mad",
+                           num_partitions=4).to_pandas()
+    mad_map = dict(zip(mad["lang"], mad["mad"]))
+
+    def flag(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        thr = np.array([3.0 * mad_map[x] for x in langs])
+        out = (t["dev"].to_numpy(zero_copy_only=False) > thr)
+        return pa.table({"lang": t["lang"],
+                         "is_out": pa.array(out.astype(np.int64))})
+
+    agg = (dev_ds.map_batches(flag, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("is_out", alias_name="n_outliers")))
+    return agg
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1793,6 +1836,15 @@ ORACLE_SQL: dict[str, str] = {
                    AS n_removed
         FROM documents d LEFT JOIN agg USING (doc_id)
         LEFT JOIN tot USING (doc_id)""",
+    "q73_lang_outliers": """
+        WITH stats AS (
+            SELECT lang, MEDIAN(n_chars) AS m, MAD(n_chars) AS d
+            FROM documents GROUP BY lang)
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(CASE WHEN ABS(n_chars - m) > 3 * d
+                        THEN 1 ELSE 0 END) AS n_outliers
+        FROM documents JOIN stats USING (lang)
+        GROUP BY lang""",
 }
 
 SQL_QUERIES = {
@@ -1868,6 +1920,7 @@ SQL_QUERIES = {
     "q70_repetition_stats": q70_repetition_stats,
     "q71_tfidf_terms": q71_tfidf_terms,
     "q72_span_dedup": q72_span_dedup,
+    "q73_lang_outliers": q73_lang_outliers,
 }
 
 
@@ -2342,8 +2395,46 @@ def nq_bm25_search(sf_dir: str):
                      query="hash join merge", k=20)
 
 
+def nq_embedding_pca(sf_dir: str):
+    """Distributed PCA over the embeddings table
+    (`ops/embedding.embedding_pca`): covariance from ONE moment pass
+    (d×d partials only), driver-side eigensolve, broadcast projection.
+    pytest oracle: matches numpy full-data PCA up to sign
+    (tests/test_round4_ops.py)."""
+    from ..ops.embedding import embedding_pca, pca_transform
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mean, comps, _ = embedding_pca(ds, n_components=2)
+    out = pca_transform(ds, mean, comps)
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        P = np.stack(b["pca"].to_numpy()) if len(b) else np.zeros((0, 2))
+        return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(),
+                             "pc1": np.round(P[:, 0], ROUND_F),
+                             "pc2": np.round(P[:, 1], ROUND_F)})
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def nq_kmeans_clusters(sf_dir: str):
+    """Full-data Lloyd k-means (`ops/embedding.kmeans_fit`): per
+    iteration one streaming pass reducing each batch to k×(d+1) partial
+    sums; assignments via broadcast centroids.  Returns per-cluster
+    sizes; pytest oracle asserts exact agreement with a single-machine
+    Lloyd run from the same init (tests/test_round4_ops.py)."""
+    from ..ops.embedding import kmeans_assign, kmeans_fit
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    centers, _, _ = kmeans_fit(ds, n_clusters=8, iters=8, seed=42)
+    assigned = kmeans_assign(ds, centers)
+    return (assigned.groupby("cluster").count()
+            .to_pandas().sort_values("cluster").reset_index(drop=True))
+
+
 NONSQL_QUERIES = {
     "nq_bm25_search": nq_bm25_search,
+    "nq_embedding_pca": nq_embedding_pca,
+    "nq_kmeans_clusters": nq_kmeans_clusters,
     "nq_curation_pipeline": nq_curation_pipeline,
     "nq_heavy_hitters": nq_heavy_hitters,
     "nq_minhash_dedup": nq_minhash_dedup,

@@ -305,3 +305,74 @@ def test_dedup_spans_no_duplicates_passthrough(ray_session):
     assert out.loc[2, "clean_text"] == texts[2]
     assert out.loc[3, "clean_text"] == ""
     assert (out["n_removed"] == 0).all()
+
+
+# -- embedding linear algebra: PCA / Lloyd k-means ----------------------------
+
+def _blob_ds(n=600, d=8, k=3, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 10, size=(k, d))
+    X = np.vstack([rng.normal(centers[i], 1.0, size=(n // k, d))
+                   for i in range(k)])
+    ids = np.arange(len(X), dtype=np.int64)
+    return X, rd.from_items(
+        [{"vec_id": int(i), "embedding": X[j].tolist()}
+         for j, i in enumerate(ids)])
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    from driftray.ops.embedding import embedding_pca, pca_transform
+
+    X, ds = _blob_ds()
+    mean, comps, ev = embedding_pca(ds, n_components=3)
+    np.testing.assert_allclose(mean, X.mean(axis=0), rtol=1e-10)
+    cov = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    np.testing.assert_allclose(ev, evals[order], rtol=1e-8)
+    for i, col in enumerate(order):
+        ref = evecs[:, col]
+        got = comps[i]
+        if np.dot(ref, got) < 0:
+            ref = -ref
+        np.testing.assert_allclose(got, ref, atol=1e-8)
+    # projection round-trip
+    proj = pca_transform(ds, mean, comps).to_pandas()
+    P = np.stack(proj.sort_values("vec_id")["pca"].to_numpy())
+    ref_p = (X - X.mean(0)) @ comps.T
+    np.testing.assert_allclose(P, ref_p, atol=1e-8)
+
+
+def _lloyd_reference(X, centers, iters, tol=1e-6):
+    for _ in range(iters):
+        d2 = ((X ** 2).sum(1)[:, None] - 2 * X @ centers.T
+              + (centers ** 2).sum(1)[None, :])
+        a = d2.argmin(1)
+        new = centers.copy()
+        for j in range(len(centers)):
+            if (a == j).any():
+                new[j] = X[a == j].mean(0)
+        shift = np.abs(new - centers).max()
+        centers = new
+        if shift < tol:
+            break
+    return centers
+
+
+def test_kmeans_fit_matches_reference_lloyd(ray_session):
+    from driftray.ops.embedding import kmeans_assign, kmeans_fit
+
+    X, ds = _blob_ds(n=300, d=4, k=3, seed=9)
+    centers, n_it, shifts = kmeans_fit(ds, n_clusters=3, iters=12, seed=1,
+                                       init_sample=300)
+    # identical init: seeded choice over the same first-300 rows
+    rng = np.random.default_rng(1)
+    init = X[rng.choice(300, size=3, replace=False)]
+    ref = _lloyd_reference(X, init.copy(), iters=12)
+    # same init + same algorithm => same centers (order included)
+    np.testing.assert_allclose(np.sort(centers, axis=0),
+                               np.sort(ref, axis=0), atol=1e-8)
+    assigned = kmeans_assign(ds, centers).to_pandas()
+    assert assigned["cluster"].nunique() == 3
+    # blobs are well separated: inertia per point should be tiny vs spread
+    assert shifts[-1] < 1e-3 or n_it == 12
