@@ -134,3 +134,159 @@ def token_budget_select(ds: rd.Dataset, group_col: str, token_col: str,
                                              token_col} else ds
     return src.map_batches(KeepWithinBudget, batch_format="pyarrow",
                            concurrency=(1, 4))
+
+
+# --- Benchmark decontamination -----------------------------------------
+
+def _ngram_hash_frame(batch: pd.DataFrame, id_col: str, text_col: str,
+                      n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, int64 n-gram hashes) for every length-``n`` token
+    window in the batch.  Tokenization = split on single spaces with
+    empties dropped (mirrors DuckDB ``list_filter(string_split(text,' '),
+    x -> x <> '')`` so an SQL oracle reproduces it exactly).  Hashing is
+    pandas' vectorized 64-bit siphash over the joined n-gram strings —
+    deterministic across processes (fixed default key), re-viewed as
+    int64 (the repo's shuffle-key convention: uint64 degrades to
+    pickled-object blocks through Ray groupby/sort)."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    if len(batch) == 0:
+        return empty
+    toks_per_doc = (batch[text_col].fillna("").str.lower()
+                    .str.split(" "))
+    flat = toks_per_doc.explode()
+    flat = flat[flat.notna() & (flat != "")]
+    if len(flat) < n:
+        return empty
+    ids = batch[id_col].to_numpy()[
+        batch.index.get_indexer(flat.index)].astype(np.int64)
+    toks = flat.to_numpy(dtype=object)
+    m = len(toks) - n + 1
+    joined = toks[:m].copy()
+    for j in range(1, n):
+        joined = joined + " "
+        joined = joined + toks[j:m + j]
+    valid = ids[:m] == ids[n - 1:]
+    if not valid.any():
+        return empty
+    h = pd.util.hash_array(joined[valid].astype(object)).view(np.int64)
+    return ids[:m][valid], h
+
+
+class _NgramHasher:
+    """map_batches stage: explode a text column into per-batch-distinct
+    (id, ngh) n-gram hash rows."""
+
+    def __init__(self, id_col: str, text_col: str, n: int,
+                 keep_id: bool = True):
+        self.id_col, self.text_col, self.n = id_col, text_col, n
+        self.keep_id = keep_id
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not self.keep_id:
+            # No real id column: synthesize a positional one so n-grams
+            # never straddle document boundaries.
+            batch = batch.assign(**{self.id_col: np.arange(len(batch))})
+        ids, h = _ngram_hash_frame(batch, self.id_col, self.text_col,
+                                   self.n)
+        if not self.keep_id:
+            return pd.DataFrame({"ngh": np.unique(h)})
+        return pd.DataFrame({self.id_col: ids, "ngh": h})
+
+
+def decontaminate(ds: rd.Dataset, eval_ds: rd.Dataset,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 8, spill_threshold: int = 2_000_000,
+                  num_partitions: int = 32) -> rd.Dataset:
+    """Flag training documents that share any token ``n``-gram with an
+    evaluation/benchmark set (test-set decontamination, the standard
+    pre-training hygiene pass — GPT-3 §C / PaLM §7 style).
+
+    Returns ``(id_col, n_contaminated)`` — one row per input document,
+    ``n_contaminated`` = number of token windows whose n-gram occurs
+    anywhere in ``eval_ds`` (0 for clean docs).
+
+    Scale shape, two tiers:
+      * **broadcast** (eval sets are small by nature): distinct eval
+        n-gram hashes are collected once, sorted, ``ray.put`` — each doc
+        batch probes via ``np.isin`` (binary search), no shuffle at all.
+      * **spill** (distinct eval hashes > ``spill_threshold``): doc
+        n-gram hashes become a Dataset and contamination is a
+        large-large ``shuffle_semi_join`` on the 8-byte hash followed by
+        a per-doc count and a left join back onto the id spine — nothing
+        corpus-scale ever reaches the driver.
+
+    64-bit hashing means a ~2e-13 false-positive chance per candidate
+    pair at 1 M distinct eval n-grams — negligible for a keep/drop gate.
+    """
+    proj = ds.select_columns([id_col, text_col])
+    eval_hashes = eval_ds.select_columns([text_col]).map_batches(
+        _NgramHasher("__no_id", text_col, n, keep_id=False),
+        batch_format="pandas")
+    from .relational import distinct
+    eval_hashes = distinct(eval_hashes, ["ngh"]).materialize()
+    n_eval = eval_hashes.count()
+
+    if n_eval <= spill_threshold:
+        arr = np.sort(np.concatenate(
+            [b["ngh"].to_numpy(zero_copy_only=False)
+             for b in eval_hashes.iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        ref = ray.put(arr)
+
+        class Flagger:
+            def __init__(self, ref, id_col, text_col, n):
+                self.arr = ray.get(ref)
+                self.id_col, self.text_col, self.n = id_col, text_col, n
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                ids, h = _ngram_hash_frame(batch, self.id_col,
+                                           self.text_col, self.n)
+                hits = np.zeros(len(batch), dtype=np.int64)
+                if len(h):
+                    m = np.isin(h, self.arr, assume_unique=False)
+                    if m.any():
+                        s = pd.Series(1, index=ids[m]).groupby(level=0).sum()
+                        pos = pd.Index(batch[self.id_col]).get_indexer(s.index)
+                        hits[pos] = s.to_numpy()
+                return pd.DataFrame({self.id_col: batch[self.id_col],
+                                     "n_contaminated": hits})
+
+        return proj.map_batches(
+            Flagger, batch_format="pandas", concurrency=(1, 8),
+            fn_constructor_kwargs={"ref": ref, "id_col": id_col,
+                                   "text_col": text_col, "n": n})
+
+    # spill: large-large semi join on the hash
+    from ray.data.aggregate import Sum
+
+    from .relational import shuffle_semi_join
+    doc_ng = proj.map_batches(_NgramHasher(id_col, text_col, n),
+                              batch_format="pandas")
+    matched = shuffle_semi_join(doc_ng, eval_hashes, on=["ngh"],
+                                num_partitions=num_partitions)
+
+    # Per-doc count + zero-fill as ONE groupby-sum over a union: each
+    # matched n-gram row contributes 1, each spine row contributes 0.
+    # (A left_outer Dataset.join back onto the spine would be the obvious
+    # shape, but a join whose right side descends from another join loses
+    # schema metadata for empty hash partitions and Acero rejects the
+    # zero-column empty table — "No match for FieldRef"; the union-sum is
+    # also one fewer shuffle.)
+    cnt_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_contaminated", pa.int64())])
+
+    def _count_rows(fill: int):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:  # empty shuffle partition, "." schema
+                return cnt_schema.empty_table()
+            return pa.table({
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "n_contaminated": pa.array(
+                    np.full(t.num_rows, fill, dtype=np.int64))})
+        return f
+
+    spine = (distinct(proj.select_columns([id_col]), [id_col])
+             .map_batches(_count_rows(0), batch_format="pyarrow"))
+    ones = matched.map_batches(_count_rows(1), batch_format="pyarrow")
+    return (spine.union(ones).groupby(id_col)
+            .aggregate(Sum("n_contaminated", alias_name="n_contaminated")))

@@ -615,3 +615,125 @@ def bm25_topk(ds, query: str, id_col: str = "doc_id",
     cand = cand.sort_values(["score", id_col], ascending=[False, True],
                             kind="mergesort").head(k)
     return cand.reset_index(drop=True)
+
+
+# --- PII redaction -----------------------------------------------------
+
+#: Default PII patterns.  RE2-compatible (pyarrow.compute and DuckDB both
+#: run RE2), so an oracle using the same strings matches byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+class PiiRedactor:
+    """Actor-pool stage that redacts PII spans from a text column.
+
+    For each ``(kind, regex)`` in ``patterns`` the stage counts matches
+    (``n_<kind>`` int64 column) and replaces every span with
+    ``<KIND>``.  All work runs through Arrow RE2 kernels
+    (``count_substring_regex`` / ``replace_substring_regex``) — zero
+    Python per row, patterns validated once per actor in ``__init__``.
+
+    Standard pre-training curation step (the reference has no PII pass;
+    this comes from the LLM-pipeline brief).  Scale shape: stateless
+    per-batch map, no shuffle, safe at any corpus size.
+    """
+
+    def __init__(self, text_col: str = "text",
+                 patterns: dict[str, str] | None = None,
+                 out_col: str | None = None):
+        import pyarrow.compute as pc  # validate eagerly, once per actor
+        self.text_col = text_col
+        self.patterns = dict(patterns or PII_PATTERNS)
+        self.out_col = out_col or text_col
+        for p in self.patterns.values():  # surface bad patterns at init
+            pc.count_substring_regex(__import__("pyarrow").array([""]), p)
+
+    def __call__(self, t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        col = t[self.text_col]
+        cols = {f.name: t[f.name] for f in t.schema}
+        for kind, pat in self.patterns.items():
+            cols[f"n_{kind}"] = pc.cast(
+                pc.count_substring_regex(col, pat), pa.int64())
+            col = pc.replace_substring_regex(col, pat,
+                                             f"<{kind.upper()}>")
+        cols[self.out_col] = col
+        return pa.table(cols)
+
+
+def redact_pii(ds, text_col: str = "text",
+               patterns: dict[str, str] | None = None,
+               out_col: str | None = None, concurrency=None):
+    """Apply :class:`PiiRedactor` over a Dataset (convenience wrapper)."""
+    return ds.map_batches(
+        PiiRedactor, batch_format="pyarrow",
+        concurrency=concurrency if concurrency is not None else (1, 8),
+        fn_constructor_kwargs={"text_col": text_col, "patterns": patterns,
+                               "out_col": out_col})
+
+
+# --- C4-style line cleaning --------------------------------------------
+
+TERMINAL_PUNCT_RE = r'[.!?]"?\s*$'
+
+
+class LineCleaner:
+    """C4-style line-level boilerplate filter (Raffel et al. 2020, §2.2).
+
+    Splits each document on newlines and keeps only lines that (a) have
+    at least ``min_words`` whitespace-separated words and (b) end in
+    terminal punctuation (``. ! ?`` optionally followed by a quote).
+    Emits ``clean_text`` (kept lines re-joined), ``n_lines_kept`` and
+    ``n_lines_dropped`` int64 columns.
+
+    Vectorized shape: explode lines into one flat frame (doc index
+    repeated), run the word-count + punctuation predicates as pandas C
+    string kernels over ALL lines at once, then re-join per doc with a
+    single groupby — no per-document Python loop.
+    """
+
+    def __init__(self, text_col: str = "text", min_words: int = 3,
+                 out_col: str = "clean_text"):
+        self.text_col = text_col
+        self.min_words = int(min_words)
+        self.out_col = out_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        if len(batch) == 0:
+            out[self.out_col] = pd.Series([], dtype="object")
+            out["n_lines_kept"] = pd.Series([], dtype="int64")
+            out["n_lines_dropped"] = pd.Series([], dtype="int64")
+            return out
+        lines = batch[self.text_col].fillna("").str.split("\n")
+        flat = lines.explode()
+        n_words = flat.str.strip().str.count(r"\S+")
+        keep = ((n_words >= self.min_words)
+                & flat.str.contains(TERMINAL_PUNCT_RE, regex=True))
+        idx = flat.index.to_numpy()
+        grp_total = pd.Series(1, index=idx).groupby(level=0).sum()
+        grp_kept = pd.Series(keep.to_numpy(), index=idx).groupby(level=0).sum()
+        joined = (flat[keep.to_numpy()].groupby(level=0)
+                  .agg(lambda s: "\n".join(s)))
+        out[self.out_col] = joined.reindex(batch.index, fill_value="")
+        kept = grp_kept.reindex(batch.index, fill_value=0).astype("int64")
+        out["n_lines_kept"] = kept
+        out["n_lines_dropped"] = (
+            grp_total.reindex(batch.index, fill_value=0).astype("int64")
+            - kept)
+        return out
+
+
+def clean_lines(ds, text_col: str = "text", min_words: int = 3,
+                out_col: str = "clean_text", concurrency=None):
+    """Apply :class:`LineCleaner` over a Dataset (convenience wrapper)."""
+    return ds.map_batches(
+        LineCleaner, batch_format="pandas",
+        concurrency=concurrency if concurrency is not None else (1, 8),
+        fn_constructor_kwargs={"text_col": text_col, "min_words": min_words,
+                               "out_col": out_col})

@@ -23,6 +23,9 @@ import ray.data as rd
 from ..checks import sha256_hex
 from ..ops.relational import (broadcast_join, dedup_exact, distinct,
                               semi_join_keys, top_k, tumbling_window_column)
+from ..ops.text import PII_PATTERNS as _PII
+
+_PII_EM, _PII_PH, _PII_IP = _PII["email"], _PII["phone"], _PII["ipv4"]
 
 ROUND = 2  # money-ish aggregates
 ROUND_F = 6  # means / ratios
@@ -1312,6 +1315,100 @@ def q73_lang_outliers(sf_dir: str):
     return agg
 
 
+def _synth_pii_text(t: pa.Table) -> pa.Table:
+    """Deterministic PII-bearing text derived from events columns (the
+    sf tables carry no real PII; both the Ray query and its SQL oracle
+    derive the SAME string, then redact it)."""
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    s = pd.Series(uid).astype(str)
+    text = ("contact user" + s + "@example.com or call +1-555-"
+            + pd.Series(uid % 1000).astype(str).str.zfill(3) + "-"
+            + pd.Series(eid % 10000).astype(str).str.zfill(4)
+            + " from 10.0." + pd.Series(uid % 256).astype(str) + "."
+            + pd.Series(eid % 256).astype(str))
+    return pa.table({"event_id": t["event_id"],
+                     "text": pa.array(text.to_numpy(dtype=object),
+                                      type=pa.string())})
+
+
+def q74_pii_redaction(sf_dir: str):
+    """PII redaction (`ops/text.PiiRedactor`): Arrow RE2 count+replace
+    kernels per batch for email/phone/IPv4, counts taken on the
+    progressively-redacted text (oracle mirrors with nested
+    regexp_replace).  Hash covers the redacted output via sha256."""
+    from ..ops.text import redact_pii
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id"])
+    red = redact_pii(ev.map_batches(_synth_pii_text,
+                                    batch_format="pyarrow"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "n_email": t["n_email"], "n_phone": t["n_phone"],
+            "n_ipv4": t["n_ipv4"],
+            "redacted_sha256": pa.array(
+                sha256_hex(t["text"].to_pylist()), type=pa.string())})
+
+    return red.map_batches(finish, batch_format="pyarrow")
+
+
+def q75_clean_lines(sf_dir: str):
+    """C4-style line-level boilerplate filtering
+    (`ops/text.LineCleaner`): documents text gains deterministic line
+    breaks (both sides derive them the same way), then lines below the
+    word floor or without terminal punctuation are dropped — explode →
+    vectorized predicates → groupby re-join, no per-doc Python loop."""
+    from ..ops.text import clean_lines
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_breaks(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.replace_substring(t["text"], " batch ", ".\n")})
+
+    cleaned = clean_lines(docs.map_batches(add_breaks,
+                                           batch_format="pyarrow"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_lines_kept": b["n_lines_kept"],
+            "n_lines_dropped": b["n_lines_dropped"],
+            "clean_sha256": sha256_hex(b["clean_text"].tolist())})
+
+    return cleaned.map_batches(finish, batch_format="pandas")
+
+
+DECON_N = 8  # token n-gram width for decontamination
+DECON_MOD = 97  # doc_id % DECON_MOD == 0 rows play the eval set
+
+
+def q76_decontamination(sf_dir: str):
+    """Benchmark decontamination (`ops/curation.decontaminate`): flag
+    training docs sharing any 8-token n-gram with the eval slice
+    (doc_id % 97 == 0).  Broadcast n-gram-hash set + vectorized isin per
+    batch; past `spill_threshold` the same op runs as a large-large
+    shuffle semi join on 8-byte hashes (forced-spill equivalence is
+    tested in tests/test_round5_ops.py)."""
+    from ..ops.curation import decontaminate
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def part(train: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % DECON_MOD) == 0
+            return t.filter(pa.array(~m if train else m))
+        return f
+
+    train = docs.map_batches(part(True), batch_format="pyarrow")
+    ev = docs.map_batches(part(False), batch_format="pyarrow")
+    return decontaminate(train, ev, n=DECON_N)
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -1845,6 +1942,68 @@ ORACLE_SQL: dict[str, str] = {
                         THEN 1 ELSE 0 END) AS n_outliers
         FROM documents JOIN stats USING (lang)
         GROUP BY lang""",
+    "q74_pii_redaction": f"""
+        WITH s AS (SELECT event_id,
+                'contact user' || CAST(user_id AS VARCHAR)
+                || '@example.com or call +1-555-'
+                || lpad(CAST(user_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.0.' || CAST(user_id % 256 AS VARCHAR)
+                || '.' || CAST(event_id % 256 AS VARCHAR) AS text
+            FROM events),
+        r1 AS (SELECT event_id,
+                      len(regexp_extract_all(text, '{_PII_EM}')) AS n_email,
+                      regexp_replace(text, '{_PII_EM}', '<EMAIL>', 'g') AS t1
+               FROM s),
+        r2 AS (SELECT event_id, n_email,
+                      len(regexp_extract_all(t1, '{_PII_PH}')) AS n_phone,
+                      regexp_replace(t1, '{_PII_PH}', '<PHONE>', 'g') AS t2
+               FROM r1),
+        r3 AS (SELECT event_id, n_email, n_phone,
+                      len(regexp_extract_all(t2, '{_PII_IP}')) AS n_ipv4,
+                      regexp_replace(t2, '{_PII_IP}', '<IPV4>', 'g') AS t3
+               FROM r2)
+        SELECT event_id, n_email, n_phone, n_ipv4,
+               sha256(t3) AS redacted_sha256
+        FROM r3""",
+    "q75_clean_lines": r"""
+        WITH s AS (SELECT doc_id,
+                          replace(text, ' batch ', '.' || chr(10)) AS text
+                   FROM documents),
+        l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM s),
+        k AS (SELECT doc_id,
+                     list_filter(ls, x ->
+                         len(list_filter(string_split(trim(x), ' '),
+                                         w -> w <> '')) >= 3
+                         AND regexp_matches(x, '[.!?]"?\s*$')) AS kept,
+                     len(ls) AS total
+              FROM l)
+        SELECT doc_id, len(kept) AS n_lines_kept,
+               total - len(kept) AS n_lines_dropped,
+               sha256(COALESCE(array_to_string(kept, chr(10)), ''))
+                   AS clean_sha256
+        FROM k""",
+    "q76_decontamination": f"""
+        WITH tok AS (SELECT doc_id,
+                            list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '') AS toks
+                     FROM documents),
+        pos AS (SELECT doc_id, toks,
+                       unnest(range(1, len(toks) - {DECON_N} + 2)) AS i
+                FROM tok WHERE len(toks) >= {DECON_N}),
+        ng AS (SELECT doc_id,
+                      array_to_string(
+                          list_slice(toks, i, i + {DECON_N} - 1), ' ') AS ng
+               FROM pos),
+        ev AS (SELECT DISTINCT ng FROM ng WHERE doc_id % {DECON_MOD} = 0),
+        hits AS (SELECT n.doc_id, COUNT(*) AS n_contaminated
+                 FROM ng n JOIN ev USING (ng)
+                 WHERE n.doc_id % {DECON_MOD} <> 0
+                 GROUP BY n.doc_id)
+        SELECT d.doc_id,
+               COALESCE(h.n_contaminated, 0) AS n_contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % {DECON_MOD} <> 0""",
 }
 
 SQL_QUERIES = {
@@ -1921,6 +2080,9 @@ SQL_QUERIES = {
     "q71_tfidf_terms": q71_tfidf_terms,
     "q72_span_dedup": q72_span_dedup,
     "q73_lang_outliers": q73_lang_outliers,
+    "q74_pii_redaction": q74_pii_redaction,
+    "q75_clean_lines": q75_clean_lines,
+    "q76_decontamination": q76_decontamination,
 }
 
 
