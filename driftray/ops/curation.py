@@ -212,8 +212,8 @@ def decontaminate(ds: rd.Dataset, eval_ds: rd.Dataset,
       * **spill** (distinct eval hashes > ``spill_threshold``): doc
         n-gram hashes become a Dataset and contamination is a
         large-large ``shuffle_semi_join`` on the 8-byte hash followed by
-        a per-doc count and a left join back onto the id spine — nothing
-        corpus-scale ever reaches the driver.
+        ONE groupby-sum over (matched rows as 1) ∪ (id spine as 0) —
+        nothing corpus-scale ever reaches the driver.
 
     64-bit hashing means a ~2e-13 false-positive chance per candidate
     pair at 1 M distinct eval n-grams — negligible for a keep/drop gate.
@@ -290,3 +290,60 @@ def decontaminate(ds: rd.Dataset, eval_ds: rd.Dataset,
     ones = matched.map_batches(_count_rows(1), batch_format="pyarrow")
     return (spine.union(ones).groupby(id_col)
             .aggregate(Sum("n_contaminated", alias_name="n_contaminated")))
+
+
+# --- Weighted corpus mixing by repetition --------------------------------
+
+def repeat_by_weight(ds: rd.Dataset, key_col: str, group_col: str,
+                     weights: dict, default: float = 1.0,
+                     seed: int = 42, method: str = "md5",
+                     epoch_col: str = "epoch") -> rd.Dataset:
+    """Deterministic corpus mixing by repetition ("epochs per source",
+    the Gopher/LLaMA pretraining-mix primitive): every row of group
+    ``g`` appears ``floor(w_g)`` times plus one more with probability
+    ``frac(w_g)``, decided by the row's key hash — so re-runs, resumes
+    and growing inputs all reproduce the same copies.  Copies are
+    labeled ``0..k-1`` in ``epoch_col``.  Weights below 1 subsample
+    (``w=0.2`` keeps a deterministic 20 %); the two hash backends are
+    ``ops.sampling``'s (``md5`` = DuckDB-verifiable, ``fast`` =
+    vectorized splitmix64 for integer keys at production scale).
+
+    Stateless per-batch ``np.repeat`` expansion — no shuffle, no driver
+    state; output size scales by the mean weight, never by corpus size
+    in any single worker."""
+    from .sampling import _HEX_BITS, _unit_hash, fraction_to_hex
+
+    plan = {}  # group -> (base copies, extra-copy threshold in [0,1])
+    for g, w in {**weights}.items():
+        if w < 0:
+            raise ValueError(f"weight for {g!r} must be >= 0, got {w}")
+        base = int(np.floor(w))
+        frac = float(w) - base
+        thr = (int(fraction_to_hex(frac), 16) / float(1 << _HEX_BITS)
+               if method == "md5" else frac)
+        plan[g] = (base, thr)
+    dbase = int(np.floor(default))
+    dfrac = float(default) - dbase
+    dthr = (int(fraction_to_hex(dfrac), 16) / float(1 << _HEX_BITS)
+            if method == "md5" else dfrac)
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            b = b.copy()
+            b[epoch_col] = pd.Series([], dtype="int64")
+            return b
+        groups = b[group_col]
+        base = groups.map({g: p[0] for g, p in plan.items()}).fillna(
+            dbase).to_numpy(dtype=np.int64)
+        thr = groups.map({g: p[1] for g, p in plan.items()}).fillna(
+            dthr).to_numpy(dtype=np.float64)
+        u = _unit_hash(b[key_col].to_numpy(), seed, method)
+        k = base + (u < thr)
+        idx = np.repeat(np.arange(len(b)), k)
+        out = b.iloc[idx].reset_index(drop=True)
+        starts = np.concatenate(([0], np.cumsum(k)[:-1]))
+        out[epoch_col] = (np.arange(int(k.sum()), dtype=np.int64)
+                          - np.repeat(starts, k))
+        return out
+
+    return ds.map_batches(expand, batch_format="pandas")

@@ -737,3 +737,75 @@ def clean_lines(ds, text_col: str = "text", min_words: int = 3,
         concurrency=concurrency if concurrency is not None else (1, 8),
         fn_constructor_kwargs={"text_col": text_col, "min_words": min_words,
                                "out_col": out_col})
+
+
+# --- Gopher-style quality rules ----------------------------------------
+
+#: Gopher's "required word" list (Rae et al. 2021, table A1): a document
+#: should contain at least 2 of these.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 stopwords: tuple = GOPHER_STOPWORDS):
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1) as
+    INTEGER counters plus the combined ``keep`` verdict, so a SQL oracle
+    is hash-exact (the fraction thresholds are evaluated as cross-
+    multiplied integer comparisons — no float division on either side):
+
+    * ``n_words`` — single-space tokens, empties dropped;
+    * ``sum_word_len`` — total chars across tokens (= chars minus
+      spaces); mean-word-length rule 3 ≤ mean ≤ 10 becomes
+      ``3*n ≤ sum ≤ 10*n``;
+    * ``n_alpha_words`` — tokens containing at least one ASCII letter;
+      ≥ 80 % rule becomes ``5*alpha ≥ 4*n``;
+    * ``n_stopwords`` — tokens (lowercased) in Gopher's required-word
+      list; rule ``≥ 2``;
+    * ``n_hash_chars`` / ``n_ellipsis`` — '#' chars and non-overlapping
+      '...' occurrences; symbol-to-word rule ≤ 0.1 becomes
+      ``10*(hash+ellipsis) ≤ n``;
+    * word-count band ``min_words ≤ n ≤ max_words``.
+
+    One vectorized explode + pandas C groupbys per batch — stateless
+    ``map_batches``, no shuffle, safe at any corpus size."""
+    stopset = {s.lower() for s in stopwords}
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        s = batch[text_col].fillna("")
+        n = len(batch)
+        zeros = np.zeros(n, dtype=np.int64)
+        nw, swl, naw, nsw = zeros.copy(), zeros.copy(), zeros.copy(), zeros.copy()
+        doc_ids, toks = _explode_tokens(batch, id_col, text_col)
+        if len(toks):
+            ts = pd.Series(toks, dtype=object)
+            frame = pd.DataFrame({
+                "d": doc_ids,
+                "one": np.ones(len(toks), dtype=np.int64),
+                "len": ts.str.len().to_numpy(dtype=np.int64),
+                "alpha": ts.str.contains("[A-Za-z]", regex=True)
+                           .to_numpy(dtype=np.int64),
+                "stop": ts.str.lower().isin(stopset).to_numpy(dtype=np.int64),
+            })
+            g = frame.groupby("d", sort=False).sum()
+            pos = pd.Index(ids).get_indexer(g.index)
+            nw[pos] = g["one"].to_numpy()
+            swl[pos] = g["len"].to_numpy()
+            naw[pos] = g["alpha"].to_numpy()
+            nsw[pos] = g["stop"].to_numpy()
+        n_hash = s.str.count("#").to_numpy(dtype=np.int64)
+        n_ell = s.str.count(r"\.\.\.").to_numpy(dtype=np.int64)
+        keep = ((nw >= min_words) & (nw <= max_words)
+                & (3 * nw <= swl) & (swl <= 10 * nw)
+                & (5 * naw >= 4 * nw)
+                & (nsw >= 2)
+                & (10 * (n_hash + n_ell) <= nw))
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "n_words": nw, "sum_word_len": swl,
+            "n_alpha_words": naw, "n_stopwords": nsw,
+            "n_hash_chars": n_hash, "n_ellipsis": n_ell,
+            "keep": keep.astype(np.int64)})
+
+    return ds.map_batches(stats, batch_format="pandas")

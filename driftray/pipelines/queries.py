@@ -1409,6 +1409,40 @@ def q76_decontamination(sf_dir: str):
     return decontaminate(train, ev, n=DECON_N)
 
 
+GOPHER_MIN_WORDS = 30  # q77 word-count floor (sf docs run 15-80 words)
+
+
+def q77_gopher_rules(sf_dir: str):
+    """Gopher-style quality rules (`ops/text.gopher_stats`): integer
+    counters (words, alpha words, required stopwords, '#'/'...' symbols,
+    total token chars) plus the combined keep verdict evaluated as
+    cross-multiplied integer comparisons — hash-exact against the SQL
+    oracle, no float thresholds on either side."""
+    from ..ops.text import gopher_stats
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_stats(docs, min_words=GOPHER_MIN_WORDS)
+
+
+# q78 per-source epoch weights: suffix % 3 == 0 → 1.0, 1 → 1.75, 2 → 2.5
+MIX_WEIGHTS = {f"src{i}": 1 + (i % 3) * 0.75 for i in range(20)}
+
+
+def q78_epoch_mixing(sf_dir: str):
+    """Weighted corpus mixing by repetition
+    (`ops/curation.repeat_by_weight`): each source's docs appear
+    floor(w) times plus one more when md5(seed:doc_id) falls under
+    frac(w) — the Gopher/LLaMA "epochs per source" mix, deterministic
+    across re-runs.  Oracle reproduces the copy count with DuckDB md5 +
+    unnest(range(k))."""
+    from ..ops.curation import repeat_by_weight
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    out = repeat_by_weight(docs, key_col="doc_id", group_col="source",
+                           weights=MIX_WEIGHTS)
+    return out.select_columns(["doc_id", "source", "epoch"])
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -2004,7 +2038,54 @@ ORACLE_SQL: dict[str, str] = {
                COALESCE(h.n_contaminated, 0) AS n_contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % {DECON_MOD} <> 0""",
+    "q77_gopher_rules": f"""
+        WITH t AS (SELECT doc_id, text,
+                list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents),
+        c AS (SELECT doc_id,
+                len(toks) AS n_words,
+                len(replace(text, ' ', '')) AS sum_word_len,
+                len(list_filter(toks,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+                len(list_filter(toks, x -> lower(x) IN
+                    ('the','be','to','of','and','that','have','with')))
+                    AS n_stopwords,
+                len(text) - len(replace(text, '#', '')) AS n_hash_chars,
+                (len(text) - len(replace(text, '...', ''))) // 3
+                    AS n_ellipsis
+            FROM t)
+        SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
+               n_hash_chars, n_ellipsis,
+               CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                     AND n_words <= 100000
+                     AND 3 * n_words <= sum_word_len
+                     AND sum_word_len <= 10 * n_words
+                     AND 5 * n_alpha_words >= 4 * n_words
+                     AND n_stopwords >= 2
+                     AND 10 * (n_hash_chars + n_ellipsis) <= n_words
+                    THEN 1 ELSE 0 END AS keep
+        FROM c""",
+    "q78_epoch_mixing": """
+        WITH w AS (SELECT doc_id, source,
+                          CAST(substr(source, 4) AS INT) % 3 AS m
+                   FROM documents),
+        k AS (SELECT doc_id, source,
+                     (CASE WHEN m = 2 THEN 2 ELSE 1 END)
+                     + CASE WHEN m = 1 AND substr(md5('42:'
+                                || CAST(doc_id AS VARCHAR)), 1, 8)
+                                < '{h75}' THEN 1
+                            WHEN m = 2 AND substr(md5('42:'
+                                || CAST(doc_id AS VARCHAR)), 1, 8)
+                                < '{h50}' THEN 1
+                            ELSE 0 END AS reps
+              FROM w)
+        SELECT doc_id, source, unnest(range(reps)) AS epoch FROM k""",
 }
+
+from ..ops.sampling import fraction_to_hex as _f2h  # noqa: E402
+
+ORACLE_SQL["q78_epoch_mixing"] = ORACLE_SQL["q78_epoch_mixing"].format(
+    h75=_f2h(0.75), h50=_f2h(0.5))
 
 SQL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
@@ -2083,6 +2164,8 @@ SQL_QUERIES = {
     "q74_pii_redaction": q74_pii_redaction,
     "q75_clean_lines": q75_clean_lines,
     "q76_decontamination": q76_decontamination,
+    "q77_gopher_rules": q77_gopher_rules,
+    "q78_epoch_mixing": q78_epoch_mixing,
 }
 
 

@@ -1,7 +1,7 @@
 """Round-5 operator batch: PII redaction, C4-style line cleaning,
-benchmark decontamination.  Unit-level checks against in-process
-references (the DuckDB oracle sweep at sf0.01 lives in
-tools/check_queries.py: q74/q75/q76)."""
+benchmark decontamination, Gopher quality rules, weighted epoch
+mixing.  Unit-level checks against in-process references (the DuckDB
+oracle sweep at sf0.01 lives in tools/check_queries.py: q74-q78)."""
 
 import re
 
@@ -137,3 +137,83 @@ def test_decontaminate_short_docs_and_empty_eval(ray_session):
     out = decontaminate(tds, eds, n=8).to_pandas().sort_values("doc_id")
     assert out["n_contaminated"].tolist() == [0, 0]
     assert len(out) == 2  # every train doc keeps a row
+
+
+# --- Gopher quality rules -------------------------------------------------
+
+def test_gopher_stats_counters_and_keep(ray_session):
+    from driftray.ops.text import gopher_stats
+
+    good = ("the cat and the dog went to the market with a basket "
+            "full of fresh fruit and they came home happy")  # 20 words
+    short = "the of"                                          # below floor
+    symbols = "the of and ### ... ### words with symbols everywhere"
+    ds = _ds({"doc_id": [1, 2, 3], "text": [good, short, symbols]})
+    out = (gopher_stats(ds, min_words=10).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    g = out.iloc[0]
+    assert g["n_words"] == len(good.split())
+    assert g["sum_word_len"] == len(good.replace(" ", ""))
+    assert g["n_alpha_words"] == g["n_words"]  # all tokens alphabetic
+    assert g["n_stopwords"] >= 2 and g["keep"] == 1
+
+    assert out.iloc[1]["keep"] == 0            # word floor
+    s = out.iloc[2]
+    assert s["n_hash_chars"] == 6 and s["n_ellipsis"] == 1
+    assert s["keep"] == 0                      # symbol ratio > 0.1
+
+
+def test_gopher_stats_empty_and_null(ray_session):
+    from driftray.ops.text import gopher_stats
+
+    ds = _ds({"doc_id": [1, 2],
+              "text": pa.array([None, ""], type=pa.string())})
+    out = gopher_stats(ds, min_words=1).to_pandas().sort_values("doc_id")
+    assert out["n_words"].tolist() == [0, 0]
+    assert out["keep"].tolist() == [0, 0]
+
+
+# --- Weighted epoch mixing ------------------------------------------------
+
+def test_repeat_by_weight_integer_weights(ray_session):
+    from driftray.ops.curation import repeat_by_weight
+
+    ds = _ds({"k": [1, 2, 3], "g": ["a", "a", "b"], "v": [10, 20, 30]})
+    out = (repeat_by_weight(ds, "k", "g", {"a": 2.0, "b": 3.0})
+           .to_pandas().sort_values(["k", "epoch"]).reset_index(drop=True))
+    got = out.groupby("k")["epoch"].agg(["count", "max"])
+    assert got.loc[1].tolist() == [2, 1]
+    assert got.loc[2].tolist() == [2, 1]
+    assert got.loc[3].tolist() == [3, 2]
+    assert (out[out.k == 3]["v"] == 30).all()  # payload replicated
+
+
+def test_repeat_by_weight_fractional_deterministic(ray_session):
+    from driftray.ops.curation import repeat_by_weight
+
+    n = 400
+    ds = _ds({"k": list(range(n)), "g": ["a"] * n})
+    out1 = repeat_by_weight(ds, "k", "g", {"a": 1.5}).to_pandas()
+    out2 = repeat_by_weight(ds, "k", "g", {"a": 1.5}).to_pandas()
+    # deterministic: identical copy sets across runs
+    c1 = out1.groupby("k").size().sort_index()
+    c2 = out2.groupby("k").size().sort_index()
+    assert (c1 == c2).all()
+    assert set(c1.unique()) == {1, 2}
+    # ~half the keys get the extra copy
+    assert abs((c1 == 2).mean() - 0.5) < 0.1
+    # subsampling: weight < 1 drops rows deterministically
+    sub = repeat_by_weight(ds, "k", "g", {"a": 0.25}).to_pandas()
+    assert abs(len(sub) / n - 0.25) < 0.1
+    assert (sub["epoch"] == 0).all()
+
+
+def test_repeat_by_weight_default_and_fast_backend(ray_session):
+    from driftray.ops.curation import repeat_by_weight
+
+    ds = _ds({"k": [1, 2], "g": ["a", "zz"]})
+    out = (repeat_by_weight(ds, "k", "g", {"a": 2.0}, default=1.0,
+                            method="fast")
+           .to_pandas().groupby("k").size())
+    assert out.loc[1] == 2 and out.loc[2] == 1
