@@ -1443,6 +1443,22 @@ def q78_epoch_mixing(sf_dir: str):
     return out.select_columns(["doc_id", "source", "epoch"])
 
 
+PACK_SEQ_LEN = 4096  # q79 training-sequence length (chars as tokens)
+
+
+def q79_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing (`ops/curation.pack_sequences`):
+    concatenate each source's docs by doc_id and cut every 4096 "tokens"
+    (n_chars stands in for the token count) — seq_id/seq_offset per doc
+    from an exact distributed prefix sum (bucket sums to the driver,
+    one vectorized cumsum per hash partition; no global sort)."""
+    from ..ops.curation import pack_sequences
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return pack_sequences(docs, group_col="source", token_col="n_chars",
+                          order_col="doc_id", seq_len=PACK_SEQ_LEN)
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -2080,6 +2096,17 @@ ORACLE_SQL: dict[str, str] = {
                             ELSE 0 END AS reps
               FROM w)
         SELECT doc_id, source, unnest(range(reps)) AS epoch FROM k""",
+    "q79_pack_sequences": f"""
+        WITH cb AS (SELECT doc_id, source, n_chars,
+                COALESCE(SUM(n_chars) OVER (PARTITION BY source
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cbv
+            FROM documents)
+        SELECT doc_id, source, n_chars,
+               cbv // {PACK_SEQ_LEN} AS seq_id,
+               cbv % {PACK_SEQ_LEN} AS seq_offset
+        FROM cb""",
 }
 
 from ..ops.sampling import fraction_to_hex as _f2h  # noqa: E402
@@ -2166,6 +2193,7 @@ SQL_QUERIES = {
     "q76_decontamination": q76_decontamination,
     "q77_gopher_rules": q77_gopher_rules,
     "q78_epoch_mixing": q78_epoch_mixing,
+    "q79_pack_sequences": q79_pack_sequences,
 }
 
 

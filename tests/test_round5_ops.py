@@ -217,3 +217,50 @@ def test_repeat_by_weight_default_and_fast_backend(ray_session):
                             method="fast")
            .to_pandas().groupby("k").size())
     assert out.loc[1] == 2 and out.loc[2] == 1
+
+
+# --- Distributed prefix sum / sequence packing ------------------------------
+
+def test_prefix_sum_by_group_matches_pandas(ray_session):
+    from driftray.ops.curation import prefix_sum_by_group
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=n),
+        "ord": rng.permutation(n),
+        "v": rng.integers(1, 50, size=n)})
+    expect = df.sort_values(["g", "ord"]).assign(
+        cum_before=lambda d: d.groupby("g")["v"].cumsum() - d["v"])
+
+    out = (prefix_sum_by_group(_ds(df.to_dict("list")), "g", "v", "ord",
+                               n_buckets=8, num_partitions=4)
+           .to_pandas().sort_values(["g", "ord"]).reset_index(drop=True))
+    exp = expect.reset_index(drop=True)
+    assert (out["cum_before"].to_numpy()
+            == exp["cum_before"].to_numpy()).all()
+
+
+def test_pack_sequences_boundaries(ray_session):
+    from driftray.ops.curation import pack_sequences
+
+    # one group, tokens 30+40+30: docs start at 0, 30, 70 -> doc 2
+    # straddles the 64-token boundary, doc 3 lands in seq 1 offset 6
+    ds = _ds({"g": ["x"] * 3, "i": [1, 2, 3], "tok": [30, 40, 30]})
+    out = (pack_sequences(ds, "g", "tok", "i", seq_len=64, n_buckets=4,
+                          num_partitions=2)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    assert out["seq_id"].tolist() == [0, 0, 1]
+    assert out["seq_offset"].tolist() == [0, 30, 6]
+
+
+def test_prefix_sum_empty_input(ray_session):
+    from driftray.ops.curation import prefix_sum_by_group
+
+    ds = _ds({"g": pa.array([], type=pa.string()),
+              "ord": pa.array([], type=pa.int64()),
+              "v": pa.array([], type=pa.int64())})
+    out = prefix_sum_by_group(ds, "g", "v", "ord")
+    # (Ray's to_pandas drops columns on 0-row datasets; the Dataset
+    # schema is the contract downstream stages consume)
+    assert out.count() == 0 and "cum_before" in out.schema().names
