@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "nq_drift_events",          # KS/PSI/JS drift over events
     "q45_asof_order_value",     # as-of join (partitioned multi-group kernel)
     "q56_doc_perplexity",       # unigram-LM quality scoring
+    "q76_decontamination",      # n-gram test-set decontamination
+    "q79_pack_sequences",       # distributed prefix sum + sequence packing
 ]
 
 
