@@ -184,6 +184,91 @@ def ivf_query_index(index_dir: str, queries: np.ndarray, k: int = 10,
                             mask_col="ivf_cluster", query_mask=mask)
 
 
+def lsh_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
+             n_tables: int = 16, n_bits: int = 8, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             batch_size: int = 8192) -> pa.Table:
+    """Random-hyperplane LSH ANN — the hash-bucketed scale path beside
+    ``ivf_topk`` (SURVEY "similarity search": brute-force baseline + a
+    bucketed variant).
+
+    ``n_tables`` independent tables of ``n_bits`` signed random
+    projections each; a vector is a CANDIDATE for a query iff they share
+    a bucket in at least one table.  The query buckets (a few hundred
+    64-bit keys) broadcast once via ``ray.put`` as a sorted array + CSR
+    (offsets, query-index) map; each batch computes its vectors' buckets
+    with two matmuls + packbits, finds collisions with one
+    ``searchsorted``, scores ONLY colliding (vector, query) cells, and
+    emits its local top-k.  Per-batch cost beyond the brute baseline is
+    O(n × n_tables × n_bits) projection flops; the scored-cell count —
+    the expensive part at scale — drops to the collision density.
+    Recall is tunable (more tables ↑recall, more bits ↓candidates);
+    tolerance-tested vs ``brute_force_topk`` in the suite."""
+    Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    nq, dim = Q.shape
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((n_tables, n_bits, dim))          # hyperplanes
+    pows = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def buckets(X: np.ndarray) -> np.ndarray:
+        """(n, dim) → (n, n_tables) int64 keys = (table << n_bits) | bits."""
+        bits = np.einsum("nd,tbd->ntb", X, H) > 0             # (n, t, b)
+        codes = bits.astype(np.int64) @ pows                  # (n, t)
+        return codes + (np.arange(n_tables, dtype=np.int64) << n_bits)
+
+    qkeys = buckets(Q)                                        # (q, t)
+    flat = qkeys.T.ravel()
+    order = np.argsort(flat, kind="stable")
+    skeys = flat[order]
+    sqidx = np.tile(np.arange(nq, dtype=np.int64), n_tables)[order]
+    # collapse duplicate keys into CSR runs so the probe is one searchsorted
+    ukeys, starts = np.unique(skeys, return_index=True)
+    offsets = np.append(starts, len(skeys))
+    bcast = ray.put((ukeys, offsets, sqidx, Q))
+
+    class Scorer:
+        def __init__(self):
+            self.ukeys, self.offsets, self.sqidx, self.Q = ray.get(bcast)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"query_id": np.array([], dtype=np.int64),
+                                  id_col: np.array([], dtype=np.int64),
+                                  "score": np.array([], dtype=np.float64)})
+            if len(batch) == 0:
+                return empty
+            X = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            vkeys = buckets(X)                                # (n, t)
+            pos = np.searchsorted(self.ukeys, vkeys)
+            pos = np.clip(pos, 0, len(self.ukeys) - 1)
+            hit = self.ukeys[pos] == vkeys                    # (n, t)
+            rows, tabs = np.nonzero(hit)
+            if len(rows) == 0:
+                return empty
+            allowed = np.zeros((len(batch), len(self.Q)), dtype=bool)
+            for r, p in zip(rows, pos[rows, tabs]):
+                allowed[r, self.sqidx[self.offsets[p]:self.offsets[p + 1]]] = True
+            cand = allowed.any(axis=1)
+            sims = np.where(allowed[cand], X[cand] @ self.Q.T, -np.inf)
+            n, q = sims.shape
+            kk = min(k, n)
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            ids = batch[id_col].to_numpy()[cand]
+            out = pd.DataFrame({
+                "query_id": np.repeat(np.arange(q), kk),
+                id_col: ids[idx].T.ravel(),
+                "score": np.take_along_axis(sims, idx, axis=0).T.ravel()})
+            return out[np.isfinite(out["score"].to_numpy())]
+
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        Scorer, batch_format="pandas", batch_size=batch_size,
+        concurrency=(1, 4))
+    pdf = local.to_pandas()  # ≤ k × q × n_batches rows — tiny
+    pdf = (pdf.sort_values(["query_id", "score", id_col],
+                           ascending=[True, False, True], kind="stable")
+           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
              n_clusters: int = 16, nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42) -> pa.Table:

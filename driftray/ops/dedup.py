@@ -36,6 +36,8 @@ nothing row-scale materializes on the driver.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1410,3 +1412,166 @@ def dedup_spans(ds: rd.Dataset, id_col: str = "doc_id",
 
     return partitioned_group_apply(tagged, ["doc"], rebuild,
                                    num_partitions=num_partitions)
+
+
+def _levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """Classic two-row Levenshtein DP with a band cap: returns the exact
+    distance when ≤ cap, else cap+1.  O(len(a)·len(b)) per pair — the
+    verify step for SHORT strings (names/titles), never documents."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(la + 1))
+    for j in range(1, lb + 1):
+        cj = b[j - 1]
+        cur = [j] + [0] * la
+        lo = cap + 1
+        for i in range(1, la + 1):
+            c = min(prev[i] + 1, cur[i - 1] + 1,
+                    prev[i - 1] + (a[i - 1] != cj))
+            cur[i] = c
+            if c < lo:
+                lo = c
+        if lo > cap:
+            return cap + 1
+        prev = cur
+    return prev[la] if prev[la] <= cap else cap + 1
+
+
+def _deletion_key_hashes(s: str, d: int) -> np.ndarray:
+    """64-bit blake2b hashes of every string reachable from ``s`` by
+    deleting up to ``d`` characters (the SymSpell symmetric-delete
+    neighborhood).  Guarantee: if levenshtein(a, b) ≤ d then a and b
+    share at least one neighborhood string — every true pair collides.
+    Size grows O(len^d); callers must keep keys short."""
+    seen = {s}
+    frontier = [s]
+    for _ in range(d):
+        nxt = []
+        for t in frontier:
+            for i in range(len(t)):
+                u = t[:i] + t[i + 1:]
+                if u not in seen:
+                    seen.add(u)
+                    nxt.append(u)
+        frontier = nxt
+    out = np.empty(len(seen), dtype=np.uint64)
+    for i, t in enumerate(seen):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+    return out.view(np.int64)
+
+
+def fuzzy_dedup_pairs(ds: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text", max_dist: int = 1,
+                      max_bucket: int = 256,
+                      num_partitions: int = 64) -> rd.Dataset:
+    """EXACT edit-distance near-duplicate pairs over a SHORT string
+    column: every unordered pair (id_a < id_b) with
+    ``levenshtein ≤ max_dist``, plus the distance.
+
+    Symmetric-delete (SymSpell) blocking, fully distributed:
+
+    1. explode — each row emits one (key, id, text) row per
+       delete-≤``max_dist`` neighborhood string (64-bit hashed).  The
+       only stage that scales with len^max_dist: intended for names /
+       titles / prefixes, never document bodies (raise on long keys).
+    2. candidate pairs — keys hash-partition
+       (``partitioned_group_apply``); within a partition one vectorized
+       sort + run-boundary scan pairs ids sharing a key, verifying
+       ``_levenshtein_capped`` right there (texts ride the explode, so
+       no attach shuffle), emitting (id_a, id_b, dist) for true pairs
+       only.  Hash collisions only ADD candidates (verification removes
+       them); no true pair can be lost.
+    3. distinct — pairs found under several shared keys collapse via one
+       tiny groupby-min on the verified pair set (∝ dup density).
+
+    Completeness is the SymSpell guarantee, so the result equals the SQL
+    cross-join oracle ``levenshtein(a,b) <= d`` (q80).  ``max_bucket``
+    bounds per-key pair blowup (a key shared by B rows yields B² work);
+    exceeding it raises rather than silently dropping pairs.
+    """
+    from ray.data.aggregate import Min
+
+    from .grouped import partitioned_group_apply
+
+    _require_int_ids(ds, id_col)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        keys, ids, texts = [], [], []
+        for i, t in zip(b[id_col].to_numpy(), b[text_col].to_numpy()):
+            t = "" if t is None else str(t)
+            if len(t) > 64:
+                raise ValueError(
+                    "fuzzy_dedup_pairs is a short-string operator "
+                    f"(≤64 chars); got len {len(t)} — block on a prefix "
+                    "or use minhash_lsh_dedup for documents")
+            kh = _deletion_key_hashes(t, max_dist)
+            keys.append(kh)
+            ids.append(np.full(len(kh), i, dtype=np.int64))
+            texts.extend([t] * len(kh))
+        if not keys:
+            return pd.DataFrame({"key": pd.Series([], dtype=np.int64),
+                                 id_col: pd.Series([], dtype=np.int64),
+                                 text_col: pd.Series([], dtype=object)})
+        return pd.DataFrame({"key": np.concatenate(keys),
+                             id_col: np.concatenate(ids),
+                             text_col: np.array(texts, dtype=object)})
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pandas")
+
+    def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                 "id_b": pd.Series([], dtype=np.int64),
+                                 "dist": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["key", id_col], kind="mergesort",
+                          ignore_index=True)
+        keys = g["key"].to_numpy()
+        ids = g[id_col].to_numpy()
+        texts = g[text_col].to_numpy()
+        bounds = np.flatnonzero(np.diff(keys) != 0) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(g)]))
+        found: dict[tuple[int, int], int] = {}
+        rejected: set[tuple[int, int]] = set()
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n > max_bucket:
+                raise RuntimeError(
+                    f"fuzzy_dedup_pairs: {n} rows share one deletion key "
+                    f"(max_bucket={max_bucket}) — key column too "
+                    "low-entropy for symmetric-delete blocking")
+            for x in range(s, e):
+                for y in range(x + 1, e):
+                    if ids[x] == ids[y]:
+                        continue
+                    a, b = ((x, y) if ids[x] < ids[y] else (y, x))
+                    pk = (ids[a], ids[b])
+                    if pk in found or pk in rejected:
+                        continue
+                    dv = _levenshtein_capped(texts[a], texts[b], max_dist)
+                    if dv <= max_dist:
+                        found[pk] = dv
+                    else:
+                        rejected.add(pk)
+        items = sorted(found.items())
+        return pd.DataFrame(
+            {"id_a": np.array([p[0] for p, _ in items], dtype=np.int64),
+             "id_b": np.array([p[1] for p, _ in items], dtype=np.int64),
+             "dist": np.array([d for _, d in items], dtype=np.int64)})
+
+    pairs = partitioned_group_apply(exploded, ["key"], verify_partition,
+                                    num_partitions=num_partitions)
+    # a pair found under several shared keys (possibly in different
+    # partitions) collapses here; dist is a pure function of the pair, so
+    # Min is just "pick the one value"
+    return (pairs.groupby(["id_a", "id_b"])
+            .aggregate(Min("dist", alias_name="dist")))

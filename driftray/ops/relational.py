@@ -354,6 +354,49 @@ def rollup_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
     return out
 
 
+def cube_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
+                   out_col: str, total_label: str = "ALL") -> rd.Dataset:
+    """SQL ``GROUP BY CUBE(keys...)`` (sum): one row per SUBSET of
+    ``keys`` — all 2^len(keys) grouping sets — with rolled-up key columns
+    labelled ``total_label`` (same string-key convention as
+    ``rollup_aggregate``).
+
+    Scale shape: ONE full-data shuffle at the finest level; every other
+    grouping set re-aggregates the finest (group-cardinality-sized)
+    result, so the cube costs one big exchange plus 2^len(keys)−1 tiny
+    ones.  The finest result is materialized once and shared."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    def pad(kept: tuple):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (t[k] if k in kept else
+                           pa.array([total_label] * t.num_rows, pa.string()))
+            cols[out_col] = t[out_col]
+            return pa.table(cols)
+
+        return fn
+
+    finest = (ds.select_columns(keys + [value_col]).groupby(keys)
+              .aggregate(Sum(value_col, alias_name=out_col))
+              .materialize())          # shared by every coarser set — small
+    out = finest
+    subsets = [c for r in range(len(keys)) for c in combinations(keys, r)]
+    for kept in subsets:
+        if kept:
+            cur = finest.groupby(list(kept)).aggregate(
+                Sum(out_col, alias_name=out_col))
+        else:
+            total = finest.sum(out_col)
+            cur = rd.from_arrow(pa.table({out_col: pa.array([total])}))
+        out = out.union(cur.map_batches(pad(tuple(kept)),
+                                        batch_format="pyarrow"))
+    return out
+
+
 def unpivot(ds: rd.Dataset, id_cols: list[str], value_cols: list[str],
             attr_col: str = "attr", val_col: str = "val") -> rd.Dataset:
     """UNPIVOT / melt: one output row per (input row × value column),

@@ -132,6 +132,47 @@ def hash_split(ds: rd.Dataset, key_col: str, weights: dict[str, float],
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def weighted_sample(ds: rd.Dataset, key_col: str, weight_col: str, k: int,
+                    seed: int = 42, method: str = "md5",
+                    columns: list[str] | None = None) -> pd.DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res),
+    deterministic: each row gets priority ``u^(1/w)`` where ``u`` is the
+    key's unit hash, and the k largest priorities win — exactly the
+    classic reservoir scheme with the RNG replaced by the hash, so the
+    sample is reproducible, resume-stable, and verifiable by a SQL
+    oracle recomputing the identical priority (q81).
+
+    Distributed as a streaming partial top-k: every batch keeps only its
+    own k best rows (numpy argpartition — no sort, no shuffle), the
+    driver merges ≤ k × n_batches tiny rows.  Inclusion probability is
+    proportional to weight (per A-Res); rows with weight ≤ 0 never
+    selected."""
+    cols = columns or [key_col, weight_col]
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            out = b[cols].copy()
+            out["__pri"] = pd.Series([], dtype=np.float64)
+            return out
+        u = _unit_hash(b[key_col].to_numpy(), seed, method)
+        w = b[weight_col].to_numpy(dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pri = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), -1.0)
+        kk = min(k, len(b))
+        idx = np.argpartition(-pri, kk - 1)[:kk]
+        out = b.iloc[idx][cols].copy()
+        out["__pri"] = pri[idx]
+        return out
+
+    partial = ds.select_columns(cols).map_batches(
+        local, batch_format="pandas").to_pandas()
+    partial = partial[partial["__pri"] >= 0]
+    out = (partial.sort_values(["__pri", key_col],
+                               ascending=[False, True], kind="mergesort")
+           .head(k).drop(columns=["__pri"]).reset_index(drop=True))
+    return out
+
+
 def stratified_sample_n(ds: rd.Dataset, group_col: str, key_col: str,
                         n: int, seed: int = 42,
                         columns: list[str] | None = None) -> pd.DataFrame:

@@ -1459,6 +1459,106 @@ def q79_pack_sequences(sf_dir: str):
                           order_col="doc_id", seq_len=PACK_SEQ_LEN)
 
 
+def q80_fuzzy_prefix_pairs(sf_dir: str):
+    """EXACT edit-distance near-dup pairs (D-family extension): document
+    pairs whose 16-char text prefixes are within Levenshtein distance 1
+    (`ops/dedup.fuzzy_dedup_pairs` — symmetric-delete blocking, complete
+    by the SymSpell guarantee, so it equals the SQL cross-join oracle).
+    The short-key discipline: block on a prefix, never the body."""
+    from ..ops.dedup import fuzzy_dedup_pairs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def prefix(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "pfx": pc.utf8_slice_codeunits(t["text"], 0, 16)})
+
+    keyed = docs.map_batches(prefix, batch_format="pyarrow")
+    return fuzzy_dedup_pairs(keyed, id_col="doc_id", text_col="pfx",
+                             max_dist=1)
+
+
+def q81_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (A-Res, deterministic):
+    the 50 documents winning priority u^(1/n_chars) with u = unit md5
+    hash of doc_id (`ops/sampling.weighted_sample` — per-batch partial
+    top-k, driver merges k rows/batch).  The oracle recomputes the
+    IDENTICAL priority in SQL (hex digits → u via strpos arithmetic)."""
+    from ..ops.sampling import weighted_sample
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(docs, key_col="doc_id", weight_col="n_chars",
+                           k=50, seed=42, method="md5")
+
+
+def q82_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE (A3 extension of q63's rollup): revenue at every
+    grouping set of (flag, status) — finest, each single key, and grand
+    total (`ops/relational.cube_aggregate` — one full shuffle, coarser
+    sets re-aggregate the materialized finest result)."""
+    from ..ops.relational import cube_aggregate
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus",
+                                 "l_extendedprice", "l_discount"])
+
+    def add_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = cube_aggregate(ds.map_batches(add_rev, batch_format="pyarrow"),
+                         ["l_returnflag", "l_linestatus"], "revenue",
+                         out_col="revenue")
+    return _round_cols(out.to_pandas(), {"revenue": ROUND})
+
+
+_HIST_WIDTH, _HIST_BINS = 50.0, 10
+
+
+def q83_value_histogram(sf_dir: str):
+    """Per-group equi-width histogram (SURVEY A4's fixed-bin profile as
+    an oracled query): counts of `value` per event_type in 10 bins of
+    width 50, clamped at the top.  Partial counts combine inside one
+    `map_batches` pass (np.bincount per key run), then a #keys×#bins
+    groupby-sum — integer outputs, hash-stable."""
+    from ray.data.aggregate import Sum
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "bin": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        bins = np.clip((b["value"].to_numpy() // _HIST_WIDTH).astype(np.int64),
+                       0, _HIST_BINS - 1)
+        g = (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                           "bin": bins})
+             .groupby(["event_type", "bin"], sort=False).size()
+             .rename("n").reset_index())
+        return g
+
+    out = (ev.map_batches(partial, batch_format="pandas")
+           .groupby(["event_type", "bin"])
+           .aggregate(Sum("n", alias_name="n")))
+    return out
+
+
+def nq_lsh_ann(sf_dir: str):
+    """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
+    of vector 0 scoring only bucket-colliding candidates.  Approximate —
+    no SQL oracle; recall vs brute force is asserted in the suite."""
+    from ..ops.ann import lsh_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = _t(sf_dir, "embeddings", ["vec_id", "embedding"],
+            filter=pc.field("vec_id") == 0).to_pandas()
+    out = lsh_topk(emb, np.stack(q0["embedding"].to_numpy()), k=10,
+                   n_tables=24, n_bits=6).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out
+
+
 ORACLE_SQL: dict[str, str] = {
     "q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
@@ -2107,7 +2207,43 @@ ORACLE_SQL: dict[str, str] = {
                cbv // {PACK_SEQ_LEN} AS seq_id,
                cbv % {PACK_SEQ_LEN} AS seq_offset
         FROM cb""",
+    "q80_fuzzy_prefix_pairs": """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(substr(a.text, 1, 16),
+                           substr(b.text, 1, 16)) AS dist
+        FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        WHERE levenshtein(substr(a.text, 1, 16), substr(b.text, 1, 16)) <= 1""",
+    # u32 from the first 8 md5 hex chars, digit by digit — DuckDB has no
+    # hex→int cast; this recomputes sampling._unit_hash's exact value
+    "q81_weighted_sample": """
+        WITH h AS (SELECT doc_id, n_chars,
+                          substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8) AS hh
+                   FROM documents),
+             pri AS (SELECT doc_id, n_chars,
+                            POW(({U32}) / 4294967296.0,
+                                1.0 / n_chars) AS p
+                     FROM h)
+        SELECT doc_id, n_chars FROM pri ORDER BY p DESC, doc_id LIMIT 50""",
+    "q82_cube_revenue": f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), {ROUND})
+                   AS revenue
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q83_value_histogram": f"""
+        SELECT event_type,
+               LEAST(GREATEST(CAST(FLOOR(value / {_HIST_WIDTH}) AS BIGINT),
+                              0), {_HIST_BINS - 1}) AS bin,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2""",
 }
+
+ORACLE_SQL["q81_weighted_sample"] = ORACLE_SQL["q81_weighted_sample"].replace(
+    "{U32}", " + ".join(
+        f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}" for i in range(8)))
 
 from ..ops.sampling import fraction_to_hex as _f2h  # noqa: E402
 
@@ -2194,6 +2330,10 @@ SQL_QUERIES = {
     "q77_gopher_rules": q77_gopher_rules,
     "q78_epoch_mixing": q78_epoch_mixing,
     "q79_pack_sequences": q79_pack_sequences,
+    "q80_fuzzy_prefix_pairs": q80_fuzzy_prefix_pairs,
+    "q81_weighted_sample": q81_weighted_sample,
+    "q82_cube_revenue": q82_cube_revenue,
+    "q83_value_histogram": q83_value_histogram,
 }
 
 
@@ -2731,6 +2871,7 @@ NONSQL_QUERIES = {
     "nq_paragraph_dedup": nq_paragraph_dedup,
     "nq_gif_frames": nq_gif_frames,
     "nq_audio_features": nq_audio_features,
+    "nq_lsh_ann": nq_lsh_ann,
     "nq_validate_documents": nq_validate_documents,
     "nq_validate_events": nq_validate_events,
 }
