@@ -563,18 +563,26 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
 
 
 def top_k(ds: rd.Dataset, key: str, k: int, descending: bool = True,
-          columns: list[str] | None = None) -> pa.Table:
+          columns: list[str] | None = None,
+          tie_keys: list[tuple[str, str]] | None = None) -> pa.Table:
     """Global top-k WITHOUT a global sort (O4): per-batch local top-k
     (vectorized partition+slice), then one tiny driver-side merge.
-    Returns a pa.Table (small by construction)."""
+    Returns a pa.Table (small by construction).
+
+    ``tie_keys`` — extra ``(column, "ascending"|"descending")`` sort keys
+    applied after ``key`` so the boundary at rank k is deterministic when
+    key values tie (SQL ``ORDER BY key DESC, tie...`` LIMIT k); they
+    participate in the per-batch selection too, so no tied candidate is
+    dropped early."""
     if columns:
         ds = ds.select_columns(columns)
+    sort_keys = ([(key, "descending" if descending else "ascending")]
+                 + list(tie_keys or []))
 
     def local_topk(t: pa.Table) -> pa.Table:
         if t.num_rows <= k:
             return t
-        order = "descending" if descending else "ascending"
-        idx = pc.select_k_unstable(t, k, [(key, order)])
+        idx = pc.select_k_unstable(t, k, sort_keys)
         return t.take(idx)
 
     parts = [t for t in ray.get(ds.map_batches(local_topk, batch_format="pyarrow")
@@ -582,10 +590,8 @@ def top_k(ds: rd.Dataset, key: str, k: int, descending: bool = True,
     if not parts:
         return pa.table({})
     merged = pa.concat_tables(parts, promote_options="permissive")
-    idx = pc.select_k_unstable(merged, min(k, merged.num_rows),
-                               [(key, "descending" if descending else "ascending")])
-    out = merged.take(idx)
-    return out.sort_by([(key, "descending" if descending else "ascending")])
+    idx = pc.select_k_unstable(merged, min(k, merged.num_rows), sort_keys)
+    return merged.take(idx).sort_by(sort_keys)
 
 
 def tumbling_window_column(ds: rd.Dataset, ts_col: str, every_s: int,

@@ -298,6 +298,72 @@ def rolling_sum_time_by_key(ds: rd.Dataset, key_cols: list[str],
                                    num_partitions=num_partitions)
 
 
+def funnel_counts(ds: rd.Dataset, key_col: str, ts_col: str,
+                  stage_col: str, stages: list[str], strict: bool = True,
+                  num_partitions: int = 64) -> rd.Dataset:
+    """Ordered conversion FUNNEL: how many keys (users) reached each
+    stage *in order* — stage ``i+1`` counts a user only if some stage-
+    ``i+1`` event happens strictly after (``strict=True``, SQL ``>``)
+    their earliest qualifying stage-``i`` event, chained from stage 0.
+    The classic product-analytics query (and a curation diagnostic:
+    "documents that passed filter A, then B, then C").
+
+    Output: one row per stage — ``stage_idx`` (1-based int64), ``stage``,
+    ``n_keys``.
+
+    Scale shape: rows are filtered to funnel stages at the read, keys are
+    hash-partitioned once (``partitioned_group_apply``), and each
+    partition advances ALL its users through the stage chain with
+    ``len(stages)`` vectorized merge+groupby-min passes (users are
+    disjoint across partitions, so per-partition stage counts sum
+    globally).  Per-partition state is one timestamp per surviving user;
+    the driver sees only ``P × len(stages)`` count rows."""
+    from ray.data.aggregate import Sum
+
+    if len(stages) < 1:
+        raise ValueError("need at least one stage")
+    if len(set(stages)) != len(stages):
+        raise ValueError("stages must be distinct")
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    stage_set = pa.array(stages, pa.string())
+
+    def keep_stages(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[stage_col], value_set=stage_set))
+
+    filtered = (ds.select_columns([key_col, ts_col, stage_col])
+                .map_batches(keep_stages, batch_format="pyarrow"))
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(stages), dtype=np.int64)
+        reached: pd.Series | None = None      # key -> ts of earliest reach
+        for i, s in enumerate(stages):
+            rows = df[df[stage_col] == s]
+            if reached is not None:
+                prev = (reached.rename("__prev").rename_axis("__k")
+                        .reset_index())
+                rows = rows.merge(prev, left_on=key_col, right_on="__k",
+                                  how="inner")
+                ok = (rows[ts_col] > rows["__prev"] if strict
+                      else rows[ts_col] >= rows["__prev"])
+                rows = rows[ok]
+            reached = rows.groupby(key_col, sort=False)[ts_col].min()
+            counts[i] = len(reached)
+            if counts[i] == 0:
+                break
+        return pd.DataFrame({
+            "stage_idx": np.arange(1, len(stages) + 1, dtype=np.int64),
+            "stage": np.array(stages, dtype=object),
+            "n_keys": counts})
+
+    parts = partitioned_group_apply(filtered, [key_col], per_partition,
+                                    num_partitions=num_partitions)
+    return (parts.groupby(["stage_idx", "stage"])
+            .aggregate(Sum("n_keys", alias_name="n_keys")))
+
+
 def rank_window_by_key(ds: rd.Dataset, key_cols: list[str],
                        order_cols: list[str], n_tiles: int = 4,
                        num_partitions: int = 64) -> rd.Dataset:

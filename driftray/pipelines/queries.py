@@ -1544,6 +1544,74 @@ def q83_value_histogram(sf_dir: str):
     return out
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q84_event_funnel(sf_dir: str):
+    """Ordered conversion funnel over the events stream: users reaching
+    view → click → purchase IN ORDER (each later stage strictly after
+    the earliest qualifying earlier one) — `ops/windowing.funnel_counts`:
+    stage rows pruned at the read, users hash-partitioned once, each
+    partition advances all its users with vectorized merge+groupby-min
+    chains; the oracle is the chained-MIN CTE formulation."""
+    from ..ops.windowing import funnel_counts
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ev, key_col="user_id", ts_col="ts",
+                         stage_col="event_type", stages=FUNNEL_STAGES)
+
+
+def q85_exact_median_price(sf_dir: str):
+    """EXACT global median (lower interpolation) of l_extendedprice via
+    distributed histogram-narrowing selection (`ops/selection` —
+    no global sort, no driver materialization; each round is one pruned
+    scan returning KB of bucket counts).  `fetch_threshold` forced low so
+    even sf0.001 exercises ≥1 narrowing round.  Oracle: DuckDB window
+    rank rn = (n-1)//2 + 1 over the sorted column."""
+    from ..ops.selection import exact_quantile
+
+    li = _t(sf_dir, "lineitem", ["l_extendedprice"])
+    val = exact_quantile(li, "l_extendedprice", 0.5, fetch_threshold=256)
+    return pd.DataFrame({"p50": [float(val)]})
+
+
+def q86_returned_revenue_topn(sf_dir: str):
+    """TPC-H Q10-style composition: revenue lost to returned items per
+    customer — filter lineitem to returnflag 'R' with in-batch partial
+    aggregation to (orderkey, revenue), large-large hash join to orders,
+    groupby customer, global top-20 by revenue WITHOUT a global sort
+    (`top_k` with a custkey tie-break so the rank-20 boundary is
+    deterministic)."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.relational import hash_shuffle_join, top_k
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def returned_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
+                           "revenue": rev.to_numpy(zero_copy_only=False)})
+        part = df.groupby("l_orderkey", sort=False)["revenue"].sum()
+        return pa.table({"l_orderkey": part.index.to_numpy(),
+                         "revenue": part.to_numpy()})
+
+    per_order = (li.map_batches(returned_rev, batch_format="pyarrow")
+                 .groupby("l_orderkey").aggregate(
+                     Sum("revenue", alias_name="revenue")))
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = hash_shuffle_join(per_order, orders, on=["l_orderkey"],
+                               right_on=["o_orderkey"], num_partitions=8)
+    per_cust = joined.groupby("o_custkey").aggregate(
+        Sum("revenue", alias_name="revenue"))
+    out = top_k(per_cust, "revenue", 20,
+                tie_keys=[("o_custkey", "ascending")]).to_pandas()
+    return _round_cols(out[["o_custkey", "revenue"]], {"revenue": ROUND})
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -2232,6 +2300,34 @@ ORACLE_SQL: dict[str, str] = {
                    AS revenue
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q84_event_funnel": f"""
+        WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                    WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1),
+             s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                    JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                    WHERE e.event_type = '{FUNNEL_STAGES[1]}' GROUP BY 1),
+             s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                    JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                    WHERE e.event_type = '{FUNNEL_STAGES[2]}' GROUP BY 1)
+        SELECT 1 AS stage_idx, '{FUNNEL_STAGES[0]}' AS stage,
+               COUNT(*) AS n_keys FROM s1
+        UNION ALL SELECT 2, '{FUNNEL_STAGES[1]}', COUNT(*) FROM s2
+        UNION ALL SELECT 3, '{FUNNEL_STAGES[2]}', COUNT(*) FROM s3""",
+    "q85_exact_median_price": """
+        SELECT l_extendedprice AS p50 FROM (
+            SELECT l_extendedprice,
+                   ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM lineitem) WHERE rn = (n - 1) // 2 + 1""",
+    "q86_returned_revenue_topn": f"""
+        SELECT o_custkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), {ROUND})
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY o_custkey
+        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, o_custkey
+        LIMIT 20""",
     "q83_value_histogram": f"""
         SELECT event_type,
                LEAST(GREATEST(CAST(FLOOR(value / {_HIST_WIDTH}) AS BIGINT),
@@ -2334,6 +2430,9 @@ SQL_QUERIES = {
     "q81_weighted_sample": q81_weighted_sample,
     "q82_cube_revenue": q82_cube_revenue,
     "q83_value_histogram": q83_value_histogram,
+    "q84_event_funnel": q84_event_funnel,
+    "q85_exact_median_price": q85_exact_median_price,
+    "q86_returned_revenue_topn": q86_returned_revenue_topn,
 }
 
 
