@@ -157,7 +157,8 @@ def grouped_quantile_digest(ds: rd.Dataset, key_cols: list[str],
 
 def grouped_top_k(ds: rd.Dataset, key_cols: list[str], order_col: str,
                   k: int, descending: bool = True,
-                  columns: list[str] | None = None) -> pd.DataFrame:
+                  columns: list[str] | None = None,
+                  tie_cols: list[str] | None = None) -> pd.DataFrame:
     """Per-group top-k WITHOUT materializing any group in one worker:
     every batch reduces to ≤ k rows per key it contains (pandas C sort +
     ``groupby.head``), then the surviving ≤ blocks×keys×k rows merge
@@ -165,13 +166,18 @@ def grouped_top_k(ds: rd.Dataset, key_cols: list[str], order_col: str,
     ``groupby(key).map_groups(head_k)`` disappears — no worker ever holds
     more than batch_size rows.
 
+    ``tie_cols`` (always ascending) break order_col ties so the rank-k
+    boundary is deterministic — include them whenever ties are possible.
+
     Returns a small pandas DataFrame (rows ≤ #keys × k)."""
     cols = columns or [c for c in ds.schema().names]
+    sort_cols = [order_col] + (tie_cols or [])
+    ascending = [not descending] + [True] * len(tie_cols or [])
 
     def local(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
             return b[cols]
-        return (b.sort_values(order_col, ascending=not descending,
+        return (b.sort_values(sort_cols, ascending=ascending,
                               kind="mergesort")
                 .groupby(key_cols, sort=False, observed=True)
                 .head(k)[cols])
@@ -180,7 +186,7 @@ def grouped_top_k(ds: rd.Dataset, key_cols: list[str], order_col: str,
         local, batch_format="pandas").to_pandas()
     if len(partial) == 0:
         return partial
-    return (partial.sort_values(order_col, ascending=not descending,
+    return (partial.sort_values(sort_cols, ascending=ascending,
                                 kind="mergesort")
             .groupby(key_cols, sort=False, observed=True)
             .head(k).reset_index(drop=True))

@@ -1,0 +1,176 @@
+"""Exact global ranking / NTILE without a single-node sort.
+
+``ROW_NUMBER() OVER (ORDER BY ...)`` with NO ``PARTITION BY`` is the
+classic distributed-window hard case: the order is GLOBAL, so a naive
+implementation funnels every row through one worker (exactly what
+``row_number_by_key`` with a constant key would do).  The shape here is
+the two-tier prefix sum already used across this repo
+(``curation.prefix_sum_by_group``, ``curation.token_budget_select``):
+
+1. one Min/Max pass fixes an equal-width bucket grid over the order
+   column (integer-exact math for integer columns — no float round-trip);
+2. one tiny groupby counts rows per bucket; the driver prefix-sums the
+   ``n_buckets`` counts into per-bucket GLOBAL offsets (KB of state);
+3. one partitioned pass ranks every bucket's rows locally — all buckets
+   of a hash partition sorted + run-boundary indexed in one vectorized
+   kernel (``ops/grouped.partitioned_group_apply``) — and adds the
+   bucket's offset.  Equal order values always share a bucket, so the
+   ``tiebreak_col`` total order is resolved entirely inside one kernel
+   call.
+
+No all-to-all over full rows beyond the single hash-partition exchange,
+no global sort, nothing row-scale on the driver.  Partitioning
+assumption: one hash partition (~``n_buckets / num_partitions`` buckets'
+rows) must fit in a worker's heap — raise ``n_buckets`` for skewed value
+distributions.  A single dominant VALUE still lands in one bucket by
+construction (its ties must be broken in one place); that is inherent to
+exact global ranking, not an implementation shortcut.
+
+Engine extension beyond the reference (no window functions there —
+/root/reference/DESIGN.md profiles only); oracle-checked vs DuckDB
+``NTILE`` / window rank (q87).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .grouped import partitioned_group_apply
+
+_B = "__rbkt"
+
+
+def _grid(ds: rd.Dataset, order_col: str, n_buckets: int):
+    """One pass: (lo, width, nb, is_int, n_rows) for the bucket grid."""
+    proj = ds.select_columns([order_col])
+
+    def stats(t: pa.Table) -> pa.Table:
+        col = t[order_col]
+        if col.null_count or len(col) != len(col.drop_null()):
+            raise ValueError(f"global_rank: {order_col} must be non-null")
+        if len(col) == 0:
+            return pa.table({"lo": pa.array([None], pa.float64()),
+                             "hi": pa.array([None], pa.float64()),
+                             "n": pa.array([0], pa.int64())})
+        mm = pc.min_max(col)
+        return pa.table({"lo": pa.array([float(mm["min"].as_py())]),
+                         "hi": pa.array([float(mm["max"].as_py())]),
+                         "n": pa.array([len(col)], pa.int64())})
+
+    st = proj.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n = int(st["n"].sum())
+    if n == 0:
+        return None
+    valid = st[st["n"] > 0]
+    # Dataset.schema() types are pa.DataType for arrow blocks but numpy
+    # dtypes for pandas blocks (ROUND_NOTES gotcha) — accept both
+    sch = ds.schema()
+    typ = sch.types[list(sch.names).index(order_col)]
+    is_int = (pa.types.is_integer(typ) if isinstance(typ, pa.DataType)
+              else np.issubdtype(typ, np.integer))
+    if is_int:
+        lo, hi = int(valid["lo"].min()), int(valid["hi"].max())
+        span = hi - lo + 1
+        width = -(-span // n_buckets)                      # ceil
+        nb = -(-span // width)
+    else:
+        lo, hi = float(valid["lo"].min()), float(valid["hi"].max())
+        width = (hi - lo) / n_buckets or 1.0               # lo==hi → 1 bucket
+        nb = n_buckets
+    return lo, width, nb, is_int, n
+
+
+def _with_bucket(ds: rd.Dataset, order_col: str, lo, width, nb,
+                 is_int: bool) -> rd.Dataset:
+    def add(t: pa.Table) -> pa.Table:
+        v = t[order_col].to_numpy(zero_copy_only=False)
+        if is_int:
+            b = (v.astype(np.int64) - lo) // width
+        else:
+            b = np.clip(((v - lo) / width).astype(np.int64), 0, nb - 1)
+        return t.append_column(_B, pa.array(b.astype(np.int64)))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def global_rank(ds: rd.Dataset, order_col: str, tiebreak_cols: list[str],
+                out_col: str = "rank", n_buckets: int = 1024,
+                num_partitions: int = 64, _grid_info=None) -> rd.Dataset:
+    """Append the exact 1-based GLOBAL rank under
+    ``ORDER BY order_col, *tiebreak_cols`` (all ascending).
+
+    ``order_col`` must be numeric and non-null; ``tiebreak_cols`` must
+    complete a total order (include a unique id) or equal rows get an
+    arbitrary-but-consistent order within their tie group.  Output: all
+    input columns plus int64 ``out_col``.
+    """
+    g = _grid_info if _grid_info is not None else _grid(ds, order_col,
+                                                        n_buckets)
+    if g is None:
+        def tag_empty(t: pa.Table) -> pa.Table:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        return ds.map_batches(tag_empty, batch_format="pyarrow")
+    lo, width, nb, is_int, _n = g
+    bds = _with_bucket(ds, order_col, lo, width, nb, is_int)
+
+    counts = (bds.select_columns([_B]).groupby(_B).count().to_pandas())
+    offsets = np.zeros(nb, dtype=np.int64)
+    offsets[counts[_B].to_numpy()] = counts["count()"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))   # exclusive
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.drop(columns=[_B])
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values([_B, order_col] + tiebreak_cols,
+                            kind="mergesort", ignore_index=True)
+        b = df[_B].to_numpy()
+        change = np.ones(len(df), dtype=bool)
+        change[1:] = b[1:] != b[:-1]
+        run_start = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        idx = np.arange(len(df), dtype=np.int64)
+        rank = offsets[b] + (idx - run_start[run_id]) + 1
+        out = df.drop(columns=[_B])
+        out[out_col] = rank
+        return out
+
+    return partitioned_group_apply(bds, [_B], per_partition,
+                                   num_partitions=num_partitions)
+
+
+def ntile(ds: rd.Dataset, order_col: str, tiebreak_cols: list[str],
+          tiles: int, out_col: str = "tile", n_buckets: int = 1024,
+          num_partitions: int = 64) -> rd.Dataset:
+    """SQL ``NTILE(tiles) OVER (ORDER BY order_col, *tiebreak_cols)``:
+    buckets differ in size by at most one row, larger buckets first —
+    the standard (DuckDB/Postgres) tile assignment, derived from
+    :func:`global_rank` plus the total row count the grid pass already
+    produced."""
+    if tiles < 1:
+        raise ValueError("tiles must be >= 1")
+    g = _grid(ds, order_col, n_buckets)
+    n = g[4] if g is not None else 0
+    ranked = global_rank(ds, order_col, tiebreak_cols, out_col="__gr",
+                         n_buckets=n_buckets, num_partitions=num_partitions,
+                         _grid_info=g if g is not None else None)
+    q, r = divmod(n, tiles)
+
+    def to_tile(t: pa.Table) -> pa.Table:
+        rank = t["__gr"].to_numpy(zero_copy_only=False)
+        big = r * (q + 1)                     # rows covered by size-(q+1) tiles
+        if q == 0:                            # more tiles than rows
+            tile = rank
+        else:
+            tile = np.where(rank <= big, (rank - 1) // (q + 1) + 1,
+                            r + (rank - big - 1) // q + 1)
+        return (t.drop_columns(["__gr"])
+                .append_column(out_col, pa.array(tile.astype(np.int64))))
+
+    return ranked.map_batches(to_tile, batch_format="pyarrow")

@@ -1612,6 +1612,134 @@ def q86_returned_revenue_topn(sf_dir: str):
     return _round_cols(out[["o_custkey", "revenue"]], {"revenue": ROUND})
 
 
+def q87_order_ntile(sf_dir: str):
+    """Exact global NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey)
+    WITHOUT a global sort (`ops/ranking.ntile`): bucket-grid counts →
+    driver prefix-sums KB of offsets → one partitioned vectorized pass
+    ranks every bucket locally.  Aggregated per tile so the output stays
+    4 rows at any scale."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..ops.ranking import ntile
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    tiled = ntile(orders, "o_totalprice", ["o_orderkey"], 4)
+    out = (tiled.groupby("tile").aggregate(
+        Count(alias_name="n"),
+        Min("o_totalprice", alias_name="lo_price"),
+        Max("o_totalprice", alias_name="hi_price"),
+        Sum("o_totalprice", alias_name="sum_price")).to_pandas())
+    return _round_cols(out, {"sum_price": ROUND})
+
+
+def q88_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-style 6-table join: revenue from lineitems sold by a
+    supplier in the SAME nation as the customer, ASIA only, one order
+    year.  Join shape chosen for scale: region/nation are O(10²) rows at
+    ANY TPC-H scale (driver-side), customer⋈orders and orders⋈lineitem
+    are large-large `hash_shuffle_join`s, supplier rides as a broadcast
+    (s_suppkey → s_nationkey) probed inside one vectorized batch pass."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.relational import broadcast_join, hash_shuffle_join
+
+    region = _t(sf_dir, "region").to_pandas()
+    nation = _t(sf_dir, "nation").to_pandas()
+    asia = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(asia)][["n_nationkey", "n_name"]]
+
+    cust = broadcast_join(
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        nat.rename(columns={"n_nationkey": "c_nationkey"}),
+        on=["c_nationkey"], how="inner")
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def year_filter(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+        hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                       pc.less(t["o_orderdate"], hi))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders_f = orders.map_batches(year_filter, batch_format="pyarrow")
+    ord_cust = hash_shuffle_join(orders_f, cust, on=["o_custkey"],
+                                 right_on=["c_custkey"], num_partitions=8)
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    big = hash_shuffle_join(li, ord_cust, on=["l_orderkey"],
+                            right_on=["o_orderkey"], num_partitions=8)
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    withsupp = broadcast_join(
+        big, supp.rename(columns={"s_suppkey": "l_suppkey"}),
+        on=["l_suppkey"], how="inner")
+
+    def local_rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["c_nationkey"].to_numpy() == b["s_nationkey"].to_numpy()]
+        rev = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        part = (pd.DataFrame({"n_name": b["n_name"], "revenue": rev})
+                .groupby("n_name", sort=False)["revenue"].sum())
+        return part.reset_index()
+
+    out = (withsupp.map_batches(local_rev, batch_format="pandas")
+           .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    return _round_cols(out, {"revenue": ROUND})
+
+
+def q89_nation_top_customers(sf_dir: str):
+    """Per-nation top-3 customers by total order value: groupby-sum per
+    customer, large-large join to customer, then `grouped_top_k` (partial
+    per-batch top-k + tiny exact merge — no hot-nation worker
+    materialization) with a custkey tie-break; nation names attach
+    driver-side (O(10²) rows at any scale)."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.grouped import grouped_top_k
+    from ..ops.relational import hash_shuffle_join
+
+    per_cust = (_t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+                .groupby("o_custkey")
+                .aggregate(Sum("o_totalprice", alias_name="revenue")))
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = hash_shuffle_join(per_cust, cust, on=["o_custkey"],
+                               right_on=["c_custkey"], num_partitions=8)
+    # the join folds the right key into o_custkey — rank/tie-break on it
+    top = grouped_top_k(joined, ["c_nationkey"], "revenue", 3,
+                        tie_cols=["o_custkey"],
+                        columns=["c_nationkey", "o_custkey", "revenue"])
+    top = top.rename(columns={"o_custkey": "c_custkey"})
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = out[["n_name", "c_custkey", "revenue"]]
+    return _round_cols(out, {"revenue": ROUND})
+
+
+def q90_event_runs(sf_dir: str):
+    """Gaps-and-islands: per user, how many maximal runs of consecutive
+    same-type events (ordered by ts, event_id).  LAG via `shift_by_key`
+    (one mergesort + run-boundary pass per hash partition), then a
+    run-start flag summed per user — no per-key callbacks anywhere."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.windowing import shift_by_key
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    sh = shift_by_key(ev, ["user_id"], ["ts", "event_id"], "event_type",
+                      offset=1, out_col="prev")
+
+    def run_starts(t: pa.Table) -> pa.Table:
+        new = pc.fill_null(pc.not_equal(t["prev"], t["event_type"]), True)
+        return pa.table({"user_id": t["user_id"],
+                         "is_start": pc.cast(new, pa.int64())})
+
+    out = (sh.map_batches(run_starts, batch_format="pyarrow")
+           .groupby("user_id").aggregate(Sum("is_start", alias_name="n_runs"))
+           .to_pandas())
+    out["n_runs"] = out["n_runs"].astype("int64")
+    return out
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -2334,6 +2462,48 @@ ORACLE_SQL: dict[str, str] = {
                               0), {_HIST_BINS - 1}) AS bin,
                COUNT(*) AS n
         FROM events GROUP BY 1, 2""",
+    "q87_order_ntile": f"""
+        SELECT tile, COUNT(*) AS n, MIN(o_totalprice) AS lo_price,
+               MAX(o_totalprice) AS hi_price,
+               ROUND(SUM(o_totalprice), {ROUND}) AS sum_price
+        FROM (SELECT CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey)
+                          AS BIGINT) AS tile,
+                     o_totalprice
+              FROM orders)
+        GROUP BY tile""",
+    "q88_local_supplier_volume": f"""
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), {ROUND})
+                   AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1997-01-01'
+        GROUP BY n_name""",
+    "q89_nation_top_customers": f"""
+        SELECT n_name, c_custkey, ROUND(revenue, {ROUND}) AS revenue
+        FROM (SELECT c_nationkey, c_custkey, revenue,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                        ORDER BY revenue DESC, c_custkey)
+                         AS rnk
+              FROM (SELECT c_nationkey, c_custkey,
+                           SUM(o_totalprice) AS revenue
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                    GROUP BY c_nationkey, c_custkey))
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE rnk <= 3""",
+    "q90_event_runs": """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE prev IS NULL
+                                OR prev <> event_type) AS n_runs
+        FROM (SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events)
+        GROUP BY user_id""",
 }
 
 ORACLE_SQL["q81_weighted_sample"] = ORACLE_SQL["q81_weighted_sample"].replace(
@@ -2433,6 +2603,10 @@ SQL_QUERIES = {
     "q84_event_funnel": q84_event_funnel,
     "q85_exact_median_price": q85_exact_median_price,
     "q86_returned_revenue_topn": q86_returned_revenue_topn,
+    "q87_order_ntile": q87_order_ntile,
+    "q88_local_supplier_volume": q88_local_supplier_volume,
+    "q89_nation_top_customers": q89_nation_top_customers,
+    "q90_event_runs": q90_event_runs,
 }
 
 
