@@ -145,6 +145,65 @@ def global_rank(ds: rd.Dataset, order_col: str, tiebreak_cols: list[str],
                                    num_partitions=num_partitions)
 
 
+def grouped_rank(ds: rd.Dataset, group_cols: list[str], order_col: str,
+                 out_col: str = "rank", method: str = "min",
+                 n_buckets: int = 256, num_partitions: int = 64) -> rd.Dataset:
+    """SQL ``RANK() OVER (PARTITION BY group ORDER BY order_col)`` for a
+    FEW HOT groups — the case ``row_number_by_key`` cannot handle, because
+    hash-partitioning by group puts each giant group in ONE worker.
+
+    Here rows hash-partition by (group, value-bucket) instead, so a hot
+    group spreads across ``n_buckets`` buckets; the driver holds only the
+    groups × buckets count matrix (prefix-summed per group into bucket
+    offsets).  Equal values always share a bucket, so tie semantics are
+    resolved locally: ``method='min'`` is SQL RANK, ``method='max'``
+    gives the numerator of CUME_DIST.
+
+    Use :func:`row_number_by_key`/``rank`` for HIGH-cardinality groups
+    (many small groups — per-group state there is the partition itself);
+    use this for LOW-cardinality groups with giant membership (driver
+    state is ``n_groups × n_buckets`` int64 — keep that product small).
+
+    ``order_col`` must be numeric and non-null.  Output: input columns
+    plus int64 ``out_col`` (1-based rank within the row's group).
+    """
+    if method not in ("min", "max"):
+        raise ValueError("method must be 'min' or 'max'")
+    g = _grid(ds, order_col, n_buckets)
+    if g is None:
+        def tag_empty(t: pa.Table) -> pa.Table:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        return ds.map_batches(tag_empty, batch_format="pyarrow")
+    lo, width, nb, is_int, _n = g
+    bds = _with_bucket(ds, order_col, lo, width, nb, is_int)
+
+    counts = (bds.select_columns(group_cols + [_B])
+              .groupby(group_cols + [_B]).count().to_pandas())
+    # per-group exclusive prefix over bucket counts → (group, bucket) → offset
+    counts = counts.sort_values(group_cols + [_B])
+    counts["__off"] = (counts.groupby(group_cols, sort=False)["count()"]
+                       .cumsum() - counts["count()"])
+    off_df = counts[group_cols + [_B, "__off"]].reset_index(drop=True)
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.drop(columns=[_B])
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        local = (df.groupby(group_cols + [_B], sort=False,
+                            observed=True)[order_col]
+                 .rank(method=method).astype(np.int64))
+        offs = (df[group_cols + [_B]]
+                .merge(off_df, on=group_cols + [_B], how="left")["__off"]
+                .to_numpy())
+        out = df.drop(columns=[_B])
+        out[out_col] = offs + local.to_numpy()
+        return out
+
+    return partitioned_group_apply(bds, group_cols + [_B], per_partition,
+                                   num_partitions=num_partitions)
+
+
 def ntile(ds: rd.Dataset, order_col: str, tiebreak_cols: list[str],
           tiles: int, out_col: str = "tile", n_buckets: int = 1024,
           num_partitions: int = 64) -> rd.Dataset:

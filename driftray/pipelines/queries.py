@@ -1740,6 +1740,80 @@ def q90_event_runs(sf_dir: str):
     return out
 
 
+def q91_value_rank_stats(sf_dir: str):
+    """SQL RANK / CUME_DIST numerators over a HOT-group window:
+    PARTITION BY event_type has only ~5 giant partitions, exactly the
+    case where hash-partitioning by the group key (row_number_by_key)
+    would materialize a whole group in one worker.  `grouped_rank`
+    spreads each group across value-range buckets instead (driver holds
+    only the groups × buckets count matrix).  Integer outputs (rank-min,
+    rank-max = peer-inclusive count, group size) keep the oracle hash
+    exact — PERCENT_RANK/CUME_DIST are these three divided."""
+    from ..ops.ranking import grouped_rank
+
+    ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
+    r = grouped_rank(ev, ["event_type"], "value", out_col="rmin",
+                     method="min")
+    r = grouped_rank(r, ["event_type"], "value", out_col="rmax",
+                     method="max")
+    sizes = (_t(sf_dir, "events", ["event_type"])
+             .groupby("event_type").count().to_pandas()
+             .set_index("event_type")["count()"].to_dict())
+
+    def add_n(b: pd.DataFrame) -> pd.DataFrame:
+        b["n_grp"] = b["event_type"].map(sizes).astype("int64")
+        return b[["event_id", "event_type", "rmin", "rmax", "n_grp"]]
+
+    return r.map_batches(add_n, batch_format="pandas")
+
+
+def q92_bigram_merges(sf_dir: str):
+    """Top-30 adjacent-token pairs across the corpus — the counting step
+    of one BPE merge round (tokenizer training's inner loop).  Per batch:
+    vectorized findall → flat token stream with doc-boundary mask →
+    pandas C groupby partial counts; global groupby-sum; exact top-30 via
+    partial top-k merge with (w1, w2) tie-break — the full pair
+    distribution never leaves the cluster."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.relational import top_k
+
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def local_counts(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"w1": pd.Series([], dtype=object),
+                              "w2": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype="int64")})
+        if len(b) == 0:
+            return empty
+        toks = b["text"].str.findall(r"\S+")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        import itertools
+
+        flat = np.array(list(itertools.chain.from_iterable(toks.tolist())),
+                        dtype=object)
+        if len(flat) < 2:
+            return empty
+        # a pair may not straddle a document boundary (empty docs produce
+        # duplicate/out-of-range offsets — clip them away)
+        starts = np.zeros(len(flat), dtype=bool)
+        bnd = np.cumsum(lens)[:-1]
+        starts[bnd[bnd < len(flat)]] = True
+        valid = ~starts[1:]
+        part = (pd.DataFrame({"w1": flat[:-1][valid], "w2": flat[1:][valid]})
+                .groupby(["w1", "w2"], sort=False).size()
+                .rename("n").reset_index())
+        return part
+
+    counts = (docs.map_batches(local_counts, batch_format="pandas")
+              .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n")))
+    out = top_k(counts, "n", 30, descending=True,
+                tie_keys=[("w1", "ascending"), ("w2", "ascending")])
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df[["w1", "w2", "n"]]
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -2504,6 +2578,24 @@ ORACLE_SQL: dict[str, str] = {
                                            ORDER BY ts, event_id) AS prev
               FROM events)
         GROUP BY user_id""",
+    "q91_value_rank_stats": """
+        SELECT event_id, event_type,
+               CAST(RANK() OVER w AS BIGINT) AS rmin,
+               CAST(COUNT(*) OVER w AS BIGINT) AS rmax,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_grp
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value)""",
+    "q92_bigram_merges": r"""
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '') AS lst
+            FROM documents),
+        f AS (SELECT lst, len(lst) AS nt FROM toks WHERE len(lst) >= 2),
+        s AS (SELECT lst, unnest(range(1, nt)) AS i FROM f)
+        SELECT lst[i] AS w1, lst[i + 1] AS w2, COUNT(*) AS n FROM s
+        GROUP BY w1, w2
+        ORDER BY n DESC, w1, w2 LIMIT 30""",
 }
 
 ORACLE_SQL["q81_weighted_sample"] = ORACLE_SQL["q81_weighted_sample"].replace(
@@ -2607,6 +2699,8 @@ SQL_QUERIES = {
     "q88_local_supplier_volume": q88_local_supplier_volume,
     "q89_nation_top_customers": q89_nation_top_customers,
     "q90_event_runs": q90_event_runs,
+    "q91_value_rank_stats": q91_value_rank_stats,
+    "q92_bigram_merges": q92_bigram_merges,
 }
 
 

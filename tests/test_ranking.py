@@ -98,3 +98,35 @@ def test_grouped_top_k_tie_cols_deterministic(ray_session):
     exp = (df.sort_values(["v", "id"], ascending=[False, True])
            .groupby("k", sort=False).head(3))
     assert sorted(out["id"].tolist()) == sorted(exp["id"].tolist())
+
+
+def test_grouped_rank_matches_pandas(ray_session):
+    """Hot-group rank: few giant groups, ties included — min and max."""
+    from driftray.ops.ranking import grouped_rank
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "g": rng.choice(["a", "b", "c"], size=n),
+        "v": np.round(rng.normal(10, 3, size=n), 1),   # forces ties
+    })
+    for method in ("min", "max"):
+        out = (grouped_rank(rd.from_pandas(df), ["g"], "v",
+                            out_col="r", method=method, n_buckets=32,
+                            num_partitions=8)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        exp = df.groupby("g")["v"].rank(method=method).astype(np.int64)
+        np.testing.assert_array_equal(out["r"].to_numpy(), exp.to_numpy())
+
+
+def test_grouped_rank_integer_values(ray_session):
+    from driftray.ops.ranking import grouped_rank
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"g": rng.choice([0, 1], size=1000).astype(np.int64),
+                       "v": rng.integers(0, 20, size=1000)})
+    out = grouped_rank(rd.from_pandas(df), ["g"], "v", out_col="r",
+                       n_buckets=4, num_partitions=4).to_pandas()
+    exp = (out.groupby("g")["v"].rank(method="min").astype(np.int64))
+    np.testing.assert_array_equal(out["r"].to_numpy(), exp.to_numpy())
