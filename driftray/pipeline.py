@@ -644,6 +644,7 @@ def run_validation(
     batch_size: int | None = None,
     windows_per_pass: int = 4,
     read_concurrency: int | None = None,
+    strict_schema: bool = False,
 ) -> list[WindowResult]:
     """Validate every window of a partitioned Parquet table, resumably.
 
@@ -661,6 +662,16 @@ def run_validation(
 
     def _mark(name: str, t0: float) -> None:
         stage_s[name] = round(stage_s.get(name, 0.0) + time.perf_counter() - t0, 3)
+
+    # schema preflight: metadata-only snapshot + drift vs the previous
+    # run's snapshot (footer read — costs nothing at any scale); with
+    # strict_schema the run aborts before any scan is scheduled
+    t0 = time.perf_counter()
+    from .schema_drift import record_and_diff
+
+    schema_report = record_and_diff(out_dir, input_path, spec,
+                                    strict=strict_schema)
+    _mark("schema_preflight", t0)
 
     t0 = time.perf_counter()
     membership: dict[int, object] = {}
@@ -800,6 +811,8 @@ def run_validation(
         "rows": int(sum(r.n_rows for r in out)),
         "total_s": round(time.perf_counter() - t_run0, 3),
         "stages_s": stage_s,
+        "schema_drift": schema_report["drift"],
+        "schema_violations": schema_report["spec_violations"],
     }
     run_lineage["rows_per_sec"] = round(
         run_lineage["rows"] / max(run_lineage["total_s"], 1e-9), 1)
