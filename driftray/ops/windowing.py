@@ -421,3 +421,52 @@ def rank_window_by_key(ds: rd.Dataset, key_cols: list[str],
 
     return partitioned_group_apply(ds, key_cols, per_partition,
                                    num_partitions=num_partitions)
+
+
+def late_event_flags(ds: rd.Dataset, ts_col: str, batch_col: str,
+                     lateness_us: int, out_col: str = "is_late") -> rd.Dataset:
+    """Micro-batch WATERMARK semantics: flag rows that arrive after the
+    watermark has passed their event time.
+
+    The reference's streaming loop is micro-batch (arrival order = the
+    batch sequence), so the watermark is per-BATCH state: after batch
+    ``b`` the watermark is ``max(event time seen in batches ≤ b) −
+    allowed lateness``, and a row in batch ``b`` is LATE iff its event
+    time is below the watermark as of batch ``b−1``.
+
+    Fully distributed despite the sequential semantics, because the only
+    sequential state is one scalar per batch: one tiny groupby computes
+    per-batch max event time (KB), the driver running-maxes them into a
+    per-batch watermark dict, and one ``map_batches`` pass flags rows.
+    Output: all input columns plus boolean ``out_col`` (first batch is
+    never late — no watermark exists yet).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    per_batch = (ds.select_columns([batch_col, ts_col])
+                 .groupby(batch_col).aggregate(Max(ts_col, alias_name="mx"))
+                 .to_pandas().sort_values(batch_col))
+    mx = _epoch_us(per_batch["mx"]) if per_batch["mx"].dtype.kind == "M" \
+        else per_batch["mx"].to_numpy(dtype=np.int64)
+    prior_max = np.concatenate(([np.iinfo(np.int64).min],
+                                np.maximum.accumulate(mx)[:-1]))
+    wm = {int(b): (int(p) - lateness_us if p != np.iinfo(np.int64).min
+                   else np.iinfo(np.int64).min)
+          for b, p in zip(per_batch[batch_col].to_numpy(), prior_max)}
+
+    def flag(t: pa.Table) -> pa.Table:
+        b = t[batch_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col]
+        tsv = (pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+               if pa.types.is_timestamp(ts.type)
+               else ts.to_numpy(zero_copy_only=False).astype(np.int64))
+        cut = np.fromiter((wm[int(x)] for x in np.unique(b)), dtype=np.int64)
+        # map per-row batch → watermark via searchsorted over unique ids
+        ub = np.unique(b)
+        row_cut = cut[np.searchsorted(ub, b)]
+        return t.append_column(out_col, pa.array(tsv < row_cut))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -1814,6 +1814,40 @@ def q92_bigram_merges(sf_dir: str):
     return df[["w1", "w2", "n"]]
 
 
+def q93_late_events(sf_dir: str):
+    """Micro-batch WATERMARK / late-data handling (`late_event_flags`):
+    rows whose event time falls below the watermark (max event time of
+    prior arrival batches − 1 h allowed lateness) are flagged late.  The
+    only sequential state is one scalar per batch — a tiny groupby-max,
+    a driver running-max (KB), and one distributed flag pass.  Arrival
+    batches here are `event_id % 5` (interleaved shards) so lateness is
+    non-vacuous; outputs are integer counts per batch."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.windowing import late_event_flags
+
+    ev = _t(sf_dir, "events", ["event_id", "ts"])
+
+    def add_batch(t: pa.Table) -> pa.Table:
+        b = t["event_id"].to_numpy(zero_copy_only=False) % 5
+        return t.append_column("batch", pa.array(b.astype(np.int64)))
+
+    flagged = late_event_flags(ev.map_batches(add_batch,
+                                              batch_format="pyarrow"),
+                               "ts", "batch", lateness_us=3_600_000_000)
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({"batch": t["batch"],
+                         "late": pc.cast(t["is_late"], pa.int64())})
+
+    out = (flagged.map_batches(to_int, batch_format="pyarrow")
+           .groupby("batch").aggregate(Count(alias_name="n"),
+                                       Sum("late", alias_name="n_late"))
+           .to_pandas())
+    out["n_late"] = out["n_late"].astype("int64")
+    return out
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -2596,6 +2630,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT lst[i] AS w1, lst[i + 1] AS w2, COUNT(*) AS n FROM s
         GROUP BY w1, w2
         ORDER BY n DESC, w1, w2 LIMIT 30""",
+    "q93_late_events": """
+        WITH b AS (SELECT event_id % 5 AS batch, ts FROM events),
+        m AS (SELECT batch, MAX(ts) AS mx FROM b GROUP BY batch),
+        w AS (SELECT batch,
+                     MAX(mx) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND 1 PRECEDING) AS pmax
+              FROM m)
+        SELECT b.batch, COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE w.pmax IS NOT NULL AND
+                                b.ts < w.pmax - INTERVAL 1 HOUR) AS n_late
+        FROM b JOIN w USING (batch) GROUP BY b.batch""",
 }
 
 ORACLE_SQL["q81_weighted_sample"] = ORACLE_SQL["q81_weighted_sample"].replace(
@@ -2701,6 +2746,7 @@ SQL_QUERIES = {
     "q90_event_runs": q90_event_runs,
     "q91_value_rank_stats": q91_value_rank_stats,
     "q92_bigram_merges": q92_bigram_merges,
+    "q93_late_events": q93_late_events,
 }
 
 
