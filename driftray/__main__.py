@@ -6,7 +6,7 @@ Commands:
   validate  --input PATH --out DIR [--spec CFG.json] [--baseline P] [--bloom]
   promote   --out DIR --window N --baseline PATH
   alerts    --out DIR
-  bench     [--scaling]
+  schema    --input PATH [--out DIR] [--spec CFG.json]
 """
 
 from __future__ import annotations
@@ -47,6 +47,14 @@ def main(argv=None) -> int:
     a = sub.add_parser("alerts", help="print the alert history of a run")
     a.add_argument("--out", required=True)
 
+    s = sub.add_parser("schema", help="schema snapshot / drift vs a run dir "
+                       "(metadata-only, no scan, no Ray session)")
+    s.add_argument("--input", required=True)
+    s.add_argument("--out", help="run dir holding the previous schema.json "
+                   "(omit for a plain snapshot print)")
+    s.add_argument("--spec", help="JSON TableSpec config for the preflight "
+                   "findings (default: repo_files spec)")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "validate":
@@ -75,6 +83,20 @@ def main(argv=None) -> int:
         t = AlertManager(history_path=f"{args.out}/alerts").history()
         for row in t.to_pylist():
             print(json.dumps(row))
+    elif args.cmd == "schema":
+        # footer-only: no Ray session needed at any input size
+        from driftray.schema_drift import (record_and_diff, snapshot_schema,
+                                           spec_findings)
+        from driftray.spec import repo_files_spec, spec_from_dict
+
+        spec = (spec_from_dict(json.load(open(args.spec)))
+                if args.spec else repo_files_spec())
+        if args.out:
+            print(json.dumps(record_and_diff(args.out, args.input, spec)))
+        else:
+            schema = snapshot_schema(args.input)
+            print(json.dumps({"schema": schema,
+                              "spec_violations": spec_findings(schema, spec)}))
     return 0
 
 

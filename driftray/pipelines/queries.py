@@ -1848,6 +1848,46 @@ def q93_late_events(sf_dir: str):
     return out
 
 
+def q94_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by the Monday-start week of
+    their FIRST event (cohort), counted once per later week they return.
+    Shape: per-user min-ts aggregate → large-large join back to events →
+    distinct (user, activity week) → tiny (cohort, offset) groupby.  The
+    distinct is the only full-width exchange and carries 24 B/row."""
+    from ray.data.aggregate import Count, Min
+
+    from ..ops.relational import distinct, hash_shuffle_join
+
+    _DAY_US = 86_400_000_000
+
+    def week_start_days(ts_us: np.ndarray) -> np.ndarray:
+        """int64 epoch-µs → epoch-DAYS of the Monday starting that week
+        (1970-01-01 was a Thursday → shift by 3)."""
+        d = ts_us // _DAY_US
+        return d - ((d + 3) % 7)
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+    first = (ev.groupby("user_id").aggregate(Min("ts", alias_name="first_ts")))
+    joined = hash_shuffle_join(ev, first, on=["user_id"],
+                               right_on=["user_id"], num_partitions=8)
+
+    def weeks(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        ft = pc.cast(t["first_ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        cw = week_start_days(ft)
+        off = (week_start_days(ts) - cw) // 7
+        return pa.table({"user_id": t["user_id"],
+                         "cohort_day": pa.array(cw),
+                         "week_offset": pa.array(off)})
+
+    uniq = distinct(joined.map_batches(weeks, batch_format="pyarrow"),
+                    ["user_id", "cohort_day", "week_offset"])
+    out = (uniq.groupby(["cohort_day", "week_offset"])
+           .aggregate(Count(alias_name="n_users")).to_pandas())
+    out["cohort_week"] = pd.to_datetime(out["cohort_day"], unit="D")
+    return out[["cohort_week", "week_offset", "n_users"]]
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -2641,6 +2681,17 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) FILTER (WHERE w.pmax IS NOT NULL AND
                                 b.ts < w.pmax - INTERVAL 1 HOUR) AS n_late
         FROM b JOIN w USING (batch) GROUP BY b.batch""",
+    "q94_cohort_retention": """
+        WITH f AS (SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cw
+                   FROM events GROUP BY user_id),
+        a AS (SELECT DISTINCT e.user_id, f.cw,
+                     DATE_TRUNC('week', e.ts) AS aw
+              FROM events e JOIN f USING (user_id))
+        SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+               CAST((EPOCH(aw) - EPOCH(cw)) / 604800 AS BIGINT)
+                   AS week_offset,
+               COUNT(*) AS n_users
+        FROM a GROUP BY 1, 2""",
 }
 
 ORACLE_SQL["q81_weighted_sample"] = ORACLE_SQL["q81_weighted_sample"].replace(
@@ -2747,6 +2798,7 @@ SQL_QUERIES = {
     "q91_value_rank_stats": q91_value_rank_stats,
     "q92_bigram_merges": q92_bigram_merges,
     "q93_late_events": q93_late_events,
+    "q94_cohort_retention": q94_cohort_retention,
 }
 
 
