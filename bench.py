@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "q56_doc_perplexity",       # unigram-LM quality scoring
     "q76_decontamination",      # n-gram test-set decontamination
     "q79_pack_sequences",       # distributed prefix sum + sequence packing
+    "q87_order_ntile",          # exact global NTILE (bucket-grid prefix sum)
+    "q94_cohort_retention",     # per-user first-seen + distinct-week join
 ]
 
 

@@ -1888,6 +1888,43 @@ def q94_cohort_retention(sf_dir: str):
     return out[["cohort_week", "week_offset", "n_users"]]
 
 
+def q95_price_page(sf_dir: str):
+    """Deterministic result PAGINATION — "rows 1001-1010 of orders by
+    (totalprice, orderkey)" — via `global_rank`: the classic OFFSET/LIMIT
+    page that needs a global order but must not global-sort.  Only the
+    ten requested rows ever reach the driver."""
+    from ..ops.ranking import global_rank
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ranked = global_rank(orders, "o_totalprice", ["o_orderkey"],
+                         out_col="rn")
+    page = ranked.filter(lambda r: 1001 <= r["rn"] <= 1010).to_pandas()
+    page = page.sort_values("rn").reset_index(drop=True)
+    return _round_cols(page[["rn", "o_orderkey", "o_totalprice"]],
+                       {"o_totalprice": ROUND})
+
+
+def q96_daily_active_users(sf_dir: str):
+    """Windowed COUNT(DISTINCT): distinct users per event day.  The
+    distinct exchange carries only (day, user) — 16 B/row — then a tiny
+    count; no full-row shuffle, no per-day worker materialization."""
+    from ray.data.aggregate import Count
+
+    from ..ops.relational import distinct
+
+    ev = _t(sf_dir, "events", ["ts", "user_id"])
+
+    def day(t: pa.Table) -> pa.Table:
+        d = pc.floor_temporal(t["ts"], unit="day")
+        return pa.table({"day": d, "user_id": t["user_id"]})
+
+    uniq = distinct(ev.map_batches(day, batch_format="pyarrow"),
+                    ["day", "user_id"])
+    out = (uniq.groupby("day").aggregate(Count(alias_name="dau"))
+           .to_pandas())
+    return out
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -2692,6 +2729,17 @@ ORACLE_SQL: dict[str, str] = {
                    AS week_offset,
                COUNT(*) AS n_users
         FROM a GROUP BY 1, 2""",
+    "q95_price_page": f"""
+        SELECT rn, o_orderkey, ROUND(o_totalprice, {ROUND}) AS o_totalprice
+        FROM (SELECT o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey)
+                         AS rn
+              FROM orders)
+        WHERE rn BETWEEN 1001 AND 1010""",
+    "q96_daily_active_users": """
+        SELECT DATE_TRUNC('day', ts) AS day,
+               COUNT(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1""",
 }
 
 ORACLE_SQL["q81_weighted_sample"] = ORACLE_SQL["q81_weighted_sample"].replace(
@@ -2799,6 +2847,8 @@ SQL_QUERIES = {
     "q92_bigram_merges": q92_bigram_merges,
     "q93_late_events": q93_late_events,
     "q94_cohort_retention": q94_cohort_retention,
+    "q95_price_page": q95_price_page,
+    "q96_daily_active_users": q96_daily_active_users,
 }
 
 
