@@ -51,8 +51,12 @@ def _grid(ds: rd.Dataset, order_col: str, n_buckets: int):
 
     def stats(t: pa.Table) -> pa.Table:
         col = t[order_col]
-        if col.null_count or len(col) != len(col.drop_null()):
+        if col.null_count:
             raise ValueError(f"global_rank: {order_col} must be non-null")
+        if (pa.types.is_floating(col.type)
+                and pc.any(pc.is_nan(col)).as_py()):
+            raise ValueError(f"global_rank: {order_col} must be NaN-free "
+                             "(NaN has no total order)")
         if len(col) == 0:
             return pa.table({"lo": pa.array([None], pa.float64()),
                              "hi": pa.array([None], pa.float64()),
@@ -92,7 +96,12 @@ def _with_bucket(ds: rd.Dataset, order_col: str, lo, width, nb,
         if is_int:
             b = (v.astype(np.int64) - lo) // width
         else:
-            b = np.clip(((v - lo) / width).astype(np.int64), 0, nb - 1)
+            b = ((v - lo) / width).astype(np.int64)
+        # clip keeps the bucket map monotone while guarding the offset
+        # array against float-precision edge effects near lo/hi (and int
+        # extremes whose min/max crossed a float64 round-trip) — rank
+        # correctness needs monotone + consistent buckets, not exact ones
+        b = np.clip(b, 0, nb - 1)
         return t.append_column(_B, pa.array(b.astype(np.int64)))
 
     return ds.map_batches(add, batch_format="pyarrow")

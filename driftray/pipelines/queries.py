@@ -1898,7 +1898,13 @@ def q95_price_page(sf_dir: str):
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     ranked = global_rank(orders, "o_totalprice", ["o_orderkey"],
                          out_col="rn")
-    page = ranked.filter(lambda r: 1001 <= r["rn"] <= 1010).to_pandas()
+
+    def take_page(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["rn"], 1001),
+                       pc.less_equal(t["rn"], 1010))
+        return t.filter(keep)
+
+    page = ranked.map_batches(take_page, batch_format="pyarrow").to_pandas()
     page = page.sort_values("rn").reset_index(drop=True)
     return _round_cols(page[["rn", "o_orderkey", "o_totalprice"]],
                        {"o_totalprice": ROUND})

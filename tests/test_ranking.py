@@ -130,3 +130,19 @@ def test_grouped_rank_integer_values(ray_session):
                        n_buckets=4, num_partitions=4).to_pandas()
     exp = (out.groupby("g")["v"].rank(method="min").astype(np.int64))
     np.testing.assert_array_equal(out["r"].to_numpy(), exp.to_numpy())
+
+
+def test_global_rank_rejects_nan(ray_session):
+    from driftray.ops.ranking import global_rank
+
+    import pyarrow as pa
+
+    # pandas NaN arrives as Arrow null (null branch); an Arrow-native
+    # float NaN (e.g. straight from parquet) hits the NaN branch
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([1.0, float("nan"), 3.0], pa.float64())})
+    with pytest.raises(Exception, match="NaN-free"):
+        global_rank(rd.from_arrow(t), "v", ["id"]).materialize()
+    df = pd.DataFrame({"id": [1, 2], "v": [1.0, None]})
+    with pytest.raises(Exception, match="non-null"):
+        global_rank(rd.from_pandas(df), "v", ["id"]).materialize()

@@ -68,8 +68,15 @@ def main() -> None:
     assert int(sizes.sum()) == n_rows
 
     # sample verify: rows in tile 1 must all rank below rows in tile 10
-    lo = out.filter(lambda r: r["tile"] == 1).limit(1000).to_pandas()
-    hi = out.filter(lambda r: r["tile"] == 10).limit(1000).to_pandas()
+    def tile_eq(k):
+        def f(b):
+            return b[b["tile"].to_numpy() == k]
+        return f
+
+    lo = (out.map_batches(tile_eq(1), batch_format="pandas")
+          .limit(1000).to_pandas())
+    hi = (out.map_batches(tile_eq(10), batch_format="pandas")
+          .limit(1000).to_pandas())
     assert lo["v"].max() < hi["v"].min()
 
     import json
