@@ -450,3 +450,25 @@ def pack_sequences(ds: rd.Dataset, group_col: str, token_col: str,
             cbv, pc.multiply(t["seq_id"], seq_len)))
 
     return cb.map_batches(finish, batch_format="pyarrow")
+
+
+def temperature_weights(counts: dict, alpha: float,
+                        target_total: int | None = None) -> dict:
+    """Temperature-based corpus mixing weights (the T5/Gopher
+    ``p_g ∝ share_g^alpha`` rebalance): returns epochs-per-group weights
+    for :func:`repeat_by_weight` such that group g contributes
+    ``share_g^alpha / Σ share^alpha`` of ``target_total`` rows (default:
+    keep the corpus size).  ``alpha < 1`` upsamples small groups,
+    ``alpha = 1`` is a no-op, ``alpha = 0`` equalizes groups.
+
+    Driver-side arithmetic over one tiny count dict — the heavy lifting
+    stays in ``repeat_by_weight``'s stateless per-batch expansion."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError("group counts must be positive")
+    tot = sum(counts.values())
+    pw = {g: (n / tot) ** alpha for g, n in sorted(counts.items())}
+    z = sum(pw.values())
+    tgt = tot if target_total is None else target_total
+    return {g: pw[g] / z * tgt / counts[g] for g in counts}

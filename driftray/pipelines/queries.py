@@ -1931,6 +1931,29 @@ def q96_daily_active_users(sf_dir: str):
     return out
 
 
+def q97_temperature_mix(sf_dir: str):
+    """Temperature-based corpus mixing (T5/Gopher ``share^alpha``):
+    per-source epoch weights derived from one tiny count aggregate
+    (`temperature_weights`), then the stateless per-batch hash-repeat
+    expansion (`repeat_by_weight`, md5 backend).  alpha=0.5 upsamples
+    small sources; output is (source, epoch) row counts — the full SQL
+    oracle recomputes weights AND the md5 epoch predicate."""
+    from ray.data.aggregate import Count
+
+    from ..ops.curation import repeat_by_weight, temperature_weights
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    counts = dict(sorted(
+        (r["source"], r["count()"])
+        for r in docs.groupby("source").count().take_all()))
+    w = temperature_weights(counts, alpha=0.5)
+    mixed = repeat_by_weight(docs, "doc_id", "source", w, seed=42,
+                             method="md5")
+    out = (mixed.groupby(["source", "epoch"])
+           .aggregate(Count(alias_name="n_rows")).to_pandas())
+    return out
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -2746,12 +2769,40 @@ ORACLE_SQL: dict[str, str] = {
         SELECT DATE_TRUNC('day', ts) AS day,
                COUNT(DISTINCT user_id) AS dau
         FROM events GROUP BY 1""",
+    "q97_temperature_mix": """
+        WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+                   GROUP BY source),
+        t AS (SELECT SUM(n) AS tot FROM c),
+        w AS (SELECT source, n, POW(n / (SELECT tot FROM t), 0.5) AS pw
+              FROM c),
+        z AS (SELECT SUM(pw) AS zz FROM w),
+        wt AS (SELECT source, n,
+                      pw / (SELECT zz FROM z) * (SELECT tot FROM t) / n
+                          AS wgt
+               FROM w),
+        d AS (SELECT d0.doc_id, d0.source,
+                     CAST(FLOOR(wgt) AS BIGINT) AS base,
+                     wgt - FLOOR(wgt) AS frac,
+                     substr(md5('42:' || CAST(d0.doc_id AS VARCHAR)),
+                            1, 8) AS hh
+              FROM documents d0 JOIN wt USING (source)),
+        e AS (SELECT source,
+                     unnest(range(0, base + CASE WHEN ({U32}) <
+                         LEAST(CAST(ROUND(frac * 4294967296.0) AS BIGINT),
+                               4294967295)
+                         THEN 1 ELSE 0 END)) AS epoch
+              FROM d)
+        SELECT source, epoch, COUNT(*) AS n_rows FROM e
+        GROUP BY source, epoch""",
 }
 
+_U32_EXPR = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
+    f" * {16 ** (7 - i)}" for i in range(8))
 ORACLE_SQL["q81_weighted_sample"] = ORACLE_SQL["q81_weighted_sample"].replace(
-    "{U32}", " + ".join(
-        f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
-        f" * {16 ** (7 - i)}" for i in range(8)))
+    "{U32}", _U32_EXPR)
+ORACLE_SQL["q97_temperature_mix"] = ORACLE_SQL["q97_temperature_mix"].replace(
+    "{U32}", _U32_EXPR)
 
 from ..ops.sampling import fraction_to_hex as _f2h  # noqa: E402
 
@@ -2855,6 +2906,7 @@ SQL_QUERIES = {
     "q94_cohort_retention": q94_cohort_retention,
     "q95_price_page": q95_price_page,
     "q96_daily_active_users": q96_daily_active_users,
+    "q97_temperature_mix": q97_temperature_mix,
 }
 
 

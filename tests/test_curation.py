@@ -56,3 +56,25 @@ class TestTokenBudgetSelect:
                                   budget=2500, n_buckets=4).to_pandas()
         assert len(got[got["g"] == "a"]) == 5      # fits entirely
         assert len(got[got["g"] == "b"]) == 2      # 2×1000 ≤ 2500 < 3×1000
+
+
+def test_temperature_weights_properties():
+    import numpy as np
+
+    from driftray.ops.curation import temperature_weights
+
+    counts = {"a": 100, "b": 900, "c": 4000}
+    for alpha in (0.0, 0.3, 0.5, 1.0):
+        w = temperature_weights(counts, alpha)
+        # expected output size preserved
+        assert abs(sum(w[g] * n for g, n in counts.items())
+                   - sum(counts.values())) < 1e-6
+        if alpha < 1:
+            assert w["a"] > w["b"] > w["c"]     # small groups upsampled
+    # alpha=1 is a no-op mix
+    w1 = temperature_weights(counts, 1.0)
+    assert all(abs(v - 1.0) < 1e-12 for v in w1.values())
+    # alpha=0 equalizes group contributions
+    w0 = temperature_weights(counts, 0.0)
+    contrib = {g: w0[g] * counts[g] for g in counts}
+    assert np.ptp(list(contrib.values())) < 1e-6
