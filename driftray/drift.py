@@ -174,3 +174,69 @@ def mean_difference(ref_mean: float, ref_std: float, cur_mean: float) -> float:
     if not ref_std or math.isnan(ref_std):
         return 0.0
     return abs(cur_mean - ref_mean) / ref_std
+
+
+def windowed_drift_series(ds, ts_col: str, value_col: str,
+                          edges: np.ndarray, unit: str = "day",
+                          eps: float = 1e-6):
+    """Consecutive-window drift series: PSI and JS divergence between
+    each time window (``unit`` truncation of ``ts_col``) and the one
+    before it — the "is today's data shaped like yesterday's" monitor.
+
+    Scale shape: ONE ``map_batches`` pass emits per-(window, bin) partial
+    counts (``np.bincount`` over pre-fixed ``edges``), a tiny groupby
+    sums them (windows × bins rows — KB), and the driver scores the
+    consecutive pairs from counts alone.  Raw values never concentrate
+    anywhere; fixed shared edges make the partials order-insensitively
+    mergeable (the same property the baseline store relies on).
+
+    Returns a pandas DataFrame (window, n, psi, js) — psi/js are NaN for
+    the first window.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    nb = len(edges) + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].to_pandas()
+        w = ts.dt.floor("D" if unit == "day" else unit)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, v, side="right")
+        df = pd.DataFrame({"w": w, "b": b})
+        g = df.groupby(["w", "b"], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.select_columns([ts_col, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["w", "b"]).aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+
+    windows = sorted(counts["w"].unique())
+    mat = {}
+    for w in windows:
+        sub = counts[counts["w"] == w]
+        vec = np.zeros(nb, dtype=np.int64)
+        vec[sub["b"].to_numpy()] = sub["n"].to_numpy()
+        mat[w] = vec
+
+    rows = []
+    prev = None
+    for w in windows:
+        cur = mat[w]
+        if prev is None:
+            rows.append({"window": w, "n": int(cur.sum()),
+                         "psi": float("nan"), "js": float("nan")})
+        else:
+            p = np.clip(prev / max(prev.sum(), 1), eps, None)
+            q = np.clip(cur / max(cur.sum(), 1), eps, None)
+            p, q = p / p.sum(), q / q.sum()
+            m = 0.5 * (p + q)
+            rows.append({"window": w, "n": int(cur.sum()),
+                         "psi": float(np.sum((q - p) * np.log(q / p))),
+                         "js": float(0.5 * np.sum(p * np.log(p / m))
+                                     + 0.5 * np.sum(q * np.log(q / m)))})
+        prev = cur
+    return pd.DataFrame(rows)

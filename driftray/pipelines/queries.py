@@ -3029,6 +3029,21 @@ def nq_hll_distinct_users(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def nq_daily_drift(sf_dir: str):
+    """Day-over-day drift series for events.value (`windowed_drift_series`):
+    one partial-count pass + tiny groupby; the driver scores consecutive
+    days' PSI/JS from KB of bin counts.  Tolerance oracle in
+    tests/test_drift.py (exact vs a direct per-day computation)."""
+    from ..drift import windowed_drift_series
+
+    ev = _t(sf_dir, "events", ["ts", "value"])
+    edges = np.linspace(0.0, 200.0, 32)
+    out = windowed_drift_series(ev, "ts", "value", edges)
+    out["psi"] = out["psi"].round(6)
+    out["js"] = out["js"].round(6)
+    return out
+
+
 def nq_drift_events(sf_dir: str):
     """KS/PSI/JS of `value` between the first and second half of the time
     range, per event_type (A5/A6 over the events stream)."""
@@ -3433,6 +3448,7 @@ NONSQL_QUERIES = {
     "nq_quality_scores": nq_quality_scores,
     "nq_fingerprints": nq_fingerprints,
     "nq_hll_distinct_users": nq_hll_distinct_users,
+    "nq_daily_drift": nq_daily_drift,
     "nq_drift_events": nq_drift_events,
     "nq_unusual_ratio_events": nq_unusual_ratio_events,
     "nq_lang_median_digest": nq_lang_median_digest,

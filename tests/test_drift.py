@@ -144,3 +144,44 @@ class TestPSIJS:
         h2 = Histogram(0, 1, 8).update(rng.uniform(0.9, 1.0, 1000))
         v = js_divergence(h1, h2)
         assert 0 < v <= np.log(2) + 1e-9
+
+
+def test_windowed_drift_series_matches_direct(ray_session):
+    """Distributed per-day PSI/JS series == direct computation on raw
+    rows with the same fixed edges."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from driftray.drift import windowed_drift_series
+
+    rng = np.random.default_rng(9)
+    n = 6000
+    days = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+        rng.integers(0, 4, size=n), unit="D")
+    shift = days.day.to_numpy() * 0.8          # day-dependent mean drift
+    df = pd.DataFrame({"ts": days + pd.to_timedelta(
+        rng.integers(0, 86_400, size=n), unit="s"),
+        "v": rng.normal(10, 2, size=n) + shift})
+    edges = np.linspace(5, 20, 16)
+
+    out = windowed_drift_series(rd.from_pandas(df), "ts", "v", edges)
+    assert len(out) == 4 and np.isnan(out["psi"].iloc[0])
+    assert (out["psi"].iloc[1:] > 0).all()
+
+    # direct oracle
+    df["day"] = df["ts"].dt.floor("D")
+    prev = None
+    for i, (day, grp) in enumerate(sorted(df.groupby("day"),
+                                          key=lambda kv: kv[0])):
+        b = np.searchsorted(edges, grp["v"].to_numpy(), side="right")
+        cur = np.bincount(b, minlength=len(edges) + 1)
+        if prev is not None:
+            eps = 1e-6
+            p = np.clip(prev / prev.sum(), eps, None)
+            q = np.clip(cur / cur.sum(), eps, None)
+            p, q = p / p.sum(), q / q.sum()
+            exp_psi = float(np.sum((q - p) * np.log(q / p)))
+            assert abs(out["psi"].iloc[i] - exp_psi) < 1e-12
+        assert out["n"].iloc[i] == len(grp)
+        prev = cur
