@@ -92,7 +92,10 @@ def main(argv=None) -> int:
         spec = (spec_from_dict(json.load(open(args.spec)))
                 if args.spec else repo_files_spec())
         if args.out:
-            print(json.dumps(record_and_diff(args.out, args.input, spec)))
+            # inspection must not consume the drift evidence: the stored
+            # baseline advances only when a validate run completes
+            print(json.dumps(record_and_diff(args.out, args.input, spec,
+                                             persist=False)))
         else:
             schema = snapshot_schema(args.input)
             print(json.dumps({"schema": schema,

@@ -190,19 +190,27 @@ def windowed_drift_series(ds, ts_col: str, value_col: str,
     anywhere; fixed shared edges make the partials order-insensitively
     mergeable (the same property the baseline store relies on).
 
-    Returns a pandas DataFrame (window, n, psi, js) — psi/js are NaN for
-    the first window.
+    Null/NaN values do not silently pollute the top bin: they count into
+    a dedicated ``n_nan`` column per window (bin id ``len(edges)+1``) —
+    a feed suddenly going null is itself a signal, not noise in the
+    distribution (same convention as the ``Histogram`` sketch's nan
+    counter).
+
+    Returns a pandas DataFrame (window, n, n_nan, psi, js) — psi/js are
+    NaN for the first window; ``n`` counts scored (non-null) values.
     """
     import pandas as pd
     import pyarrow as pa
 
     nb = len(edges) + 1
+    nan_bin = nb  # one past the overflow bin
 
     def partial(t: pa.Table) -> pa.Table:
         ts = t[ts_col].to_pandas()
         w = ts.dt.floor("D" if unit == "day" else unit)
-        v = t[value_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         b = np.searchsorted(edges, v, side="right")
+        b[np.isnan(v)] = nan_bin
         df = pd.DataFrame({"w": w, "b": b})
         g = df.groupby(["w", "b"], sort=False).size().rename("n").reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -215,12 +223,13 @@ def windowed_drift_series(ds, ts_col: str, value_col: str,
               .to_pandas())
 
     windows = sorted(counts["w"].unique())
-    mat = {}
+    mat, nans = {}, {}
     for w in windows:
         sub = counts[counts["w"] == w]
-        vec = np.zeros(nb, dtype=np.int64)
+        vec = np.zeros(nb + 1, dtype=np.int64)
         vec[sub["b"].to_numpy()] = sub["n"].to_numpy()
-        mat[w] = vec
+        mat[w] = vec[:nb]
+        nans[w] = int(vec[nan_bin])
 
     rows = []
     prev = None
@@ -228,6 +237,7 @@ def windowed_drift_series(ds, ts_col: str, value_col: str,
         cur = mat[w]
         if prev is None:
             rows.append({"window": w, "n": int(cur.sum()),
+                         "n_nan": nans[w],
                          "psi": float("nan"), "js": float("nan")})
         else:
             p = np.clip(prev / max(prev.sum(), 1), eps, None)
@@ -235,7 +245,8 @@ def windowed_drift_series(ds, ts_col: str, value_col: str,
             p, q = p / p.sum(), q / q.sum()
             m = 0.5 * (p + q)
             rows.append({"window": w, "n": int(cur.sum()),
-                         "psi": float(np.sum((q - p) * np.log(q / p))),
+                         "n_nan": nans[w],
+                         "psi": psi_from_counts(prev, cur, eps),
                          "js": float(0.5 * np.sum(p * np.log(p / m))
                                      + 0.5 * np.sum(q * np.log(q / m)))})
         prev = cur

@@ -173,23 +173,26 @@ def grouped_top_k(ds: rd.Dataset, key_cols: list[str], order_col: str,
     cols = columns or [c for c in ds.schema().names]
     sort_cols = [order_col] + (tie_cols or [])
     ascending = [not descending] + [True] * len(tie_cols or [])
+    # tie columns must survive the projection up to the final merge
+    # (dropped at the end if the caller didn't ask for them)
+    carry = cols + [c for c in sort_cols if c not in cols]
 
     def local(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
-            return b[cols]
+            return b[carry]
         return (b.sort_values(sort_cols, ascending=ascending,
                               kind="mergesort")
                 .groupby(key_cols, sort=False, observed=True)
-                .head(k)[cols])
+                .head(k)[carry])
 
-    partial = ds.select_columns(cols).map_batches(
+    partial = ds.select_columns(carry).map_batches(
         local, batch_format="pandas").to_pandas()
     if len(partial) == 0:
-        return partial
+        return partial[cols] if len(partial.columns) else partial
     return (partial.sort_values(sort_cols, ascending=ascending,
                                 kind="mergesort")
             .groupby(key_cols, sort=False, observed=True)
-            .head(k).reset_index(drop=True))
+            .head(k).reset_index(drop=True)[cols])
 
 def grouped_corr(ds: rd.Dataset, key_cols: list[str], x_col: str,
                  y_col: str, out_col: str = "corr") -> rd.Dataset:

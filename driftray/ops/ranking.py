@@ -109,7 +109,8 @@ def _with_bucket(ds: rd.Dataset, order_col: str, lo, width, nb,
 
 def global_rank(ds: rd.Dataset, order_col: str, tiebreak_cols: list[str],
                 out_col: str = "rank", n_buckets: int = 1024,
-                num_partitions: int = 64, _grid_info=None) -> rd.Dataset:
+                num_partitions: int = 64, materialize_input: bool = True,
+                _grid_info=None) -> rd.Dataset:
     """Append the exact 1-based GLOBAL rank under
     ``ORDER BY order_col, *tiebreak_cols`` (all ascending).
 
@@ -117,7 +118,16 @@ def global_rank(ds: rd.Dataset, order_col: str, tiebreak_cols: list[str],
     complete a total order (include a unique id) or equal rows get an
     arbitrary-but-consistent order within their tie group.  Output: all
     input columns plus int64 ``out_col``.
+
+    The input is consumed three times (grid, bucket counts, rank pass);
+    with ``materialize_input`` (default) it is pinned to the object
+    store ONCE so a lazy upstream pipeline is not re-executed per pass —
+    essential when chaining rank calls (each lazy re-execution would
+    multiply).  Pass ``False`` only when the input is a cheap pruned
+    parquet read you'd rather re-scan than spill.
     """
+    if materialize_input:
+        ds = ds.materialize()
     g = _grid_info if _grid_info is not None else _grid(ds, order_col,
                                                         n_buckets)
     if g is None:
@@ -156,7 +166,8 @@ def global_rank(ds: rd.Dataset, order_col: str, tiebreak_cols: list[str],
 
 def grouped_rank(ds: rd.Dataset, group_cols: list[str], order_col: str,
                  out_col: str = "rank", method: str = "min",
-                 n_buckets: int = 256, num_partitions: int = 64) -> rd.Dataset:
+                 n_buckets: int = 256, num_partitions: int = 64,
+                 materialize_input: bool = True) -> rd.Dataset:
     """SQL ``RANK() OVER (PARTITION BY group ORDER BY order_col)`` for a
     FEW HOT groups — the case ``row_number_by_key`` cannot handle, because
     hash-partitioning by group puts each giant group in ONE worker.
@@ -175,9 +186,14 @@ def grouped_rank(ds: rd.Dataset, group_cols: list[str], order_col: str,
 
     ``order_col`` must be numeric and non-null.  Output: input columns
     plus int64 ``out_col`` (1-based rank within the row's group).
+    ``materialize_input`` as in :func:`global_rank` — the input is
+    consumed three times, and chained lazy rank calls would otherwise
+    re-execute upstream multiplicatively.
     """
     if method not in ("min", "max"):
         raise ValueError("method must be 'min' or 'max'")
+    if materialize_input:
+        ds = ds.materialize()
     g = _grid(ds, order_col, n_buckets)
     if g is None:
         def tag_empty(t: pa.Table) -> pa.Table:
@@ -223,10 +239,12 @@ def ntile(ds: rd.Dataset, order_col: str, tiebreak_cols: list[str],
     produced."""
     if tiles < 1:
         raise ValueError("tiles must be >= 1")
+    ds = ds.materialize()        # consumed 4× (grid + rank's 3 passes)
     g = _grid(ds, order_col, n_buckets)
     n = g[4] if g is not None else 0
     ranked = global_rank(ds, order_col, tiebreak_cols, out_col="__gr",
                          n_buckets=n_buckets, num_partitions=num_partitions,
+                         materialize_input=False,
                          _grid_info=g if g is not None else None)
     q, r = divmod(n, tiles)
 

@@ -460,7 +460,11 @@ def late_event_flags(ds: rd.Dataset, ts_col: str, batch_col: str,
     def flag(t: pa.Table) -> pa.Table:
         b = t[batch_col].to_numpy(zero_copy_only=False)
         ts = t[ts_col]
-        tsv = (pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize to µs BEFORE the int cast — pandas-sourced columns
+        # arrive as timestamp[ns] and a naive cast would compare ns
+        # against the µs watermark (1000× off, silently flagging nothing)
+        tsv = (pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+               .to_numpy(zero_copy_only=False)
                if pa.types.is_timestamp(ts.type)
                else ts.to_numpy(zero_copy_only=False).astype(np.int64))
         cut = np.fromiter((wm[int(x)] for x in np.unique(b)), dtype=np.int64)

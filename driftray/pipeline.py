@@ -665,12 +665,14 @@ def run_validation(
 
     # schema preflight: metadata-only snapshot + drift vs the previous
     # run's snapshot (footer read — costs nothing at any scale); with
-    # strict_schema the run aborts before any scan is scheduled
+    # strict_schema the run aborts before any scan is scheduled.  The
+    # baseline snapshot is NOT advanced here — only after the run
+    # completes — so a crashed run's retry still reports the drift.
     t0 = time.perf_counter()
-    from .schema_drift import record_and_diff
+    from .schema_drift import persist_snapshot, record_and_diff
 
     schema_report = record_and_diff(out_dir, input_path, spec,
-                                    strict=strict_schema)
+                                    strict=strict_schema, persist=False)
     _mark("schema_preflight", t0)
 
     t0 = time.perf_counter()
@@ -819,6 +821,8 @@ def run_validation(
     hist_file = os.path.join(out_dir, "run_lineage.jsonl")
     with open(hist_file, "a") as f:
         f.write(json.dumps(run_lineage) + "\n")
+    # the run succeeded — NOW advance the schema baseline for the next run
+    persist_snapshot(out_dir, schema_report["schema"])
     return out
 
 

@@ -76,11 +76,18 @@ def spec_findings(schema: dict[str, str], spec: TableSpec) -> list[dict]:
 
 
 def record_and_diff(out_dir: str, input_path: str, spec: TableSpec,
-                    strict: bool = False) -> dict:
+                    strict: bool = False, persist: bool = True) -> dict:
     """Snapshot the input schema, diff vs the previous run's snapshot
-    (``out_dir/schema.json``), persist the new snapshot, and return
+    (``out_dir/schema.json``), and return
     ``{"schema", "drift", "spec_violations"}``.  ``strict=True`` raises
-    :class:`SchemaError` on any spec violation BEFORE a scan runs."""
+    :class:`SchemaError` on any spec violation BEFORE a scan runs.
+
+    ``persist=False`` makes this a pure INSPECTION (the CLI ``schema``
+    command) — the stored baseline snapshot is left untouched, so
+    looking at drift never consumes the drift evidence.  Callers that
+    do persist should do so only after the run SUCCEEDS (see
+    :func:`persist_snapshot` and ``pipeline.run_validation``), so a
+    crashed run's retry still reports the drift in its lineage."""
     schema = snapshot_schema(input_path)
     findings = spec_findings(schema, spec)
     if strict and findings:
@@ -92,7 +99,13 @@ def record_and_diff(out_dir: str, input_path: str, spec: TableSpec,
     if os.path.exists(path):
         with open(path) as f:
             drift = diff_schemas(json.load(f), schema)
-    os.makedirs(out_dir, exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(schema, f, indent=1, sort_keys=True)
+    if persist:
+        persist_snapshot(out_dir, schema)
     return {"schema": schema, "drift": drift, "spec_violations": findings}
+
+
+def persist_snapshot(out_dir: str, schema: dict[str, str]) -> None:
+    """Advance the stored baseline snapshot (call after a run succeeds)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, SCHEMA_FILE), "w") as f:
+        json.dump(schema, f, indent=1, sort_keys=True)

@@ -120,3 +120,93 @@ def test_q56_drops_zero_token_docs(ray_session, tmp_path):
     }), str(tmp_path / "documents.parquet"))
     out = q56_doc_perplexity(str(tmp_path))
     assert list(out["doc_id"]) == [0, 2]   # the empty doc has no row
+
+
+# --- continuation-session review fixes (ranking/watermark/schema batch) ---
+
+def test_late_event_flags_ns_timestamps(ray_session):
+    """pandas-sourced timestamp[ns] columns must flag identically to the
+    µs watermark (review: naive int cast compared ns against µs)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from driftray.ops.windowing import late_event_flags
+
+    df = pd.DataFrame({
+        "batch": [0, 0, 1, 1, 1],
+        "ts": pd.to_datetime(["2024-01-02 00:00", "2024-01-03 00:00",
+                              "2024-01-01 00:00", "2024-01-02 22:00",
+                              "2024-01-04 00:00"]),
+        "rid": np.arange(5, dtype=np.int64),
+    })
+    out = (late_event_flags(rd.from_pandas(df), "ts", "batch",
+                            lateness_us=3_600_000_000)  # 1 h
+           .to_pandas().sort_values("rid"))
+    # watermark after batch 0 = Jan 3 00:00 − 1 h
+    assert out["is_late"].tolist() == [False, False, True, True, False]
+
+
+def test_grouped_top_k_tie_cols_outside_columns(ray_session):
+    """tie_cols not in the requested projection must not KeyError and
+    must not leak into the output."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from driftray.ops.grouped import grouped_top_k
+
+    df = pd.DataFrame({"k": [0] * 10, "id": np.arange(10, dtype=np.int64),
+                       "v": np.ones(10)})
+    out = grouped_top_k(rd.from_pandas(df), ["k"], "v", 3,
+                        columns=["k", "v"], tie_cols=["id"])
+    assert list(out.columns) == ["k", "v"] and len(out) == 3
+
+
+def test_schema_inspect_does_not_consume_drift(tmp_path):
+    """persist=False inspection leaves the stored baseline untouched;
+    only a successful run advances it (review: CLI ate drift evidence)."""
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from driftray.schema_drift import persist_snapshot, record_and_diff
+    from driftray.spec import ColumnSpec, TableSpec
+
+    out = str(tmp_path / "out")
+    spec = TableSpec(name="t", columns=[ColumnSpec("a", required=True)])
+    p1 = str(tmp_path / "r1.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"a": [1], "b": [2]}), preserve_index=False), p1)
+    r = record_and_diff(out, p1, spec, persist=False)
+    assert r["drift"] is None
+    assert not os.path.exists(os.path.join(out, "schema.json"))
+    persist_snapshot(out, r["schema"])          # run succeeded
+
+    p2 = str(tmp_path / "r2.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame({"a": [1]}), preserve_index=False), p2)
+    # inspect twice: drift must be reported BOTH times
+    for _ in range(2):
+        r2 = record_and_diff(out, p2, spec, persist=False)
+        assert r2["drift"]["drifted"] and r2["drift"]["removed"] == ["b"]
+
+
+def test_windowed_drift_series_counts_nans_separately(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from driftray.drift import windowed_drift_series
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01"] * 4 + ["2024-01-02"] * 4),
+        "v": [1.0, 2.0, 3.0, 4.0, 1.0, 2.0, None, float("nan")],
+    })
+    out = windowed_drift_series(rd.from_pandas(df), "ts", "v",
+                                np.array([0.0, 2.5, 5.0]))
+    assert out["n"].tolist() == [4, 2]          # scored values only
+    assert out["n_nan"].tolist() == [0, 2]      # nulls surfaced, not binned
