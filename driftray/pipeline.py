@@ -604,6 +604,42 @@ def write_window_result(out_dir: str, res: WindowResult) -> None:
         f.write("ok\n")
 
 
+def aggregate_profiles(out_dir: str,
+                       windows: list[int] | None = None) -> "Baseline":
+    """TABLE-level profiles by MERGING the per-window sketch sidecars —
+    no rescan of the data, ever.  Because every sketch the kernel emits
+    (Welford moments, t-digest, histogram) is order-insensitively
+    mergeable, the table profile of N validated windows is a driver-side
+    fold over N tiny ``profiles.parquet`` files; adding window N+1 later
+    costs one more merge, not a recompute.  This is the incremental-
+    aggregation half of the lakehouse story (S8): bronze windows →
+    silver verdicts → GOLD table profiles, each derivable from the layer
+    below without touching raw bytes again.
+
+    ``windows=None`` merges every ``_DONE`` window under ``out_dir``."""
+    import glob as _glob
+    import re as _re
+
+    if windows is None:
+        windows = sorted(
+            int(_re.search(r"window=(\d+)", d).group(1))
+            for d in _glob.glob(os.path.join(out_dir, "window=*"))
+            if os.path.exists(os.path.join(d, "_DONE")))
+    merged: dict[tuple[str, str], ColumnProfile] = {}
+    for w in windows:
+        b = Baseline.load(os.path.join(_window_dir(out_dir, w),
+                                       "profiles.parquet"))
+        for key, p in b.profiles.items():
+            if key not in merged:
+                merged[key] = p
+            else:
+                m = merged[key]
+                merged[key] = ColumnProfile(
+                    p.column, p.group, m.moments.merge(p.moments),
+                    m.tdigest.merge(p.tdigest), m.hist.merge(p.hist))
+    return Baseline(merged)
+
+
 def load_lineage(out_dir: str, window_id: int) -> dict:
     with open(os.path.join(_window_dir(out_dir, window_id), "lineage.json")) as f:
         return json.load(f)

@@ -229,3 +229,47 @@ class TestDistributedBloom:
         keys = pq2.read_table(f"{fixture_dir}/commits.parquet")
         kh = hash_keys(keys, ("repo", "commit"))
         assert bf_dist.contains(kh).all()
+
+
+def test_aggregate_profiles_matches_full_recompute(tmp_path, ray_session):
+    """Merging per-window sketch sidecars == profiling the whole table:
+    exact for count/mean/std/min/max (Welford merge is exact), tolerance
+    for the digest quantiles."""
+    import numpy as np
+
+    from driftray.fixtures import RepoFilesConfig, write_repo_files
+    from driftray.pipeline import aggregate_profiles, run_validation
+    from driftray.spec import repo_files_spec
+
+    data = str(tmp_path / "data")
+    cfg = RepoFilesConfig(window_rows=1000)
+    write_repo_files(data, 4000, cfg)
+    out = str(tmp_path / "out")
+    spec = repo_files_spec()
+    res = run_validation(f"{data}/repo_files.parquet", out, spec,
+                         check_uniqueness=False)
+
+    table = aggregate_profiles(out)
+    # oracle: overall stats straight from the raw parquet
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{data}/repo_files.parquet",
+                      columns=["lang", "content_len"]).to_pandas()
+    for (group, col), prof in table.profiles.items():
+        if col != "content_len":
+            continue
+        sub = (t["content_len"] if group == ""      # the all-rows group
+               else t[t["lang"] == group]["content_len"])
+        d = prof.moments.to_dict()
+        assert d["count"] == len(sub)
+        np.testing.assert_allclose(d["mean"], sub.mean(), rtol=1e-12)
+        np.testing.assert_allclose(d["std"], sub.std(ddof=0), rtol=1e-9)
+        assert d["min"] == sub.min() and d["max"] == sub.max()
+        med = prof.tdigest.quantile(0.5)
+        assert abs(med - sub.median()) <= 0.1 * max(sub.std(ddof=0), 1)
+
+    # incremental: merging a subset then the rest == merging all at once
+    ws = sorted(r.window_id for r in res)
+    part = aggregate_profiles(out, windows=ws[:2])
+    key = next(iter(table.profiles))
+    assert part.profiles  # sanity
