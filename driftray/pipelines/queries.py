@@ -1954,6 +1954,33 @@ def q97_temperature_mix(sf_dir: str):
     return out
 
 
+def q98_trending_types(sf_dir: str):
+    """Trending detection: top-2 event types per tumbling 6-hour window.
+    Window counts shrink the data to (windows × types) rows in one
+    groupby; the per-window head-2 runs through `grouped_top_k`'s
+    partial-merge (no per-window callbacks, no hot-window worker)."""
+    from ray.data.aggregate import Count
+
+    from ..ops.grouped import grouped_top_k
+
+    ev = _t(sf_dir, "events", ["ts", "event_type"])
+    six_h = 6 * 3_600_000_000
+
+    def win(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        w = (us // six_h) * six_h
+        return pa.table({"wstart": pa.array(w.astype("datetime64[us]")),
+                         "event_type": t["event_type"]})
+
+    counts = (ev.map_batches(win, batch_format="pyarrow")
+              .groupby(["wstart", "event_type"])
+              .aggregate(Count(alias_name="n")))
+    top = grouped_top_k(counts, ["wstart"], "n", 2,
+                        tie_cols=["event_type"])
+    top["n"] = top["n"].astype("int64")
+    return top[["wstart", "event_type", "n"]]
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -2794,6 +2821,16 @@ ORACLE_SQL: dict[str, str] = {
               FROM d)
         SELECT source, epoch, COUNT(*) AS n_rows FROM e
         GROUP BY source, epoch""",
+    "q98_trending_types": """
+        SELECT wstart, event_type, n FROM (
+            SELECT wstart, event_type, n,
+                   ROW_NUMBER() OVER (PARTITION BY wstart
+                                      ORDER BY n DESC, event_type) AS rnk
+            FROM (SELECT make_timestamp(epoch_us(ts) // 21600000000
+                                        * 21600000000) AS wstart,
+                         event_type, COUNT(*) AS n
+                  FROM events GROUP BY 1, 2))
+        WHERE rnk <= 2""",
 }
 
 _U32_EXPR = " + ".join(
@@ -2907,6 +2944,7 @@ SQL_QUERIES = {
     "q95_price_page": q95_price_page,
     "q96_daily_active_users": q96_daily_active_users,
     "q97_temperature_mix": q97_temperature_mix,
+    "q98_trending_types": q98_trending_types,
 }
 
 
