@@ -576,8 +576,12 @@ def bm25_topk(ds, query: str, id_col: str = "doc_id",
     avgdl = ds.select_columns([text_col]).map_batches(
         doclen, batch_format="pandas").mean("dl")
     dfs = document_frequencies(ds, text_col=text_col, id_col=id_col)
-    qset = set(q_terms)
-    df_rows = dfs.filter(lambda r: r["token"] in qset).take_all()
+    # vectorized isin filter — the df table is vocab-sized, so a per-row
+    # Python predicate here would be the hot path at corpus scale
+    qarr = np.array(q_terms, dtype=object)
+    df_rows = dfs.map_batches(
+        lambda b: b[np.isin(b["token"].to_numpy(), qarr)],
+        batch_format="pandas").take_all()
     df_map = {r["token"]: r["df"] for r in df_rows}
     idf = {t: float(np.log((n_docs - df_map.get(t, 0) + 0.5)
                            / (df_map.get(t, 0) + 0.5) + 1.0))
