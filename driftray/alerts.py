@@ -77,6 +77,10 @@ DEFAULT_RULES = [
     AlertRule("drift", "drift_detected", "==", 1, "critical"),
     AlertRule("any_sha_mismatch", "counters.sha256|content", ">", 0, "critical"),
     AlertRule("high_violation_rate", "violation_rate", ">", 0.05, "critical"),
+    # run-level (window_id = -1 synthetic verdict from run_validation):
+    # the upstream writer changed the table shape between runs
+    AlertRule("schema_drift", "schema_drift", "==", 1, "critical"),
+    AlertRule("schema_violations", "schema_violations", ">", 0, "critical"),
 ]
 
 _ALERT_SCHEMA = pa.schema([

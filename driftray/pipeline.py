@@ -830,11 +830,20 @@ def run_validation(
     finish_uniqueness()
 
     # threshold alerting over the fresh verdicts (T5, DESIGN.md:674-747);
-    # history appends under out_dir/alerts/
+    # history appends under out_dir/alerts/.  Schema drift is RUN-level
+    # state, so it rides as one synthetic verdict row (window_id = -1)
+    # with an integer schema_drift metric the default rule fires on.
     from .alerts import AlertManager
 
+    verdict_rows = [r.verdict_row() for r in out]
+    drift_info = schema_report["drift"]
+    verdict_rows.append({
+        "window_id": -1,
+        "schema_drift": int(bool(drift_info and drift_info["drifted"])),
+        "schema_violations": len(schema_report["spec_violations"]),
+    })
     AlertManager(history_path=os.path.join(out_dir, "alerts")).evaluate(
-        [r.verdict_row() for r in out])
+        verdict_rows)
 
     # run-level stage metrics (A8: per-stage wall time + rows/s) — appended
     # per submission so resumed runs keep their history ("uniqueness_

@@ -84,3 +84,41 @@ def test_run_validation_reports_schema(tmp_path, ray_session):
         line = json.loads(fh.readlines()[-1])
     assert line["schema_drift"] is None and line["schema_violations"] == []
     assert "schema_preflight" in line["stages_s"]
+
+
+def test_schema_drift_fires_alert(tmp_path, ray_session):
+    """A schema change between two validate runs lands in the alert
+    history (run-level synthetic verdict, window_id = -1)."""
+    import pyarrow.parquet as pq_
+
+    from driftray.alerts import AlertManager
+    from driftray.fixtures import RepoFilesConfig, write_repo_files
+    from driftray.pipeline import run_validation
+    from driftray.spec import repo_files_spec
+
+    data = str(tmp_path / "data")
+    cfg = RepoFilesConfig(window_rows=500)
+    write_repo_files(data, 1000, cfg)
+    spec = repo_files_spec()
+    out = str(tmp_path / "out")
+    src = f"{data}/repo_files.parquet"
+    run_validation(src, out, spec, check_uniqueness=False)
+    hist0 = AlertManager(history_path=f"{out}/alerts").history().to_pandas()
+    assert "schema_drift" not in hist0["rule"].tolist()
+
+    # run 2: same data plus an extra column → drift alert (rerun needs
+    # fresh window outputs, so use a new out dir with the old baseline)
+    t = pq_.read_table(src)
+    t2 = t.append_column("extra_col", pa.nulls(len(t), pa.int64()))
+    src2 = str(tmp_path / "repo_files2.parquet")
+    pq_.write_table(t2, src2)
+    import shutil
+
+    out2 = str(tmp_path / "out2")
+    os.makedirs(out2)
+    shutil.copy(os.path.join(out, "schema.json"),
+                os.path.join(out2, "schema.json"))
+    run_validation(src2, out2, spec, check_uniqueness=False)
+    hist = AlertManager(history_path=f"{out2}/alerts").history().to_pandas()
+    fired = hist[hist["rule"] == "schema_drift"]
+    assert len(fired) == 1 and fired["window_id"].iloc[0] == -1
