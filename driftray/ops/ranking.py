@@ -185,13 +185,17 @@ def grouped_rank(ds: rd.Dataset, group_cols: list[str], order_col: str,
     state is ``n_groups × n_buckets`` int64 — keep that product small).
 
     ``order_col`` must be numeric and non-null.  Output: input columns
-    plus int64 ``out_col`` (1-based rank within the row's group).
+    plus int64 ``out_col`` (1-based rank within the row's group);
+    ``method='minmax'`` emits BOTH as ``{out_col}_min`` / ``{out_col}_max``
+    from one pass (RANK and the CUME_DIST numerator share the grid,
+    counts and partition exchange — computing them separately would
+    double every stage).
     ``materialize_input`` as in :func:`global_rank` — the input is
     consumed three times, and chained lazy rank calls would otherwise
     re-execute upstream multiplicatively.
     """
-    if method not in ("min", "max"):
-        raise ValueError("method must be 'min' or 'max'")
+    if method not in ("min", "max", "minmax"):
+        raise ValueError("method must be 'min', 'max' or 'minmax'")
     if materialize_input:
         ds = ds.materialize()
     g = _grid(ds, order_col, n_buckets)
@@ -210,19 +214,24 @@ def grouped_rank(ds: rd.Dataset, group_cols: list[str], order_col: str,
                        .cumsum() - counts["count()"])
     off_df = counts[group_cols + [_B, "__off"]].reset_index(drop=True)
 
+    out_cols = ([out_col] if method != "minmax"
+                else [f"{out_col}_min", f"{out_col}_max"])
+    methods = [method] if method != "minmax" else ["min", "max"]
+
     def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             out = df.drop(columns=[_B])
-            out[out_col] = pd.Series([], dtype="int64")
+            for c in out_cols:
+                out[c] = pd.Series([], dtype="int64")
             return out
-        local = (df.groupby(group_cols + [_B], sort=False,
-                            observed=True)[order_col]
-                 .rank(method=method).astype(np.int64))
+        gb = df.groupby(group_cols + [_B], sort=False,
+                        observed=True)[order_col]
         offs = (df[group_cols + [_B]]
                 .merge(off_df, on=group_cols + [_B], how="left")["__off"]
                 .to_numpy())
         out = df.drop(columns=[_B])
-        out[out_col] = offs + local.to_numpy()
+        for c, m in zip(out_cols, methods):
+            out[c] = offs + gb.rank(method=m).astype(np.int64).to_numpy()
         return out
 
     return partitioned_group_apply(bds, group_cols + [_B], per_partition,

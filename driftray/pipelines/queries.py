@@ -1752,15 +1752,14 @@ def q91_value_rank_stats(sf_dir: str):
     from ..ops.ranking import grouped_rank
 
     ev = _t(sf_dir, "events", ["event_id", "event_type", "value"])
-    r = grouped_rank(ev, ["event_type"], "value", out_col="rmin",
-                     method="min")
-    r = grouped_rank(r, ["event_type"], "value", out_col="rmax",
-                     method="max")
+    r = grouped_rank(ev, ["event_type"], "value", out_col="r",
+                     method="minmax")     # both ranks from ONE pass
     sizes = (_t(sf_dir, "events", ["event_type"])
              .groupby("event_type").count().to_pandas()
              .set_index("event_type")["count()"].to_dict())
 
     def add_n(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns={"r_min": "rmin", "r_max": "rmax"})
         b["n_grp"] = b["event_type"].map(sizes).astype("int64")
         return b[["event_id", "event_type", "rmin", "rmax", "n_grp"]]
 

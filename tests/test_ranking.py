@@ -146,3 +146,18 @@ def test_global_rank_rejects_nan(ray_session):
     df = pd.DataFrame({"id": [1, 2], "v": [1.0, None]})
     with pytest.raises(Exception, match="non-null"):
         global_rank(rd.from_pandas(df), "v", ["id"]).materialize()
+
+
+def test_grouped_rank_minmax_single_pass(ray_session):
+    from driftray.ops.ranking import grouped_rank
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"g": rng.choice(["x", "y"], size=800),
+                       "v": np.round(rng.normal(size=800), 1)})
+    out = grouped_rank(rd.from_pandas(df), ["g"], "v", out_col="r",
+                       method="minmax", n_buckets=16,
+                       num_partitions=4).to_pandas()
+    exp_min = out.groupby("g")["v"].rank(method="min").astype(np.int64)
+    exp_max = out.groupby("g")["v"].rank(method="max").astype(np.int64)
+    np.testing.assert_array_equal(out["r_min"].to_numpy(), exp_min.to_numpy())
+    np.testing.assert_array_equal(out["r_max"].to_numpy(), exp_max.to_numpy())
