@@ -1980,6 +1980,73 @@ def q98_trending_types(sf_dir: str):
     return top[["wstart", "event_type", "n"]]
 
 
+def q99_nation_trade(sf_dir: str):
+    """TPC-H Q7-style bilateral trade volume: revenue shipped between
+    two specific nations (both directions) by ship year.  Customer side
+    pre-filters through the broadcast nation dim BEFORE the big joins
+    (predicate pushdown across a join), orders⋈customers and
+    lineitem⋈orders run as large-large hash joins, supplier rides
+    broadcast, the pair predicate evaluates vectorized per batch."""
+    from ray.data.aggregate import Sum
+
+    from ..ops.relational import broadcast_join, hash_shuffle_join
+
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    pair = nation[nation["n_name"].isin(["NATION_3", "NATION_7"])]
+    keys = pair["n_nationkey"].to_numpy()
+    names = dict(zip(pair["n_nationkey"], pair["n_name"]))
+
+    cust = broadcast_join(
+        _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        pair.rename(columns={"n_nationkey": "c_nationkey"})[["c_nationkey"]],
+        on=["c_nationkey"], how="semi")
+    ord_cust = hash_shuffle_join(
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey"]), cust,
+        on=["o_custkey"], right_on=["c_custkey"], num_partitions=8)
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"])
+
+    def ship_filter(t: pa.Table) -> pa.Table:
+        lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+        hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                       pc.less(t["l_shipdate"], hi))
+        return t.filter(keep)
+
+    big = hash_shuffle_join(li.map_batches(ship_filter,
+                                           batch_format="pyarrow"),
+                            ord_cust, on=["l_orderkey"],
+                            right_on=["o_orderkey"], num_partitions=8)
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    withsupp = broadcast_join(
+        big, supp.rename(columns={"s_suppkey": "l_suppkey"}),
+        on=["l_suppkey"], how="inner")
+
+    def pair_rev(b: pd.DataFrame) -> pd.DataFrame:
+        sn = b["s_nationkey"].to_numpy()
+        cn = b["c_nationkey"].to_numpy()
+        keep = (np.isin(sn, keys) & np.isin(cn, keys)) & (sn != cn)
+        b = b[keep]
+        if len(b) == 0:
+            return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                                 "cust_nation": pd.Series([], dtype=object),
+                                 "l_year": pd.Series([], dtype="int64"),
+                                 "revenue": pd.Series([], dtype="float64")})
+        rev = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        yr = b["l_shipdate"].dt.year.to_numpy().astype(np.int64)
+        df = pd.DataFrame({"supp_nation": b["s_nationkey"].map(names),
+                           "cust_nation": b["c_nationkey"].map(names),
+                           "l_year": yr, "revenue": rev})
+        return (df.groupby(["supp_nation", "cust_nation", "l_year"],
+                           sort=False)["revenue"].sum().reset_index())
+
+    out = (withsupp.map_batches(pair_rev, batch_format="pandas")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("revenue", alias_name="revenue")).to_pandas())
+    return _round_cols(out, {"revenue": ROUND})
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -2830,6 +2897,22 @@ ORACLE_SQL: dict[str, str] = {
                          event_type, COUNT(*) AS n
                   FROM events GROUP BY 1, 2))
         WHERE rnk <= 2""",
+    "q99_nation_trade": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), {ROUND})
+                   AS revenue
+        FROM supplier, lineitem, orders, customer,
+             nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR
+               (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+        GROUP BY 1, 2, 3""",
 }
 
 _U32_EXPR = " + ".join(
@@ -2944,6 +3027,7 @@ SQL_QUERIES = {
     "q96_daily_active_users": q96_daily_active_users,
     "q97_temperature_mix": q97_temperature_mix,
     "q98_trending_types": q98_trending_types,
+    "q99_nation_trade": q99_nation_trade,
 }
 
 
