@@ -2047,6 +2047,67 @@ def q99_nation_trade(sf_dir: str):
     return _round_cols(out, {"revenue": ROUND})
 
 
+def q100_conditional_counts(sf_dir: str):
+    """Conditional aggregation (SQL FILTER/CASE family): several
+    predicated counters in ONE pass over the stream — per event type:
+    total, high-value, purchases-with-promo-props.  All predicates
+    evaluate vectorized per batch into int64 partials; one tiny groupby
+    sums them.  Integer outputs keep the oracle hash exact."""
+    from ray.data.aggregate import Sum
+
+    ev = _t(sf_dir, "events", ["event_type", "value", "props"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        high = pc.cast(pc.greater(t["value"], 100.0), pa.int64())
+        promo = pc.cast(pc.match_substring(t["props"], '"promo"'),
+                        pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                         "n_high": high, "n_promo": promo})
+
+    out = (ev.map_batches(flags, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_high", alias_name="n_high"),
+                      Sum("n_promo", alias_name="n_promo"))
+           .to_pandas())
+    for c in ("n", "n_high", "n_promo"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q101_lapsed_by_segment(sf_dir: str):
+    """Churn slice: customers whose LATEST order predates a cutoff (or
+    who never ordered), counted per market segment.  Last-order date
+    per customer comes from one groupby-max over only (custkey, date);
+    the customer side joins against it large-large, with never-ordered
+    customers kept through the outer side."""
+    from ray.data.aggregate import Count, Max
+
+    from ..ops.relational import hash_shuffle_join
+
+    cutoff = np.datetime64("1998-01-01", "us")
+    last = (_t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+            .groupby("o_custkey")
+            .aggregate(Max("o_orderdate", alias_name="last_order")))
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_shuffle_join(cust, last, on=["c_custkey"],
+                               right_on=["o_custkey"],
+                               num_partitions=8, how="left_outer")
+
+    def lapsed(t: pa.Table) -> pa.Table:
+        lo = t["last_order"]
+        keep = pc.or_kleene(pc.is_null(lo),
+                            pc.less(lo, pa.scalar(cutoff)))
+        return t.filter(pc.fill_null(keep, True)).select(["c_mktsegment"])
+
+    out = (joined.map_batches(lapsed, batch_format="pyarrow")
+           .groupby("c_mktsegment").aggregate(Count(alias_name="n_lapsed"))
+           .to_pandas())
+    out["n_lapsed"] = out["n_lapsed"].astype("int64")
+    return out
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -2913,6 +2974,19 @@ ORACLE_SQL: dict[str, str] = {
           AND l_shipdate >= DATE '1996-01-01'
           AND l_shipdate < DATE '1998-01-01'
         GROUP BY 1, 2, 3""",
+    "q100_conditional_counts": """
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE value > 100) AS n_high,
+               COUNT(*) FILTER (WHERE props LIKE '%"promo"%') AS n_promo
+        FROM events GROUP BY event_type""",
+    "q101_lapsed_by_segment": """
+        SELECT c_mktsegment, COUNT(*) AS n_lapsed
+        FROM customer LEFT JOIN (
+            SELECT o_custkey, MAX(o_orderdate) AS last_order
+            FROM orders GROUP BY o_custkey) lo
+          ON c_custkey = lo.o_custkey
+        WHERE last_order IS NULL OR last_order < DATE '1998-01-01'
+        GROUP BY c_mktsegment""",
 }
 
 _U32_EXPR = " + ".join(
@@ -3028,6 +3102,8 @@ SQL_QUERIES = {
     "q97_temperature_mix": q97_temperature_mix,
     "q98_trending_types": q98_trending_types,
     "q99_nation_trade": q99_nation_trade,
+    "q100_conditional_counts": q100_conditional_counts,
+    "q101_lapsed_by_segment": q101_lapsed_by_segment,
 }
 
 
