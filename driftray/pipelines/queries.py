@@ -2108,6 +2108,32 @@ def q101_lapsed_by_segment(sf_dir: str):
     return out
 
 
+def q102_corpus_shuffle(sf_dir: str):
+    """Deterministic training-order shuffle: every row's position is the
+    rank of ``md5(seed:key)`` — reproducible across re-runs, resumes and
+    growing corpora (a stateful RNG shuffle is none of those).  The
+    "first 20 docs of epoch-seed 42" resolve through the sortless
+    ``top_k`` (ascending hash + doc-id tie-break), never a global sort;
+    the oracle evaluates the identical md5 predicate in SQL."""
+    from ..ops.relational import top_k
+    from ..ops.sampling import md5_hex
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def pos(b: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hex(b["doc_id"].to_numpy(), seed=42)
+        b = b.copy()
+        b["shuffle_u32"] = np.array([int(d[:8], 16) for d in h],
+                                    dtype=np.int64)
+        return b
+
+    keyed = docs.map_batches(pos, batch_format="pandas")
+    out = top_k(keyed, "shuffle_u32", 20, descending=False,
+                tie_keys=[("doc_id", "ascending")]).to_pandas()
+    out["shuffle_u32"] = out["shuffle_u32"].astype("int64")
+    return out[["doc_id", "shuffle_u32"]]
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -2987,6 +3013,13 @@ ORACLE_SQL: dict[str, str] = {
           ON c_custkey = lo.o_custkey
         WHERE last_order IS NULL OR last_order < DATE '1998-01-01'
         GROUP BY c_mktsegment""",
+    "q102_corpus_shuffle": """
+        SELECT doc_id, ({U32}) AS shuffle_u32
+        FROM (SELECT doc_id,
+                     substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS hh
+              FROM documents)
+        ORDER BY shuffle_u32, doc_id LIMIT 20""",
 }
 
 _U32_EXPR = " + ".join(
@@ -2995,6 +3028,8 @@ _U32_EXPR = " + ".join(
 ORACLE_SQL["q81_weighted_sample"] = ORACLE_SQL["q81_weighted_sample"].replace(
     "{U32}", _U32_EXPR)
 ORACLE_SQL["q97_temperature_mix"] = ORACLE_SQL["q97_temperature_mix"].replace(
+    "{U32}", _U32_EXPR)
+ORACLE_SQL["q102_corpus_shuffle"] = ORACLE_SQL["q102_corpus_shuffle"].replace(
     "{U32}", _U32_EXPR)
 
 from ..ops.sampling import fraction_to_hex as _f2h  # noqa: E402
@@ -3104,6 +3139,7 @@ SQL_QUERIES = {
     "q99_nation_trade": q99_nation_trade,
     "q100_conditional_counts": q100_conditional_counts,
     "q101_lapsed_by_segment": q101_lapsed_by_segment,
+    "q102_corpus_shuffle": q102_corpus_shuffle,
 }
 
 
