@@ -1094,3 +1094,52 @@ def bloom_semi_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
         return survivors
     return shuffle_semi_join(survivors, right, on, right_on=right_on,
                              num_partitions=num_partitions)
+
+
+def union_by_name(dss: "list[rd.Dataset]") -> rd.Dataset:
+    """UNION ALL BY NAME: concatenate Datasets whose schemas differ,
+    padding each side's missing columns with typed nulls (the
+    multi-source ingest primitive — feeds with drifting/partial schemas
+    union into one stream without manual per-source projection).
+
+    The unified schema is the name→type union in first-seen order; a
+    column appearing with CONFLICTING types raises (silent coercion
+    hides upstream schema drift — run the ``schema_drift`` preflight
+    instead of papering over it).  Wide values should be plain
+    ``pa.binary()``/``pa.string()`` columns (ROUND_NOTES: tensor
+    extension columns do not survive unions with padded blocks)."""
+    import pyarrow as pa
+
+    unified: dict[str, pa.DataType] = {}
+    for ds in dss:
+        sch = ds.schema()
+        for name, typ in zip(sch.names, sch.types):
+            if not isinstance(typ, pa.DataType):
+                # pandas-block schemas carry numpy dtypes; object columns
+                # are strings in this engine's data model
+                import numpy as _np
+
+                typ = (pa.string() if typ == _np.dtype(object)
+                       else pa.from_numpy_dtype(typ))
+            if name in unified and unified[name] != typ:
+                raise TypeError(
+                    f"union_by_name: column {name!r} has conflicting "
+                    f"types {unified[name]} vs {typ}")
+            unified.setdefault(name, typ)
+
+    names = list(unified)
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            if n in t.column_names:
+                cols.append(t[n])
+            else:
+                cols.append(pa.nulls(len(t), unified[n]))
+        return pa.table(dict(zip(names, cols)))
+
+    padded = [ds.map_batches(pad, batch_format="pyarrow") for ds in dss]
+    out = padded[0]
+    for nxt in padded[1:]:
+        out = out.union(nxt)
+    return out

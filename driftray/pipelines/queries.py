@@ -2134,6 +2134,49 @@ def q102_corpus_shuffle(sf_dir: str):
     return out[["doc_id", "shuffle_u32"]]
 
 
+def q103_party_union(sf_dir: str):
+    """Schema-harmonizing UNION (`relational.union_by_name`): customers
+    and suppliers — different schemas — union into one "party" stream
+    with typed-null padding for each side's missing columns, then one
+    aggregate proves the padding (suppliers' segment is NULL)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.relational import union_by_name
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def cmap(t: pa.Table) -> pa.Table:
+        return pa.table({"party_id": t["c_custkey"],
+                         "acctbal": t["c_acctbal"],
+                         "segment": t["c_mktsegment"],
+                         "origin": pa.array(["customer"] * len(t))})
+
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def smap(t: pa.Table) -> pa.Table:
+        return pa.table({"party_id": t["s_suppkey"],
+                         "acctbal": t["s_acctbal"],
+                         "origin": pa.array(["supplier"] * len(t))})
+
+    parties = union_by_name([cust.map_batches(cmap, batch_format="pyarrow"),
+                             supp.map_batches(smap, batch_format="pyarrow")])
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table({"origin": t["origin"], "acctbal": t["acctbal"],
+                         "no_segment": pc.cast(pc.is_null(t["segment"]),
+                                               pa.int64())})
+
+    out = (parties.map_batches(flags, batch_format="pyarrow")
+           .groupby("origin")
+           .aggregate(Count(alias_name="n"),
+                      Sum("acctbal", alias_name="total_bal"),
+                      Sum("no_segment", alias_name="n_no_segment"))
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["n_no_segment"] = out["n_no_segment"].astype("int64")
+    return _round_cols(out, {"total_bal": ROUND})
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -3020,6 +3063,19 @@ ORACLE_SQL: dict[str, str] = {
                          AS hh
               FROM documents)
         ORDER BY shuffle_u32, doc_id LIMIT 20""",
+    "q103_party_union": f"""
+        SELECT origin, COUNT(*) AS n,
+               ROUND(SUM(acctbal), {ROUND}) AS total_bal,
+               COUNT(*) FILTER (WHERE segment IS NULL) AS n_no_segment
+        FROM (
+            SELECT c_custkey AS party_id, c_acctbal AS acctbal,
+                   c_mktsegment AS segment, 'customer' AS origin
+            FROM customer
+            UNION ALL BY NAME
+            SELECT s_suppkey AS party_id, s_acctbal AS acctbal,
+                   'supplier' AS origin
+            FROM supplier)
+        GROUP BY origin""",
 }
 
 _U32_EXPR = " + ".join(
@@ -3140,6 +3196,7 @@ SQL_QUERIES = {
     "q100_conditional_counts": q100_conditional_counts,
     "q101_lapsed_by_segment": q101_lapsed_by_segment,
     "q102_corpus_shuffle": q102_corpus_shuffle,
+    "q103_party_union": q103_party_union,
 }
 
 
