@@ -202,12 +202,25 @@ def windowed_drift_series(ds, ts_col: str, value_col: str,
     import pandas as pd
     import pyarrow as pa
 
+    # Validate at the API boundary: only fixed-frequency truncations are
+    # floor-able; anything else (week/month/...) would raise deep inside a
+    # map_batches task (ADVICE r3).
+    _UNIT_ALIAS = {"day": "D", "d": "D", "hour": "h", "h": "h",
+                   "minute": "min", "min": "min", "second": "s", "s": "s"}
+    try:
+        floor_alias = _UNIT_ALIAS[unit.lower()]
+    except KeyError:
+        raise ValueError(
+            f"windowed_drift_series: unsupported unit {unit!r}; expected one "
+            f"of {sorted(set(_UNIT_ALIAS))} (non-fixed frequencies like "
+            "week/month are not floor-able)") from None
+
     nb = len(edges) + 1
     nan_bin = nb  # one past the overflow bin
 
     def partial(t: pa.Table) -> pa.Table:
         ts = t[ts_col].to_pandas()
-        w = ts.dt.floor("D" if unit == "day" else unit)
+        w = ts.dt.floor(floor_alias)
         v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         b = np.searchsorted(edges, v, side="right")
         b[np.isnan(v)] = nan_bin

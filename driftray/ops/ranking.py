@@ -57,20 +57,30 @@ def _grid(ds: rd.Dataset, order_col: str, n_buckets: int):
                 and pc.any(pc.is_nan(col)).as_py()):
             raise ValueError(f"global_rank: {order_col} must be NaN-free "
                              "(NaN has no total order)")
+        none_i = pa.array([None], pa.int64())
+        none_f = pa.array([None], pa.float64())
         if len(col) == 0:
-            return pa.table({"lo": pa.array([None], pa.float64()),
-                             "hi": pa.array([None], pa.float64()),
+            return pa.table({"ilo": none_i, "ihi": none_i,
+                             "flo": none_f, "fhi": none_f,
                              "n": pa.array([0], pa.int64())})
         mm = pc.min_max(col)
-        return pa.table({"lo": pa.array([float(mm["min"].as_py())]),
-                         "hi": pa.array([float(mm["max"].as_py())]),
+        if pa.types.is_integer(col.type):
+            # int64 bounds ride int64 columns (consumed via take_all ->
+            # Python int) — exact above 2^53, shared fix with selection.py
+            return pa.table({"ilo": pa.array([mm["min"].as_py()], pa.int64()),
+                             "ihi": pa.array([mm["max"].as_py()], pa.int64()),
+                             "flo": none_f, "fhi": none_f,
+                             "n": pa.array([len(col)], pa.int64())})
+        return pa.table({"ilo": none_i, "ihi": none_i,
+                         "flo": pa.array([float(mm["min"].as_py())]),
+                         "fhi": pa.array([float(mm["max"].as_py())]),
                          "n": pa.array([len(col)], pa.int64())})
 
-    st = proj.map_batches(stats, batch_format="pyarrow").to_pandas()
-    n = int(st["n"].sum())
+    rows = proj.map_batches(stats, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
     if n == 0:
         return None
-    valid = st[st["n"] > 0]
+    valid = [r for r in rows if r["n"] > 0]
     # Dataset.schema() types are pa.DataType for arrow blocks but numpy
     # dtypes for pandas blocks (ROUND_NOTES gotcha) — accept both
     sch = ds.schema()
@@ -78,12 +88,16 @@ def _grid(ds: rd.Dataset, order_col: str, n_buckets: int):
     is_int = (pa.types.is_integer(typ) if isinstance(typ, pa.DataType)
               else np.issubdtype(typ, np.integer))
     if is_int:
-        lo, hi = int(valid["lo"].min()), int(valid["hi"].max())
+        lo = min(int(r["ilo"]) for r in valid)
+        hi = max(int(r["ihi"]) for r in valid)
         span = hi - lo + 1
         width = -(-span // n_buckets)                      # ceil
         nb = -(-span // width)
     else:
-        lo, hi = float(valid["lo"].min()), float(valid["hi"].max())
+        lo = min(float(r["flo"] if r["flo"] is not None else r["ilo"])
+                 for r in valid)
+        hi = max(float(r["fhi"] if r["fhi"] is not None else r["ihi"])
+                 for r in valid)
         width = (hi - lo) / n_buckets or 1.0               # lo==hi → 1 bucket
         nb = n_buckets
     return lo, width, nb, is_int, n
@@ -94,12 +108,15 @@ def _with_bucket(ds: rd.Dataset, order_col: str, lo, width, nb,
     def add(t: pa.Table) -> pa.Table:
         v = t[order_col].to_numpy(zero_copy_only=False)
         if is_int:
-            b = (v.astype(np.int64) - lo) // width
+            # exact uint64 wraparound offset (v >= lo so 0 <= v-lo < 2^64);
+            # no float round-trip, no overflow on full-range int64 spans
+            off = (v.astype(np.int64).astype(np.uint64)
+                   - np.uint64(int(lo) & 0xFFFFFFFFFFFFFFFF))
+            b = (off // np.uint64(width)).astype(np.int64)
         else:
             b = ((v - lo) / width).astype(np.int64)
         # clip keeps the bucket map monotone while guarding the offset
-        # array against float-precision edge effects near lo/hi (and int
-        # extremes whose min/max crossed a float64 round-trip) — rank
+        # array against float-precision edge effects near lo/hi — rank
         # correctness needs monotone + consistent buckets, not exact ones
         b = np.clip(b, 0, nb - 1)
         return t.append_column(_B, pa.array(b.astype(np.int64)))

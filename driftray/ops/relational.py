@@ -314,6 +314,17 @@ def except_all(left: rd.Dataset, right: rd.Dataset,
     return _bag_setop(left, right, cols, mode="except")
 
 
+def _sum_out_type(ds: rd.Dataset, value_col: str) -> pa.DataType:
+    """Arrow output type of ray.data's Sum over ``value_col`` — int64 for
+    integer inputs, float64 otherwise — so driver-built grand-total rows
+    union cleanly with worker-side aggregate blocks."""
+    sch = ds.schema()
+    typ = sch.types[list(sch.names).index(value_col)]
+    if isinstance(typ, pa.DataType):
+        return pa.int64() if pa.types.is_integer(typ) else pa.float64()
+    return pa.int64() if np.issubdtype(typ, np.integer) else pa.float64()
+
+
 def rollup_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
                      out_col: str, total_label: str = "ALL") -> rd.Dataset:
     """SQL ``GROUP BY ROLLUP(keys...)`` (sum): one row per prefix level of
@@ -338,6 +349,7 @@ def rollup_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
 
         return fn
 
+    sum_type = _sum_out_type(ds, value_col)
     cur = (ds.select_columns(keys + [value_col]).groupby(keys)
            .aggregate(Sum(value_col, alias_name=out_col)))
     out = cur
@@ -347,8 +359,12 @@ def rollup_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
             cur = cur.groupby(kept).aggregate(Sum(out_col,
                                                   alias_name=out_col))
         else:
-            total = cur.sum(out_col)
-            cur = rd.from_arrow(pa.table({out_col: pa.array([total])}))
+            total = cur.sum(out_col, ignore_nulls=True)
+            # explicit type: empty input gives total=None (typed null row,
+            # matching SQL's one grand-total row with NULL sum) and the
+            # union schema always agrees with the finest Sum output type
+            cur = rd.from_arrow(pa.table({out_col:
+                                          pa.array([total], type=sum_type)}))
         out = out.union(cur.map_batches(pad(tuple(kept)),
                                         batch_format="pyarrow"))
     return out
@@ -390,8 +406,13 @@ def cube_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
             cur = finest.groupby(list(kept)).aggregate(
                 Sum(out_col, alias_name=out_col))
         else:
-            total = finest.sum(out_col)
-            cur = rd.from_arrow(pa.table({out_col: pa.array([total])}))
+            total = finest.sum(out_col, ignore_nulls=True)
+            # explicit type (see rollup_aggregate): None-safe on empty
+            # input and always matches the finest Sum output type
+            cur = rd.from_arrow(pa.table({out_col:
+                                          pa.array([total],
+                                                   type=_sum_out_type(
+                                                       ds, value_col))}))
         out = out.union(cur.map_batches(pad(tuple(kept)),
                                         batch_format="pyarrow"))
     return out

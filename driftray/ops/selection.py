@@ -71,28 +71,43 @@ def exact_kth(ds: rd.Dataset, col: str, k: int, n_buckets: int = 512,
     proj = ds.select_columns([col])
 
     def stats(t: pa.Table) -> pa.Table:
+        # Integer min/max ride int64 columns end to end (consumed via
+        # take_all -> Python int, never pandas/float64) so int64 order
+        # columns with |v| > 2^53 keep exact bounds.
         v = _valid_values(t, col)
+        none_i = pa.array([None], pa.int64())
+        none_f = pa.array([None], pa.float64())
         if len(v) == 0:
-            return pa.table({"lo": pa.array([None], pa.float64()),
-                             "hi": pa.array([None], pa.float64()),
+            return pa.table({"ilo": none_i, "ihi": none_i,
+                             "flo": none_f, "fhi": none_f,
                              "n": pa.array([0], pa.int64()),
                              "is_int": pa.array([True])})
-        return pa.table({"lo": pa.array([float(v.min())]),
-                         "hi": pa.array([float(v.max())]),
+        if np.issubdtype(v.dtype, np.integer):
+            return pa.table({"ilo": pa.array([int(v.min())], pa.int64()),
+                             "ihi": pa.array([int(v.max())], pa.int64()),
+                             "flo": none_f, "fhi": none_f,
+                             "n": pa.array([len(v)], pa.int64()),
+                             "is_int": pa.array([True])})
+        return pa.table({"ilo": none_i, "ihi": none_i,
+                         "flo": pa.array([float(v.min())], pa.float64()),
+                         "fhi": pa.array([float(v.max())], pa.float64()),
                          "n": pa.array([len(v)], pa.int64()),
-                         "is_int": pa.array([bool(np.issubdtype(v.dtype,
-                                                                np.integer))])})
+                         "is_int": pa.array([False])})
 
-    st = proj.map_batches(stats, batch_format="pyarrow").to_pandas()
-    n = int(st["n"].sum())
+    rows = proj.map_batches(stats, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
     if k > n:
         raise ValueError(f"k={k} exceeds non-null row count {n}")
-    valid = st[st["n"] > 0]
-    is_int = bool(valid["is_int"].all())
+    valid = [r for r in rows if r["n"] > 0]
+    is_int = all(r["is_int"] for r in valid)
     if is_int:
-        lo, hi = int(valid["lo"].min()), int(valid["hi"].max())
+        lo = min(int(r["ilo"]) for r in valid)
+        hi = max(int(r["ihi"]) for r in valid)
     else:
-        lo, hi = float(valid["lo"].min()), float(valid["hi"].max())
+        lo = min(float(r["flo"] if r["flo"] is not None else r["ilo"])
+                 for r in valid)
+        hi = max(float(r["fhi"] if r["fhi"] is not None else r["ihi"])
+                 for r in valid)
     hi_incl = True
     k_rem = k
 
@@ -108,26 +123,41 @@ def exact_kth(ds: rd.Dataset, col: str, k: int, n_buckets: int = 512,
         if lo == hi:
             return lo
         if is_int:
-            span = hi - lo + 1
+            span = hi - lo + 1                        # exact Python int
             width = -(-span // n_buckets)            # ceil
             nb = -(-span // width)
+            edges = None
         else:
             width = (hi - lo) / n_buckets
             nb = n_buckets
             if width == 0.0:                          # denormal-tight range
                 vals = fetch(lo, hi, hi_incl)
                 return np.partition(vals, k_rem - 1)[k_rem - 1]
+            # Bucket membership AND next-round interval bounds both come
+            # from this one edges array (searchsorted on workers, indexing
+            # on the driver), so IEEE rounding can never count a value in
+            # bucket j yet exclude it from round j+1's [edges[j], edges[j+1])
+            # mask (ADVICE r3 boundary-drift finding).
+            edges = lo + np.arange(nb + 1, dtype=np.float64) * width
+            np.minimum(edges, hi, out=edges)   # keep monotone if width rounds up
+            edges[0], edges[-1] = lo, hi
 
-        cur = (lo, hi, hi_incl, width, nb)
+        cur = (lo, hi, hi_incl, width, nb, edges)
 
         def hist(t: pa.Table, _c=cur) -> pa.Table:
-            clo, chi, cincl, cw, cnb = _c
+            clo, chi, cincl, cw, cnb, ce = _c
             v = _valid_values(t, col)
             v = v[_interval_mask(v, clo, chi, cincl)]
             if is_int:
-                idx = (v.astype(np.int64) - clo) // cw
+                # uint64 wraparound offset is exact for the full int64
+                # range (v >= clo so 0 <= v-clo < 2^64), no float round-trip
+                # and no int64 overflow when hi-lo spans > int64 max.
+                off = (v.astype(np.int64).astype(np.uint64)
+                       - np.uint64(int(clo) & 0xFFFFFFFFFFFFFFFF))
+                idx = (off // np.uint64(cw)).astype(np.int64)
             else:
-                idx = np.clip(((v - clo) / cw).astype(np.int64), 0, cnb - 1)
+                idx = np.searchsorted(ce, v, side="right") - 1
+                idx = np.clip(idx, 0, cnb - 1)
             return pa.table({"b": pa.array(np.arange(cnb, dtype=np.int64)),
                              "n": pa.array(np.bincount(idx, minlength=cnb)
                                            .astype(np.int64))})
@@ -143,11 +173,11 @@ def exact_kth(ds: rd.Dataset, col: str, k: int, n_buckets: int = 512,
             bhi = min(lo + (j + 1) * width - 1, hi)
             bincl = True
         else:
-            blo = lo + j * width
+            blo = float(edges[j])
             if j == nb - 1:
                 bhi, bincl = hi, hi_incl
             else:
-                bhi, bincl = lo + (j + 1) * width, False
+                bhi, bincl = float(edges[j + 1]), False
         if counts[j] <= fetch_threshold:
             vals = fetch(blo, bhi, bincl)
             return np.partition(vals, k_rem - 1)[k_rem - 1]

@@ -3755,4 +3755,23 @@ NONSQL_QUERIES = {
     "nq_validate_events": nq_validate_events,
 }
 
-ALL_QUERIES = {**SQL_QUERIES, **NONSQL_QUERIES}
+# The correctness driver snapshots only the FIRST 50 entries of
+# ``queries()``.  q01–q50 already have green hash-checked rows in
+# CORRECTNESS_r01–r03; the oracled queries added since (q51+) have only been
+# verified by the local harness (tools/check_queries.py).  Order the registry
+# so not-yet-driver-attested oracled queries come first, then the remaining
+# oracled ones, then the nq_* (no-oracle) queries.
+_ATTESTED = {
+    f"q{i:02d}" for i in range(1, 51)
+}  # r1–r3 driver-attested prefix numbers
+
+
+def _attested(name: str) -> bool:
+    return name.split("_", 1)[0] in _ATTESTED
+
+
+ALL_QUERIES = {
+    **{k: v for k, v in SQL_QUERIES.items() if not _attested(k)},
+    **{k: v for k, v in SQL_QUERIES.items() if _attested(k)},
+    **NONSQL_QUERIES,
+}
