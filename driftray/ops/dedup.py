@@ -1137,8 +1137,50 @@ def embedding_cosine_dedup(ds: rd.Dataset, id_col: str = "vec_id",
     return _cluster_output(hashed, id_col, clusters, sizes)
 
 
+def _flat_segments(df: pd.DataFrame, id_col: str, text_col: str, sep: str,
+                   hash_fn=None):
+    """Vectorized doc→segment explode for ``dedup_segments``: one
+    ``.str.split`` + ``explode`` + one flat ``hash64`` per BATCH (no
+    per-document Python loop).  Returns (ids, counts, doc_flat, pack,
+    segs_flat, stripped_flat, hashes) — all flat numpy arrays aligned on
+    the exploded segment axis.  ``hash_fn`` is injectable so collision
+    tests can force equal primary hashes on distinct texts (monkeypatching
+    the module global would not reach Ray worker processes)."""
+    ids = df[id_col].to_numpy(dtype=np.int64)
+    texts = df[text_col].fillna("").astype(str)
+    split = texts.str.split(sep, regex=False)
+    counts = split.str.len().to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        z = np.array([], dtype=np.int64)
+        o = np.array([], dtype=object)
+        return ids, counts, z, z, o, o, z
+    ex = split.explode()
+    segs = ex.to_numpy(dtype=object)
+    stripped = ex.str.strip().to_numpy(dtype=object)
+    h = np.asarray((hash_fn or hash64)(stripped)).view(np.int64)
+    doc_flat = np.repeat(ids, counts)
+    start = np.repeat(np.cumsum(counts) - counts, counts)
+    idx_flat = np.arange(total, dtype=np.int64) - start
+    pack = (doc_flat << np.int64(20)) + idx_flat
+    return ids, counts, doc_flat, pack, segs, stripped, h
+
+
+def _hash2(values: np.ndarray) -> np.ndarray:
+    """Secondary 64-bit string hash, INDEPENDENT of ``hash64`` (different
+    16-byte hash key) — the exact-verify tier of ``dedup_segments`` groups
+    candidates by (h, h2) so two distinct segments whose primary hashes
+    collide land in different groups and both survive."""
+    from pandas.util import hash_array
+
+    arr = np.asarray(values, dtype=object)
+    return hash_array(arr, hash_key="driftraysegverif",
+                      categorize=False).view(np.int64)
+
+
 def dedup_segments(ds: rd.Dataset, id_col: str, text_col: str,
-                   sep: str = "\n\n") -> rd.Dataset:
+                   sep: str = "\n\n", verify: bool = True,
+                   _hash_fn=None) -> rd.Dataset:
     """Corpus-level duplicated-SEGMENT removal (the CCNet/C4-style
     "drop every repeated paragraph except its first occurrence" pass):
     each document's text is split on ``sep``; any segment whose
@@ -1158,81 +1200,93 @@ def dedup_segments(ds: rd.Dataset, id_col: str, text_col: str,
        whose hash is unduplicated or whose position IS the winner, and
        rejoins with ``sep``.
 
-    Hash collisions (~n²/2⁶⁴) may over-drop a colliding segment —
-    acceptable at dedup semantics (same tradeoff as MinHash banding);
-    exactness can be restored by verifying candidate text equality per
-    bucket as ``ngram_jaccard_dedup`` does.  ``id_col`` must be int64
-    and segment index < 2²⁰ per doc (packed ordering).
+    ``verify=True`` (default) is the exact-verify tier: candidates
+    carry a SECOND independent 64-bit hash of the stripped text and the
+    winner groupby keys on (h, h2), so a primary-hash collision between
+    two DISTINCT segments puts them in different groups and both survive
+    (over-drop odds fall from ~n²/2⁶⁴ to ~n²/2¹²⁸ — effectively exact,
+    without ever shipping segment text).  ``verify=False`` skips the
+    second hash pass (the MinHash-banding tradeoff).  ``id_col`` must be
+    int64 and segment index < 2²⁰ per doc (packed ordering).
+
+    Both corpus-scale passes are fully vectorized (``_flat_segments``:
+    one ``.str.split`` + ``explode`` + one flat ``hash64`` per batch —
+    no per-document Python loop); the rebuild keeps segments via one
+    flat mask + a per-doc groupby join, the same shape as
+    ``dedup_spans``' rebuild below.
 
     Output: ``id_col``, cleaned ``text_col``, ``n_kept``, ``n_dropped``.
     """
     from .relational import duplicate_values_sorted
 
-    def _seg_rows(t: pa.Table):
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        out_h, out_pack = [], []
-        for d, txt in zip(ids, texts):
-            segs = (txt or "").split(sep)
-            h = hash64(np.array([s.strip() for s in segs], dtype=object))
-            out_h.append(h.astype(np.int64))
-            out_pack.append((np.int64(d) << np.int64(20))
-                            + np.arange(len(segs), dtype=np.int64))
-        return (np.concatenate(out_h) if out_h else
-                np.array([], np.int64),
-                np.concatenate(out_pack) if out_pack else
-                np.array([], np.int64))
+    hfn = _hash_fn or hash64
+    keys = ["h", "h2"] if verify else ["h"]
 
-    def hashes_only(t: pa.Table) -> pa.Table:
-        h, _ = _seg_rows(t)
+    def hashes_only(df: pd.DataFrame) -> pa.Table:
+        h = _flat_segments(df, id_col, text_col, sep, hfn)[6]
         return pa.table({"h": pa.array(h)})
 
     proj = ds.select_columns([id_col, text_col]).materialize()
     dup_h = duplicate_values_sorted(
-        proj.map_batches(hashes_only, batch_format="pyarrow"), "h")
+        proj.map_batches(hashes_only, batch_format="pandas"), "h")
     if len(dup_h) == 0:
-        winners: dict = {}
+        win_ref = ray.put(None)
     else:
         dup_sorted = np.sort(dup_h.astype(np.int64))
         dup_ref = ray.put(dup_sorted)
 
-        def candidates(t: pa.Table) -> pa.Table:
-            h, pack = _seg_rows(t)
+        def candidates(df: pd.DataFrame) -> pa.Table:
+            f = _flat_segments(df, id_col, text_col, sep, hfn)
+            _, _, _, pack, _, stripped, h = f
             m = np.isin(h, ray.get(dup_ref))
-            return pa.table({"h": pa.array(h[m]),
-                             "pack": pa.array(pack[m])})
+            out = {"h": pa.array(h[m]), "pack": pa.array(pack[m])}
+            if verify:
+                out["h2"] = pa.array(_hash2(stripped[m]))
+            return pa.table(out)
 
-        win_df = (proj.map_batches(candidates, batch_format="pyarrow")
-                  .groupby("h").min("pack").to_pandas())
-        winners = dict(zip(win_df["h"].astype(np.int64),
-                           win_df["min(pack)"].astype(np.int64)))
-    win_ref = ray.put(winners)
+        win_df = (proj.map_batches(candidates, batch_format="pandas")
+                  .groupby(keys).min("pack").to_pandas())
+        win = {k: win_df[k].to_numpy(np.int64) for k in keys}
+        win["win"] = win_df["min(pack)"].to_numpy(np.int64)
+        win_ref = ray.put((dup_sorted, win))
 
-    def rebuild(t: pa.Table) -> pa.Table:
-        win = ray.get(win_ref)
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        cleaned, kept_n, drop_n = [], [], []
-        for d, txt in zip(ids, texts):
-            segs = (txt or "").split(sep)
-            h = hash64(np.array([s.strip() for s in segs], dtype=object))
-            keep = []
-            dropped = 0
-            for i, (s, hv) in enumerate(zip(segs, h.astype(np.int64))):
-                w = win.get(int(hv))
-                if w is None or w == (int(d) << 20) + i:
-                    keep.append(s)
-                else:
-                    dropped += 1
-            cleaned.append(sep.join(keep))
-            kept_n.append(len(keep))
-            drop_n.append(dropped)
-        return pa.table({id_col: t[id_col],
+    def rebuild(df: pd.DataFrame) -> pa.Table:
+        ids, counts, doc_flat, pack, segs, stripped, h = \
+            _flat_segments(df, id_col, text_col, sep, hfn)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             text_col: pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int64()),
+                             "n_dropped": pa.array([], pa.int64())})
+        payload = ray.get(win_ref)
+        keep = np.ones(len(h), dtype=bool)
+        if payload is not None:
+            dup_sorted, win = payload
+            m = np.isin(h, dup_sorted)
+            if m.any():
+                cols = {"h": h[m], "pack": pack[m]}
+                if verify:
+                    cols["h2"] = _hash2(stripped[m])
+                cf = pd.DataFrame(cols)
+                wf = pd.DataFrame({k: win[k] for k in keys})
+                wf["win"] = win["win"]
+                merged = cf.merge(wf, on=keys, how="left")
+                # every candidate's group has a winner row by construction
+                keep[np.flatnonzero(m)] = (
+                    merged["win"].to_numpy(np.int64)
+                    == cf["pack"].to_numpy())
+        starts = np.cumsum(counts) - counts
+        n_kept = np.add.reduceat(keep.astype(np.int64), starts)
+        joined = (pd.Series(segs[keep], dtype=object)
+                  .groupby(doc_flat[keep], sort=False).agg(sep.join))
+        cleaned = (joined.reindex(ids).fillna("")
+                   .to_numpy(dtype=object))
+        return pa.table({id_col: pa.array(ids),
                          text_col: pa.array(cleaned, pa.string()),
-                         "n_kept": pa.array(kept_n, pa.int64()),
-                         "n_dropped": pa.array(drop_n, pa.int64())})
+                         "n_kept": pa.array(n_kept),
+                         "n_dropped": pa.array(counts - n_kept)})
 
-    return proj.map_batches(rebuild, batch_format="pyarrow")
+    return proj.map_batches(rebuild, batch_format="pandas")
 
 
 # -- exact duplicate-SPAN removal (substring dedup, token-window form) --------

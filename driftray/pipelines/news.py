@@ -33,12 +33,21 @@ from ..state import SeenKeysStore
 def per_source_limit(ds: rd.Dataset, source_col: str = "source",
                      order_col: str = "seq", limit: int = 20) -> rd.Dataset:
     """Keep each source's first ``limit`` rows by arrival order
-    (``news.py:26,105`` MAX_RESULTS_PER_SEARCH)."""
+    (``news.py:26,105`` MAX_RESULTS_PER_SEARCH).
 
-    def head(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="stable").head(limit)
+    Built on ``grouped_top_k`` (per-batch partial top-k + tiny exact
+    merge): no per-source ``map_groups`` callback and no worker ever
+    materializes a whole source's rows — a hot source at corpus scale
+    stays a per-batch reduction, not a straggler.  The merged result is
+    ≤ sources × limit rows, re-wrapped as a Dataset for the downstream
+    dedup/filter stages."""
+    from ..ops.grouped import grouped_top_k
 
-    return ds.groupby(source_col).map_groups(head, batch_format="pandas")
+    out = grouped_top_k(ds, [source_col], order_col, limit,
+                        descending=False)
+    if len(out) == 0:
+        return ds.limit(0)            # preserve the input schema lazily
+    return rd.from_pandas(out)
 
 
 def location_filter(ds: rd.Dataset, location: str) -> rd.Dataset:

@@ -154,3 +154,44 @@ def test_gif_rejects_bad_input():
         decode_gif(b"PNG....")
     with pytest.raises(ValueError, match="uint8"):
         encode_gif(np.zeros((4, 4, 3), dtype=np.float32))
+
+
+def test_pyav_decoder_guard_or_roundtrip():
+    """decoder='pyav' is import-guarded: a clear NotImplementedError when
+    the av package is absent (this container), a real mp4 decode when it
+    is present (runs wherever PyAV is installed)."""
+    import pandas as pd
+    import pytest
+
+    from driftray.ops.multimodal import FrameSampler
+
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PyAV"):
+            FrameSampler(n_frames=3, decoder="pyav")
+        return
+
+    # real path: encode 6 solid frames to an in-memory mp4, sample 3
+    import io
+
+    frames = [np.full((32, 32, 3), v, dtype=np.uint8)
+              for v in (0, 50, 100, 150, 200, 250)]
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("libx264", rate=10)
+        stream.width, stream.height = 32, 32
+        stream.pix_fmt = "yuv420p"
+        for img in frames:
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            container.mux(stream.encode(frame))
+        container.mux(stream.encode())
+    batch = pd.DataFrame({"media_id": [1], "payload": [buf.getvalue()],
+                          "duration_ms": [600]})
+    out = FrameSampler(n_frames=3, decoder="pyav")(batch)
+    assert list(out["frame_idx"]) == [0, 1, 2]
+    assert len(out["mean_rgb"].iloc[0]) == 3
+    # first sampled frame is the darkest, last the brightest (lossy codec
+    # => loose ordering check, not exact values)
+    means = [m.mean() for m in out["mean_rgb"]]
+    assert means[0] < means[1] < means[2]

@@ -256,6 +256,35 @@ def test_dedup_segments_no_duplicates_passthrough(ray_session):
     assert list(out["text"]) == list(df["text"])
 
 
+def test_dedup_segments_verify_survives_hash_collision(ray_session):
+    from driftray.ops.dedup import dedup_segments
+
+    def _colliding_hash(values):
+        # every string hashes to the same 64-bit value — a nested def so
+        # cloudpickle ships it BY VALUE to Ray workers
+        return np.full(len(np.asarray(values, dtype=object)), 7,
+                       dtype=np.int64)
+
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype=np.int64),
+        "text": ["alpha para\n\nshared para",
+                 "beta para\n\nshared para"]})
+    # verify=True: distinct texts survive even though EVERY primary hash
+    # collides; only the true duplicate ("shared para") is dropped once.
+    out = (dedup_segments(rd.from_pandas(df), "doc_id", "text",
+                          verify=True, _hash_fn=_colliding_hash)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["text"]) == ["alpha para\n\nshared para",
+                                 "beta para"]
+    assert list(out["n_dropped"]) == [0, 1]
+    # verify=False: the collision over-drops everything after the
+    # globally-first position (the documented hash-only tradeoff).
+    raw = (dedup_segments(rd.from_pandas(df), "doc_id", "text",
+                          verify=False, _hash_fn=_colliding_hash)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(raw["text"]) == ["alpha para", ""]
+
+
 def test_perplexity_scores_matches_formula(ray_session):
     from driftray.ops.text import perplexity_scores
 
