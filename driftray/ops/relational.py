@@ -87,25 +87,33 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
     per key; q14-style callers use a unique id).
 
     ``cache_projection`` materializes the pruned (keys, order) projection
-    once and reuses it for both the duplicate-hash sort and the candidate
-    fetch — one storage scan + one hash pass instead of two each.  The
-    blocks stay node-local in the object store (spillable); disable it
-    when the key columns are so wide that re-reading compressed Parquet
-    beats holding them (e.g. full-document text keys at extreme scale)."""
+    ONCE WITH the 8-byte key hash already attached and reuses it for both
+    the duplicate-hash sort and the candidate fetch — one storage scan +
+    ONE hash pass total (the dup sort then reads only the kh column
+    zero-copy from the materialized Arrow blocks, and the candidate fetch
+    never re-hashes the wide key).  The blocks stay node-local in the
+    object store (spillable); disable it when the key columns are so wide
+    that re-reading compressed Parquet beats holding them (e.g.
+    full-document text keys at extreme scale)."""
     from ..checks import hash_keys, join_key
 
     proj_cols = list(dict.fromkeys(key_cols + [order_col]))
-    proj = ds.select_columns(proj_cols)
+    kh_col = "__kh__"
+    while kh_col in proj_cols:
+        kh_col += "_"
+
+    def attach_kh(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            kh_col, pa.array(hash_keys(t, key_cols).astype(np.int64)))
+
+    proj = ds.select_columns(proj_cols).map_batches(
+        attach_kh, batch_format="pyarrow")
     if cache_projection:
         proj = proj.materialize()
 
-    def kh_table(t: pa.Table) -> pa.Table:
-        return pa.table({"kh": pa.array(hash_keys(t, key_cols).astype(np.int64))})
-
-    hashed = proj.map_batches(kh_table, batch_format="pyarrow")
     # sort + adjacent-equal scan (superset incl. batch boundaries) — the
     # winner resolution below verifies each candidate key exactly
-    dup_h = duplicate_values_sorted(hashed, "kh")
+    dup_h = duplicate_values_sorted(proj.select_columns([kh_col]), kh_col)
     if len(dup_h) == 0:
         return ds  # no duplicate hashes anywhere → input already distinct
 
@@ -116,7 +124,7 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
             self.dup = ray.get(dup_ref)  # sorted int64 array
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            kh = hash_keys(t, key_cols).astype(np.int64)
+            kh = t[kh_col].to_numpy()    # precomputed by attach_kh
             mask = pa.array(np.isin(kh, self.dup))
             sub = t.filter(mask)
             return pa.table({"key": pa.array(join_key(sub, key_cols)),
