@@ -102,6 +102,40 @@ def _kmeans_fit(X: np.ndarray, n_clusters: int, iters: int = 10,
     return centers
 
 
+def _fit_ivf_centers(ds: rd.Dataset, n_clusters: int, vec_col: str,
+                     sample_rows: int, seed: int) -> np.ndarray:
+    sample = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
+    X = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    return _normalize(_kmeans_fit(X, n_clusters, seed=seed))
+
+
+def _assign_clusters(ds: rd.Dataset, centers: np.ndarray, vec_col: str,
+                     batch_size: int,
+                     keep_clusters: frozenset[int] | None = None) -> rd.Dataset:
+    """Attach ``ivf_cluster`` per row.  With ``keep_clusters``, rows of
+    other clusters are DROPPED inside the same pass — they never leave the
+    assign stage, so a probe ships/scores only the probed partitions."""
+    c_ref = ray.put(centers)
+
+    class Assign:
+        def __init__(self):
+            self.centers = ray.get(c_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                batch["ivf_cluster"] = np.array([], dtype=np.int64)
+                return batch
+            V = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+            cid = (V @ self.centers.T).argmax(axis=1).astype(np.int64)
+            batch["ivf_cluster"] = cid
+            if keep_clusters is not None:
+                batch = batch[np.isin(cid, list(keep_clusters))]
+            return batch
+
+    return ds.map_batches(Assign, batch_format="pandas",
+                          batch_size=batch_size, concurrency=(1, 4))
+
+
 def build_ivf_index(ds: rd.Dataset, n_clusters: int = 16, id_col: str = "vec_id",
                     vec_col: str = "embedding", sample_rows: int = 10_000,
                     seed: int = 42, batch_size: int = 8192):
@@ -110,22 +144,8 @@ def build_ivf_index(ds: rd.Dataset, n_clusters: int = 16, id_col: str = "vec_id"
     Returns (centers, assigned_ds) where assigned_ds carries an extra
     ``ivf_cluster`` column — at scale this is written as partitioned
     Parquet (one directory per cluster) and probed selectively."""
-    sample = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
-    X = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
-    centers = _normalize(_kmeans_fit(X, n_clusters, seed=seed))
-    c_ref = ray.put(centers)
-
-    class Assign:
-        def __init__(self):
-            self.centers = ray.get(c_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            V = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
-            batch["ivf_cluster"] = (V @ self.centers.T).argmax(axis=1).astype(np.int64)
-            return batch
-
-    assigned = ds.map_batches(Assign, batch_format="pandas",
-                              batch_size=batch_size, concurrency=(1, 4))
+    centers = _fit_ivf_centers(ds, n_clusters, vec_col, sample_rows, seed)
+    assigned = _assign_clusters(ds, centers, vec_col, batch_size)
     return centers, assigned
 
 
@@ -271,19 +291,41 @@ def lsh_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
 
 def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
              n_clusters: int = 16, nprobe: int = 4, id_col: str = "vec_id",
-             vec_col: str = "embedding", seed: int = 42) -> pa.Table:
+             vec_col: str = "embedding", seed: int = 42,
+             index_dir: str | None = None,
+             batch_size: int = 8192) -> pa.Table:
     """IVF ANN: probe only the ``nprobe`` clusters nearest each query —
     scans ~nprobe/n_clusters of the corpus instead of all of it.  True
     IVF semantics: a vector competes ONLY for queries that probe its
     cluster (per-query boolean mask applied inside the scorer), not a
     post-hoc filter — un-probed (vector, query) scores are never
-    computed into the merge."""
-    centers, assigned = build_ivf_index(ds, n_clusters, id_col, vec_col, seed=seed)
+    computed into the merge.
+
+    Two pruning tiers:
+
+    * ``index_dir=None`` (one-shot): unprobed rows are dropped INSIDE the
+      assign pass (``_assign_clusters(keep_clusters=...)``) — they never
+      leave that stage, so the scorer receives only probed-cluster rows.
+      One full scan is inherent (every vector must be assigned once).
+    * ``index_dir=path`` (write-through): the assignment is persisted as
+      hive-partitioned Parquet once and the probe reads ONLY the probed
+      cluster directories (path-level pruning — unprobed partitions
+      produce zero read tasks).  The index stays on disk for reuse; repeat
+      probes pay no assignment scan at all."""
+    if index_dir is not None:
+        import os
+        if not os.path.exists(os.path.join(index_dir, "_centroids.npy")):
+            write_ivf_index(ds, index_dir, n_clusters, id_col, vec_col,
+                            seed=seed, batch_size=batch_size)
+        return ivf_query_index(index_dir, queries, k=k, nprobe=nprobe,
+                               id_col=id_col, vec_col=vec_col)
+
+    centers = _fit_ivf_centers(ds, n_clusters, vec_col, 10_000, seed)
     Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
     probe = np.argsort(-(Q @ centers.T), axis=1)[:, :nprobe]        # (q, nprobe)
-    wanted = set(np.unique(probe).tolist())
-    pruned = assigned.map_batches(
-        lambda b, w=wanted: b[b["ivf_cluster"].isin(w)], batch_format="pandas")
+    wanted = frozenset(int(c) for c in np.unique(probe))
+    pruned = _assign_clusters(ds, centers, vec_col, batch_size,
+                              keep_clusters=wanted)
     mask = np.zeros((len(centers), len(Q)), dtype=bool)             # (c, q)
     for qi in range(len(Q)):
         mask[probe[qi], qi] = True
