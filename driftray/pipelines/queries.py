@@ -2177,6 +2177,106 @@ def q103_party_union(sf_dir: str):
     return _round_cols(out, {"total_bal": ROUND})
 
 
+def q104_langid_votes(sf_dir: str):
+    """Oracle-twin of nq_langid's vote core (verdict r3 #8): INTEGER
+    stopword vote counts per language per document over an ASCII word
+    regex, plus the deterministic argmax prediction (ties → first
+    language in sorted order; 'unk' at zero votes).  All-integer /
+    categorical outputs make this hash-exact against DuckDB — no float
+    vote shares."""
+    from ..ops.text import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    stops = {lg: frozenset(_STOPWORDS[lg]) for lg in langs}
+    vote_cols = [f"{lg}_votes" for lg in langs]
+
+    def votes(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        words = (batch["text"].fillna("").str.slice(0, 4000)
+                 .str.lower().str.findall(r"[a-z]+"))
+        ex = words.explode().dropna()
+        out = pd.DataFrame({"doc_id": batch["doc_id"]})
+        for lg in langs:
+            hits = ex[ex.isin(stops[lg])].groupby(level=0).size()
+            out[f"{lg}_votes"] = (hits.reindex(out.index, fill_value=0)
+                                  .astype("int64"))
+        out["n_words"] = words.str.len().astype("int64")
+        vm = out[vote_cols].to_numpy()
+        pred = np.array(langs, dtype=object)[vm.argmax(axis=1)]
+        pred[vm.max(axis=1) == 0] = "unk"
+        out["lang_pred"] = pred
+        return out
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        votes, batch_format="pandas")
+
+
+def q105_heavy_hitters_exact(sf_dir: str):
+    """Exact heavy-hitters companion of nq_heavy_hitters (Misra-Gries):
+    top-20 user_ids by event count.  Per-batch PARTIAL counts shrink the
+    exchange to each batch's distinct users; the final selection is
+    `top_k` (no global sort) with a user_id tie-break so the rank-20
+    boundary is deterministic on both sides."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate([("user_id", "count")])
+        return pa.table({"user_id": g["user_id"],
+                         "cnt": pc.cast(g["user_id_count"], pa.int64())})
+
+    totals = (_t(sf_dir, "events", ["user_id"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id").aggregate(Sum("cnt", alias_name="cnt")))
+    out = top_k(totals, "cnt", 20, descending=True,
+                tie_keys=[("user_id", "ascending")]).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["user_id", "cnt"]]
+
+
+def q106_segment_dedup(sf_dir: str):
+    """Oracle-twin of nq_paragraph_dedup's engine (`ops/dedup.dedup_segments`)
+    on a REAL table: corpus-level duplicated-segment removal over the
+    documents table with sep=' ' (each word is a segment) — every repeated
+    normalized segment is dropped except its globally-first (doc_id, pos)
+    occurrence, docs are rebuilt, and kept/dropped counters emitted.
+    Fully SQL-expressible (window count + row_number + ordered
+    string_agg), so the distributed two-tier hash path is hash-checked
+    end-to-end, rebuilt text included."""
+    from ..ops.dedup import dedup_segments
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_segments(ds, "doc_id", "text", sep=" ") \
+        .select_columns(["doc_id", "text", "n_kept", "n_dropped"])
+
+
+def q107_quality_counts(sf_dir: str):
+    """Oracle-twin of nq_quality_scores' countable core (`ops/text.
+    QualityScorer`): per-document INTEGER char / ASCII-punctuation /
+    word / en-stopword counts — the inputs the float quality score is
+    computed from, hash-exact against DuckDB (explicit ASCII classes on
+    both sides, no \\w/\\s engine divergence)."""
+    from ..ops.text import _STOPWORDS
+
+    stop = frozenset(_STOPWORDS["en"])
+    punct_re = r"[!-/:-@\[-`{-~]"
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        s = batch["text"].fillna("")
+        out = pd.DataFrame({"doc_id": batch["doc_id"]})
+        out["n_chars"] = s.str.len().astype("int64")
+        out["n_punct"] = s.str.count(punct_re).astype("int64")
+        words = s.str.lower().str.findall(r"[a-z]+")
+        out["n_words"] = words.str.len().astype("int64")
+        ex = words.explode().dropna()
+        hits = ex[ex.isin(stop)].groupby(level=0).size()
+        out["n_stop"] = hits.reindex(out.index, fill_value=0).astype("int64")
+        return out
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        counts, batch_format="pandas")
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -3078,6 +3178,86 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY origin""",
 }
 
+def _sw_sql() -> dict[str, str]:
+    from ..ops.text import _STOPWORDS
+
+    return {lg: ", ".join(f"'{w}'" for w in sorted(ws))
+            for lg, ws in _STOPWORDS.items()}
+
+
+_SW = _sw_sql()
+ORACLE_SQL["q104_langid_votes"] = f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(substr(text, 1, 4000)),
+                                         '[a-z]+')) AS w
+        FROM documents
+    ), v AS (
+        SELECT doc_id,
+               COUNT(*) FILTER (WHERE w IN ({_SW['de']})) AS de_votes,
+               COUNT(*) FILTER (WHERE w IN ({_SW['en']})) AS en_votes,
+               COUNT(*) FILTER (WHERE w IN ({_SW['es']})) AS es_votes,
+               COUNT(*) FILTER (WHERE w IN ({_SW['fr']})) AS fr_votes,
+               COUNT(*) AS n_words
+        FROM w GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(de_votes, 0) AS de_votes,
+           COALESCE(en_votes, 0) AS en_votes,
+           COALESCE(es_votes, 0) AS es_votes,
+           COALESCE(fr_votes, 0) AS fr_votes,
+           COALESCE(n_words, 0) AS n_words,
+           CASE
+             WHEN COALESCE(greatest(de_votes, en_votes, es_votes, fr_votes),
+                           0) = 0 THEN 'unk'
+             WHEN de_votes >= en_votes AND de_votes >= es_votes
+                  AND de_votes >= fr_votes THEN 'de'
+             WHEN en_votes >= es_votes AND en_votes >= fr_votes THEN 'en'
+             WHEN es_votes >= fr_votes THEN 'es'
+             ELSE 'fr'
+           END AS lang_pred
+    FROM documents d LEFT JOIN v USING (doc_id)"""
+
+ORACLE_SQL["q105_heavy_hitters_exact"] = """
+    SELECT user_id, COUNT(*) AS cnt
+    FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id LIMIT 20"""
+
+# Python str.strip() strips all ASCII whitespace, not just spaces
+_TRIMSET = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+ORACLE_SQL["q106_segment_dedup"] = f"""
+    WITH seg AS (
+        SELECT doc_id,
+               unnest(string_split(COALESCE(text, ''), ' ')) AS seg,
+               unnest(range(len(string_split(COALESCE(text, ''), ' '))))
+                   AS pos
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, pos, seg,
+               count(*) OVER (PARTITION BY trim(seg, {_TRIMSET})) AS cnt,
+               row_number() OVER (PARTITION BY trim(seg, {_TRIMSET})
+                                  ORDER BY doc_id, pos) AS rn
+        FROM seg
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN cnt = 1 OR rn = 1 THEN seg END,
+                               ' ' ORDER BY pos), '') AS text,
+           COUNT(*) FILTER (WHERE cnt = 1 OR rn = 1) AS n_kept,
+           COUNT(*) FILTER (WHERE cnt > 1 AND rn > 1) AS n_dropped
+    FROM ranked GROUP BY doc_id"""
+
+ORACLE_SQL["q107_quality_counts"] = """
+    SELECT doc_id,
+           length(COALESCE(text, '')) AS n_chars,
+           len(regexp_extract_all(COALESCE(text, ''),
+                                  '[!-/:-@\\[-`{-~]')) AS n_punct,
+           len(regexp_extract_all(lower(COALESCE(text, '')),
+                                  '[a-z]+')) AS n_words,
+           len(list_filter(regexp_extract_all(lower(COALESCE(text, '')),
+                                              '[a-z]+'),
+                           w -> w IN (__SW_EN__))) AS n_stop
+    FROM documents""".replace("__SW_EN__", _SW["en"])
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -3197,6 +3377,10 @@ SQL_QUERIES = {
     "q101_lapsed_by_segment": q101_lapsed_by_segment,
     "q102_corpus_shuffle": q102_corpus_shuffle,
     "q103_party_union": q103_party_union,
+    "q104_langid_votes": q104_langid_votes,
+    "q105_heavy_hitters_exact": q105_heavy_hitters_exact,
+    "q106_segment_dedup": q106_segment_dedup,
+    "q107_quality_counts": q107_quality_counts,
 }
 
 
