@@ -44,6 +44,77 @@ class WindowVerdict:
     drift: bool
 
 
+class UnusualRatioReplay:
+    """CHUNKED replay of the reference trigger (sensor.py:160-194) with
+    carried state — feed boolean chunks in stream order via ``feed``,
+    collect verdicts with ``finish``; identical output to replaying the
+    concatenated array in one call.
+
+    The carried state is tiny — (rows seen, open-window start, running
+    unusual count, window index) — because the reference resets FULLY on
+    drift and never shrinks the window, so no per-row buffer is needed.
+    Each chunk is processed per DRIFT EVENT, not per row: within an open
+    window the running count ``carried + cumsum(u) - off`` is
+    nondecreasing, so the first trip index is one ``searchsorted`` over
+    the chunk cumsum (then clamped to the first evaluable index
+    ``start + window_size - 1``).  O(drifts × log chunk) instead of a
+    per-row Python loop — this is what lets ``detect_stream`` stream a
+    100 TB sorted flag column through the driver with O(1) memory."""
+
+    def __init__(self, window_size: int = 50, threshold: float = 0.10):
+        self.w = int(window_size)
+        self.t = float(threshold)
+        self.pos = 0     # absolute index of the next unseen row
+        self.start = 0   # absolute index where the open window began
+        self.count = 0   # unusuals accumulated in the open window so far
+        self.widx = 0
+        self.verdicts: list[WindowVerdict] = []
+        # smallest integer count whose FLOAT ratio count/w exceeds t —
+        # matches the reference's float compare exactly at the boundary
+        k = int(np.floor(self.t * self.w)) + 1
+        while k / self.w <= self.t:
+            k += 1
+        while k > 0 and (k - 1) / self.w > self.t:
+            k -= 1
+        self._kmin = k
+
+    def feed(self, chunk: np.ndarray) -> None:
+        u = np.asarray(chunk).astype(bool)
+        n = u.size
+        if n == 0:
+            return
+        cum = np.cumsum(u, dtype=np.int64)   # unusuals in chunk[0..i]
+        carried = self.count                 # window opened at/before pos
+        off = 0                              # cum baseline of window start
+        while True:
+            i0 = max(self.start + self.w - 1, self.pos)   # first evaluable
+            if i0 >= self.pos + n:
+                break
+            j = int(np.searchsorted(cum, self._kmin - carried + off, "left"))
+            trip = max(self.pos + j, i0)
+            if trip >= self.pos + n:
+                break
+            c_at = int(carried + cum[trip - self.pos] - off)
+            self.verdicts.append(WindowVerdict(
+                self.widx, self.start, trip, trip - self.start + 1,
+                c_at, c_at / self.w, True))
+            self.widx += 1
+            self.start = trip + 1
+            carried = 0
+            off = int(cum[trip - self.pos])
+        self.count = int(carried + cum[n - 1] - off)
+        self.pos += n
+
+    def finish(self) -> list[WindowVerdict]:
+        if self.start < self.pos:
+            n = int(self.pos - self.start)
+            c = int(self.count)
+            self.verdicts.append(WindowVerdict(
+                self.widx, self.start, self.pos - 1, n, c, c / self.w, False))
+            self.start = self.pos  # idempotent finish
+        return self.verdicts
+
+
 def unusual_ratio_verdicts(
     unusual: np.ndarray,
     window_size: int = 50,
@@ -54,34 +125,13 @@ def unusual_ratio_verdicts(
     acts/rests when the ratio trips; sub-threshold evaluations are silent
     re-checks) plus a final verdict for the trailing open window.
 
-    The loop is O(n) driver-side math over one boolean column per partition —
-    the heavy lifting (deriving ``unusual`` flags from raw columns) happens
-    vectorized in ``map_batches``; partitions are independent.
+    One-shot wrapper over ``UnusualRatioReplay`` (the single source of the
+    trigger semantics); ``detect_stream`` uses the chunked form directly so
+    the flag column streams through the driver instead of materializing.
     """
-    u = np.asarray(unusual).astype(bool)
-    verdicts: list[WindowVerdict] = []
-    start = 0
-    count = 0  # running unusual count in the open window
-    widx = 0
-    for i in range(u.size):
-        count += bool(u[i])
-        n_in_window = i - start + 1
-        if n_in_window >= window_size:
-            ratio = count / window_size  # sensor.py:189 — constant divisor
-            if ratio > threshold:
-                verdicts.append(
-                    WindowVerdict(widx, start, i, n_in_window, count, ratio, True)
-                )
-                widx += 1
-                start = i + 1
-                count = 0
-    if start < u.size:
-        n = int(u.size - start)
-        c = int(u[start:].sum())
-        verdicts.append(
-            WindowVerdict(widx, start, int(u.size) - 1, n, c, c / window_size, False)
-        )
-    return verdicts
+    replay = UnusualRatioReplay(window_size=window_size, threshold=threshold)
+    replay.feed(np.asarray(unusual))
+    return replay.finish()
 
 
 # ---------------------------------------------------------------------------

@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..drift import WindowVerdict, unusual_ratio_verdicts
+from ..drift import UnusualRatioReplay, WindowVerdict
 
 
 def normalize_timestamps(ds: rd.Dataset, raw_col: str = "timestamp_raw",
@@ -41,8 +41,9 @@ def normalize_timestamps(ds: rd.Dataset, raw_col: str = "timestamp_raw",
 
 def collect_flags(ds: rd.Dataset, order_col: str, flag_col: str,
                   group_col: str | None = None) -> dict[str, pd.DataFrame]:
-    """Project + collect the (order, flag[, group]) columns — the only data
-    that ever reaches the driver (1 bool + 1 int per row)."""
+    """Project + collect the (order, flag[, group]) columns — kept for
+    small-data callers who want the frames; ``detect_stream`` no longer
+    goes through it (it streams the sorted flags instead)."""
     cols = [order_col, flag_col] + ([group_col] if group_col else [])
 
     def prj(t: pa.Table) -> pa.Table:
@@ -58,16 +59,44 @@ def collect_flags(ds: rd.Dataset, order_col: str, flag_col: str,
 
 def detect_stream(ds: rd.Dataset, *, order_col: str = "timestamp",
                   flag_col: str = "unusual", group_col: str | None = None,
-                  window_size: int = 50,
-                  threshold: float = 0.10) -> dict[str, list[WindowVerdict]]:
+                  window_size: int = 50, threshold: float = 0.10,
+                  batch_size: int = 65536) -> dict[str, list[WindowVerdict]]:
     """Run the reference detector per ordered partition; returns
     {partition → verdicts}.  ``group_col=None`` = one global stream
-    (exactly the reference's semantics)."""
-    flags = collect_flags(ds, order_col, flag_col, group_col)
-    return {g: unusual_ratio_verdicts(grp[flag_col].to_numpy(),
-                                      window_size=window_size,
-                                      threshold=threshold)
-            for g, grp in flags.items()}
+    (exactly the reference's semantics).
+
+    Scale shape: the (order, flag[, group]) projection is range-SORTED by
+    Ray (distributed, spillable) and then STREAMED through the driver in
+    batches — the driver holds only the current batch plus one tiny
+    ``UnusualRatioReplay`` state per group (rows-seen/start/count/index),
+    never the corpus.  This replaced the collect-then-pandas-sort path,
+    which pinned O(corpus) rows in driver memory.  Rows tying on
+    ``order_col`` may replay in either order across the distributed sort
+    (the reference's fixtures carry unique timestamps); a tie inside one
+    window is order-insensitive anyway since only the count enters the
+    trigger."""
+    cols = [order_col, flag_col] + ([group_col] if group_col else [])
+    proj = ds.select_columns(cols).sort(order_col)
+    states: dict[str, UnusualRatioReplay] = {}
+
+    def state(g: str) -> UnusualRatioReplay:
+        if g not in states:
+            states[g] = UnusualRatioReplay(window_size=window_size,
+                                           threshold=threshold)
+        return states[g]
+
+    for batch in proj.iter_batches(batch_format="pandas",
+                                   batch_size=batch_size):
+        flags = batch[flag_col].fillna(False).to_numpy(dtype=bool)
+        if group_col is None:
+            state("").feed(flags)
+            continue
+        codes, uniques = pd.factorize(batch[group_col], sort=False)
+        for gi, g in enumerate(uniques):
+            state(str(g)).feed(flags[codes == gi])
+    if group_col is None and not states:
+        state("")  # empty input still yields the global-stream key
+    return {g: st.finish() for g, st in states.items()}
 
 
 def verdicts_table(per_group: dict[str, list[WindowVerdict]]) -> pa.Table:
