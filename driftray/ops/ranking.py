@@ -154,7 +154,14 @@ def global_rank(ds: rd.Dataset, order_col: str, tiebreak_cols: list[str],
     lo, width, nb, is_int, _n = g
     bds = _with_bucket(ds, order_col, lo, width, nb, is_int)
 
-    counts = (bds.select_columns([_B]).groupby(_B).count().to_pandas())
+    # count over a PRUNED re-attach, not bds: the select_columns below
+    # cannot push through map_batches, so counting on bds would stream
+    # every input column through the bucket stage a second time —
+    # recomputing the (one subtract + divide) bucket on the narrow
+    # projection is far cheaper than shipping the full width
+    counts = (_with_bucket(ds.select_columns([order_col]), order_col,
+                           lo, width, nb, is_int)
+              .select_columns([_B]).groupby(_B).count().to_pandas())
     offsets = np.zeros(nb, dtype=np.int64)
     offsets[counts[_B].to_numpy()] = counts["count()"].to_numpy()
     offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))   # exclusive
@@ -223,7 +230,13 @@ def grouped_rank(ds: rd.Dataset, group_cols: list[str], order_col: str,
     lo, width, nb, is_int, _n = g
     bds = _with_bucket(ds, order_col, lo, width, nb, is_int)
 
-    counts = (bds.select_columns(group_cols + [_B])
+    # pruned re-attach for the count pass (see global_rank) — only the
+    # final partition pass streams the full input width
+    counts = (_with_bucket(
+                  ds.select_columns(
+                      list(dict.fromkeys(group_cols + [order_col]))),
+                  order_col, lo, width, nb, is_int)
+              .select_columns(group_cols + [_B])
               .groupby(group_cols + [_B]).count().to_pandas())
     # per-group exclusive prefix over bucket counts → (group, bucket) → offset
     counts = counts.sort_values(group_cols + [_B])
