@@ -46,28 +46,44 @@ class TokenCounter:
 
 class LangId:
     """Stopword-voting language heuristic over {en,de,es,fr} plus a CJK
-    codepoint check for zh.  Deterministic; ties break lexicographically.
-    Emits ``lang_pred`` and ``lang_score`` (winning vote share)."""
+    codepoint check for zh.  Deterministic; ties break lexicographically
+    (highest language wins a vote tie).  Emits ``lang_pred`` and
+    ``lang_score`` (winning vote share).
+
+    Fully vectorized: one ``str.findall`` + ``explode`` + per-language
+    ``isin``/groupby-count per batch — no per-document Python loop."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
         self.langs = sorted(_STOPWORDS)
+        self.stops = {lg: frozenset(_STOPWORDS[lg]) for lg in self.langs}
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds, scores = [], []
-        for text in batch[self.text_col].fillna(""):
-            cjk = sum(1 for ch in text[:2000] if "一" <= ch <= "鿿")
-            words = [w.lower() for w in self.word.findall(text[:4000])]
-            if cjk > max(3, len(words) // 4):
-                preds.append("zh")
-                scores.append(1.0)
-                continue
-            votes = {lg: sum(w in _STOPWORDS[lg] for w in words) for lg in self.langs}
-            best = max(self.langs, key=lambda lg: (votes[lg], lg))
-            total = max(1, len(words))
-            preds.append(best if votes[best] > 0 else "unk")
-            scores.append(votes[best] / total)
+        s = batch[self.text_col].fillna("")
+        idx0 = s.index
+        cjk = s.str.slice(0, 2000).str.count(r"[一-鿿]").to_numpy()
+        # findall on the ORIGINAL case, lowercase per word after — lower()
+        # before tokenizing could move word boundaries for exotic unicode
+        words = s.str.slice(0, 4000).str.findall(self.word)
+        n_words = words.str.len().to_numpy(dtype=np.int64)
+        ex = words.explode().dropna().str.lower()
+        vm = np.zeros((len(s), len(self.langs)), dtype=np.int64)
+        for li, lg in enumerate(self.langs):
+            hits = ex[ex.isin(self.stops[lg])].groupby(level=0).size()
+            vm[:, li] = hits.reindex(idx0, fill_value=0).to_numpy()
+        # tie-break = lexicographically LARGEST language → argmax over the
+        # reversed column order picks the last max
+        rev = vm[:, ::-1]
+        best_rev = rev.argmax(axis=1)
+        best_votes = rev[np.arange(len(s)), best_rev]
+        langs_desc = np.array(self.langs[::-1], dtype=object)
+        preds = langs_desc[best_rev]
+        preds[best_votes == 0] = "unk"
+        scores = best_votes / np.maximum(1, n_words)
+        is_zh = cjk > np.maximum(3, n_words // 4)
+        preds[is_zh] = "zh"
+        scores[is_zh] = 1.0
         batch["lang_pred"] = preds
         batch["lang_score"] = np.round(scores, 6)
         return batch
@@ -93,13 +109,16 @@ class QualityScorer:
         n_chars = s.str.len().to_numpy()
         n_punct = s.str.count(r"[^\w\s]").to_numpy()
         punct_ratio = n_punct / np.maximum(n_chars, 1)
-        stop_ratio = np.empty(len(s))
-        mean_wlen = np.empty(len(s))
-        for i, text in enumerate(s):
-            words = self.word.findall(text[:8000])
-            stop_ratio[i] = (sum(w.lower() in self.stop for w in words)
-                             / max(1, len(words)))
-            mean_wlen[i] = (sum(map(len, words)) / max(1, len(words)))
+        # vectorized: findall + explode, then per-doc groupby reductions
+        words = s.str.slice(0, 8000).str.findall(self.word)
+        n_words = np.maximum(1, words.str.len().to_numpy(dtype=np.int64))
+        ex = words.explode().dropna()
+        wlen_sum = (ex.str.len().groupby(level=0).sum()
+                    .reindex(s.index, fill_value=0).to_numpy())
+        stop_hits = (ex.str.lower().isin(self.stop).groupby(level=0).sum()
+                     .reindex(s.index, fill_value=0).to_numpy())
+        stop_ratio = stop_hits / n_words
+        mean_wlen = wlen_sum / n_words
         lo, hi = self.len_range
         len_ok = ((n_chars >= lo) & (n_chars <= hi)).astype(float)
         # well-formed text: some stopwords, modest punctuation, sane word len
@@ -117,15 +136,28 @@ class QualityScorer:
 class Fingerprinter:
     """Rolling-hash document fingerprint: min of a polynomial rolling hash
     over character ``k``-grams (winnowing-style; stable under content moves,
-    sensitive to edits).  Emits ``fingerprint`` (uint64 as int64)."""
+    sensitive to edits).  Emits ``fingerprint`` (uint64 as int64).
+
+    Vectorized per BATCH: all texts concatenate into ONE codepoint array
+    (``encode("utf-32-le")`` → uint32), every window hash is ``k``
+    wraparound multiply-adds over strided slices, and per-document minima
+    come from ``np.minimum.reduceat`` over the document ranges — no
+    per-character Python.  The modulus is 2^61 (a power of two), which
+    nests inside uint64 wraparound, so masking once at the end equals the
+    scalar recurrence's per-step ``& mask`` exactly (parity-tested against
+    the original per-char loop in tests)."""
 
     def __init__(self, text_col: str = "text", k: int = 8, base: int = 1_000_003):
         self.text_col = text_col
         self.k = k
         self.base = base
         self.mask = (1 << 61) - 1
+        # p[j] = base^(k-1-j) mod 2^61 — window hash = Σ c[i+j]·p[j] mod 2^61
+        self.pows = np.array([pow(base, k - 1 - j, 1 << 61)
+                              for j in range(k)], dtype=np.uint64)
 
     def _fingerprint(self, text: str) -> int:
+        """Scalar reference (kept for the parity test)."""
         k, base, mask = self.k, self.base, self.mask
         if len(text) < k:
             h = 0
@@ -144,8 +176,44 @@ class Fingerprinter:
         return best
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["fingerprint"] = [self._fingerprint(t or "")
-                                for t in batch[self.text_col]]
+        k, mask = self.k, np.uint64(self.mask)
+        texts = batch[self.text_col].fillna("").tolist()
+        lens = np.fromiter(map(len, texts), dtype=np.int64,
+                           count=len(texts))
+        out = np.zeros(len(texts), dtype=np.int64)
+        cat = "".join(texts)
+        c = np.frombuffer(cat.encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.uint64)
+        starts = np.cumsum(lens) - lens
+        n = len(c)
+        if n >= k:
+            nH = n - k + 1
+            H = np.zeros(nH, dtype=np.uint64)          # uint64 wraparound
+            for j in range(k):
+                H += c[j:j + nH] * self.pows[j]
+            H &= mask
+            long = np.flatnonzero(lens >= k)
+            if len(long):
+                s = starts[long]
+                e = s + lens[long] - k + 1             # windows in [s, e)
+                pairs = np.empty(2 * len(long), dtype=np.int64)
+                pairs[0::2] = s
+                pairs[1::2] = e
+                if pairs[-1] >= nH:                    # reduceat idx < len
+                    pairs = pairs[:-1]
+                mins = np.minimum.reduceat(H, pairs)[0::2]
+                out[long] = mins.astype(np.int64)
+        # short docs (len < k): polynomial over the whole text — rare and
+        # tiny, a per-doc dot over ≤ k-1 codepoints
+        for d in np.flatnonzero(lens < k):
+            L = int(lens[d])
+            if L == 0:
+                continue
+            cs = c[starts[d]:starts[d] + L]
+            p = np.array([pow(self.base, L - 1 - j, 1 << 61)
+                          for j in range(L)], dtype=np.uint64)
+            out[d] = int((cs * p).sum(dtype=np.uint64) & mask)
+        batch["fingerprint"] = out
         return batch
 
 
