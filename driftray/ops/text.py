@@ -446,25 +446,48 @@ def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",
         raise ValueError("overlap must be < chunk_tokens")
     step = chunk_tokens - overlap
 
-    def explode(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        o_id, o_idx, o_n, o_txt = [], [], [], []
-        for d, txt in zip(ids, texts):
-            toks = [w for w in (txt or "").split(" ") if w]
-            n = len(toks)
-            for ci, start in enumerate(range(0, max(n - overlap, 1), step)):
-                piece = toks[start:start + chunk_tokens]
-                o_id.append(d)
-                o_idx.append(ci)
-                o_n.append(len(piece))
-                o_txt.append(" ".join(piece))
-        return pa.table({id_col: pa.array(o_id),
-                         "chunk_idx": pa.array(o_idx, pa.int64()),
-                         "n_tokens": pa.array(o_n, pa.int64()),
-                         "chunk_text": pa.array(o_txt, pa.string())})
+    def explode(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "chunk_idx": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string())})
+        if len(df) == 0:
+            return empty
+        # vectorized tokenize: one split + flat concat + empty-token mask
+        ids = df[id_col].to_numpy()
+        split = df[text_col].fillna("").str.split(" ")
+        lens_all = split.map(len).to_numpy(dtype=np.int64)
+        flat = (np.concatenate([np.asarray(t, dtype=object) for t in split])
+                if lens_all.sum() else np.array([], dtype=object))
+        keep = flat != ""
+        doc_rep = np.repeat(np.arange(len(df)), lens_all)
+        n = np.bincount(doc_rep[keep], minlength=len(df)).astype(np.int64)
+        toks = flat[keep]
+        tok_start = np.cumsum(n) - n
+        # chunk grid: ceil(max(n-overlap,1)/step) chunks per doc
+        nchunks = -(-np.maximum(n - overlap, 1) // step)
+        total_c = int(nchunks.sum())
+        doc_of = np.repeat(np.arange(len(df)), nchunks)
+        chunk_idx = (np.arange(total_c)
+                     - np.repeat(np.cumsum(nchunks) - nchunks, nchunks))
+        cstart = chunk_idx * step
+        clen = np.maximum(0, np.minimum(chunk_tokens, n[doc_of] - cstart))
+        # gather every chunk's tokens (overlap duplicates ride np.repeat)
+        total_t = int(clen.sum())
+        chunk_off = np.cumsum(clen) - clen
+        pos = np.arange(total_t) - np.repeat(chunk_off, clen)
+        gather = np.repeat(tok_start[doc_of] + cstart, clen) + pos
+        joined = (pd.Series(toks[gather])
+                  .groupby(np.repeat(np.arange(total_c), clen), sort=False)
+                  .agg(" ".join)
+                  .reindex(np.arange(total_c), fill_value="")
+                  .to_numpy(dtype=object))
+        return pa.table({id_col: pa.array(ids[doc_of]),
+                         "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                         "n_tokens": pa.array(clen, pa.int64()),
+                         "chunk_text": pa.array(joined, pa.string())})
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pandas")
 
 
 # -- repetition / tf-idf / bm25 (LLM-pipeline text quality family) ------------
