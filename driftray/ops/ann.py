@@ -19,6 +19,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
+from .pool import actor_pool
 
 
 def _normalize(X: np.ndarray) -> np.ndarray:
@@ -80,7 +81,7 @@ def brute_force_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
 
     cols = [id_col, vec_col] + ([mask_col] if mask_col else [])
     local = ds.select_columns(cols).map_batches(
-        Scorer, batch_format="pandas", batch_size=batch_size, concurrency=(1, 4))
+        Scorer, batch_format="pandas", batch_size=batch_size, concurrency=actor_pool())
     pdf = local.to_pandas()  # ≤ k × q × n_batches rows — tiny
     pdf = (pdf.sort_values(["query_id", "score", id_col],
                            ascending=[True, False, True], kind="stable")
@@ -133,7 +134,7 @@ def _assign_clusters(ds: rd.Dataset, centers: np.ndarray, vec_col: str,
             return batch
 
     return ds.map_batches(Assign, batch_format="pandas",
-                          batch_size=batch_size, concurrency=(1, 4))
+                          batch_size=batch_size, concurrency=actor_pool())
 
 
 def build_ivf_index(ds: rd.Dataset, n_clusters: int = 16, id_col: str = "vec_id",
@@ -281,7 +282,7 @@ def lsh_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
 
     local = ds.select_columns([id_col, vec_col]).map_batches(
         Scorer, batch_format="pandas", batch_size=batch_size,
-        concurrency=(1, 4))
+        concurrency=actor_pool())
     pdf = local.to_pandas()  # ≤ k × q × n_batches rows — tiny
     pdf = (pdf.sort_values(["query_id", "score", id_col],
                            ascending=[True, False, True], kind="stable")

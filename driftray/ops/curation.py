@@ -28,6 +28,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+from .pool import actor_pool
 
 
 def token_budget_select(ds: rd.Dataset, group_col: str, token_col: str,
@@ -100,7 +101,7 @@ def token_budget_select(ds: rd.Dataset, group_col: str, token_col: str,
                 return t.filter(pa.array(want.to_numpy(dtype=bool)))
 
         cand = (meta.map_batches(FetchCutoff, batch_format="pyarrow",
-                                 concurrency=(1, 4)).to_pandas())
+                                 concurrency=actor_pool()).to_pandas())
         for g, grp in cand.groupby(group_col):
             grp = grp.sort_values(order_col)
             keep = grp[token_col].cumsum() <= cutoff[g][1]
@@ -133,7 +134,7 @@ def token_budget_select(ds: rd.Dataset, group_col: str, token_col: str,
     src = meta if set(ds.schema().names) <= {group_col, order_col,
                                              token_col} else ds
     return src.map_batches(KeepWithinBudget, batch_format="pyarrow",
-                           concurrency=(1, 4))
+                           concurrency=actor_pool())
 
 
 # --- Benchmark decontamination -----------------------------------------
@@ -252,7 +253,7 @@ def decontaminate(ds: rd.Dataset, eval_ds: rd.Dataset,
                                      "n_contaminated": hits})
 
         return proj.map_batches(
-            Flagger, batch_format="pandas", concurrency=(1, 8),
+            Flagger, batch_format="pandas", concurrency=actor_pool(),
             fn_constructor_kwargs={"ref": ref, "id_col": id_col,
                                    "text_col": text_col, "n": n})
 

@@ -47,6 +47,7 @@ import ray
 import ray.data as rd
 
 from ..sketches import hash64
+from .pool import actor_pool
 
 _SEED_MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -468,7 +469,7 @@ def _cluster_output(ids_ds: rd.Dataset, id_col: str, clusters: dict,
             return out
 
     return ids_ds.select_columns([id_col]).map_batches(
-        Label, batch_format="pandas", concurrency=(1, 4))
+        Label, batch_format="pandas", concurrency=actor_pool())
 
 
 def _require_int_ids(ds: rd.Dataset, id_col: str) -> None:
@@ -631,7 +632,7 @@ def _bloom_prefilter_members(value_ds: rd.Dataset, id_col: str,
     # materialized: the filtered table is ∝ dup density (small), and BOTH
     # attach passes read it — lazy would re-run the corpus probe scan twice
     return value_ds.map_batches(Probe, batch_format="pandas",
-                                concurrency=(1, 4)).materialize()
+                                concurrency=actor_pool()).materialize()
 
 
 def _spill_cluster_output(ids_ds: rd.Dataset, id_col: str,
@@ -759,7 +760,7 @@ def minhash_lsh_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     keys_ref = ray.put(dup_bh)
     cand_ds = band_ds.map_batches(
         _BucketFilter, fn_constructor_args=(keys_ref,),
-        batch_format="pandas", concurrency=(1, 4)).materialize()
+        batch_format="pandas", concurrency=actor_pool()).materialize()
     spill_threshold = _resolve_spill_threshold(spill_threshold)
     if cand_ds.count() > spill_threshold:
         return _minhash_spill(sig_ds, cand_ds, id_col, jaccard_threshold,
@@ -920,7 +921,7 @@ def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
     keys_ref = ray.put(dup_bh)
     cand_ds = band_ds.map_batches(
         _BucketFilter, fn_constructor_args=(keys_ref,),
-        batch_format="pandas", concurrency=(1, 4)).materialize()
+        batch_format="pandas", concurrency=actor_pool()).materialize()
 
     spill_threshold = _resolve_spill_threshold(spill_threshold)
     if cand_ds.count() > spill_threshold:
@@ -979,7 +980,7 @@ def ngram_jaccard_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     keys_ref = ray.put(dup_bh)
     cand_ds = band_ds.map_batches(
         _BucketFilter, fn_constructor_args=(keys_ref,),
-        batch_format="pandas", concurrency=(1, 4)).materialize()
+        batch_format="pandas", concurrency=actor_pool()).materialize()
 
     def grams_jaccard_ok(ta: str, tb: str) -> bool:
         def grams(t: str) -> set:

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
+from .pool import actor_pool
 
 
 class BroadcastJoiner:
@@ -57,7 +58,7 @@ def broadcast_join(ds: rd.Dataset, dim: pa.Table | pd.DataFrame, on: list[str],
     dim_ref = ray.put(dim)
     return ds.map_batches(BroadcastJoiner, fn_constructor_args=(dim_ref, on, how),
                           batch_format="pandas", batch_size=batch_size,
-                          concurrency=(1, 4))
+                          concurrency=actor_pool())
 
 
 def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
@@ -131,7 +132,7 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
                              "ord": sub[order_col]})
 
     cand = (proj.map_batches(FetchCandidates, batch_format="pyarrow",
-                             concurrency=(1, 4)).to_pandas())
+                             concurrency=actor_pool()).to_pandas())
     winners = cand.groupby("key")["ord"].min().to_dict()
     win_ref = ray.put(winners)
 
@@ -159,7 +160,7 @@ def dedup_exact(ds: rd.Dataset, key_cols: list[str], order_col: str,
             return t.filter(pa.array(keep))
 
     return ds.map_batches(KeepWinners, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=(1, 4))
+                          batch_size=batch_size, concurrency=actor_pool())
 
 
 def duplicate_values_sorted(ds: rd.Dataset, col: str,
@@ -679,7 +680,7 @@ def semi_join_keys(ds: rd.Dataset, keys: np.ndarray | set, key_col: str,
             mask = batch[key_col].isin(self.keys)
             return batch[~mask] if anti else batch[mask]
 
-    return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(Probe, batch_format="pandas", concurrency=actor_pool())
 
 
 def salted_groupby_agg(ds: rd.Dataset, keys: list[str], aggs: dict[str, str],
@@ -1118,7 +1119,7 @@ def bloom_semi_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
             return t.filter(pa.array(self.bf.contains(hash_keys(t, on))))
 
     survivors = left.map_batches(Probe, batch_format="pyarrow",
-                                 concurrency=(1, 4))
+                                 concurrency=actor_pool())
     if not exact:
         return survivors
     return shuffle_semi_join(survivors, right, on, right_on=right_on,

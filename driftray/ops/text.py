@@ -14,6 +14,7 @@ import re
 
 import numpy as np
 import pandas as pd
+from .pool import actor_pool
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on", "with"},
@@ -422,7 +423,7 @@ def perplexity_scores(ds, text_col: str = "text", id_col: str = "doc_id",
             return out
 
     return ds.map_batches(Scorer, batch_format="pandas",
-                          concurrency=(1, 4))
+                          concurrency=actor_pool())
 
 
 def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text",

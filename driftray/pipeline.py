@@ -62,6 +62,7 @@ from .checks import ValidationKernel, join_key
 from .drift import js_divergence, ks_from_digests, mean_difference, psi, _kolmogorov_sf
 from .sketches import Histogram, Moments, TDigest, merge_all
 from .spec import TableSpec
+from .ops.pool import actor_pool
 
 # ---------------------------------------------------------------------------
 # profiles
@@ -306,7 +307,7 @@ def uniqueness_violations(ds: rd.Dataset | str, spec: TableSpec,
             return pa.table(out)
 
     cand = keys_ds(with_order=True).map_batches(
-        FetchCandidates, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+        FetchCandidates, batch_format="pyarrow", concurrency=actor_pool()).to_pandas()
     vc = cand["key"].value_counts()
     vc = vc[vc > 1]
     if len(vc) == 0:
@@ -983,7 +984,7 @@ def materialize_silver(
 
     ds = rd.read_parquet(input_path)
     clean = ds.map_batches(DropViolating, batch_format="pyarrow",
-                           concurrency=(1, 8))
+                           concurrency=actor_pool())
     clean.write_parquet(silver_dir, partition_cols=[window_column])
 
     if dup_keys:
@@ -1001,7 +1002,7 @@ def materialize_silver(
                 return t.filter(pa.array(mask))
 
         dup_rows = rd.read_parquet(input_path).map_batches(
-            FetchDups, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+            FetchDups, batch_format="pyarrow", concurrency=actor_pool()).to_pandas()
         if len(dup_rows):
             sort_cols = ([order_col] if order_col else []) + [
                 c for c in dup_rows.columns if c != order_col]

@@ -28,6 +28,7 @@ import ray.data as rd
 from ..checks import hash_keys
 from ..ops.relational import dedup_exact
 from ..state import SeenKeysStore
+from ..ops.pool import actor_pool
 
 
 def per_source_limit(ds: rd.Dataset, source_col: str = "source",
@@ -79,7 +80,7 @@ def unseen_filter(ds: rd.Dataset, store: SeenKeysStore,
             kh = hash_keys(t, list(key_cols))
             return t.filter(pa.array(~self.store.contains(kh)))
 
-    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=actor_pool())
 
 
 def sort_newest_first(ds: rd.Dataset) -> rd.Dataset:

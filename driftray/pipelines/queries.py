@@ -24,6 +24,7 @@ from ..checks import sha256_hex
 from ..ops.relational import (broadcast_join, dedup_exact, distinct,
                               semi_join_keys, top_k, tumbling_window_column)
 from ..ops.text import PII_PATTERNS as _PII
+from ..ops.pool import actor_pool
 
 _PII_EM, _PII_PH, _PII_IP = _PII["email"], _PII["phone"], _PII["ipv4"]
 
@@ -265,7 +266,7 @@ def q16_token_counts(sf_dir: str):
     from ..ops.text import TokenCounter
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(TokenCounter, batch_format="pandas", concurrency=2)
+    out = ds.map_batches(TokenCounter, batch_format="pandas", concurrency=actor_pool())
     return out.select_columns(["doc_id", "n_tokens_ws"])
 
 
@@ -3451,7 +3452,7 @@ def nq_langid(sf_dir: str):
     from ..ops.text import LangId
 
     ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=2) \
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=actor_pool()) \
         .select_columns(["doc_id", "lang", "lang_pred", "lang_score"])
 
 
@@ -3459,7 +3460,7 @@ def nq_quality_scores(sf_dir: str):
     from ..ops.text import QualityScorer
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2) \
+    return ds.map_batches(QualityScorer, batch_format="pandas", concurrency=actor_pool()) \
         .select_columns(["doc_id", "punct_ratio", "stopword_ratio", "quality"])
 
 
@@ -3467,7 +3468,7 @@ def nq_fingerprints(sf_dir: str):
     from ..ops.text import Fingerprinter
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=2) \
+    return ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=actor_pool()) \
         .select_columns(["doc_id", "fingerprint"])
 
 
