@@ -27,6 +27,23 @@ import ray.data as rd
 from .pool import actor_pool
 
 
+def adaptive_join_partitions(requested: int | None = None,
+                             cap: int = 32) -> int:
+    """Partition count for ``Dataset.join``'s hash-shuffle aggregators.
+
+    The join operator holds ``num_partitions`` aggregating actors
+    concurrently; asking for more partitions than the cluster has CPUs
+    stalls the whole query on actor scheduling (measured: a 32-partition
+    join that finishes in seconds at 32 CPUs never completes at 4).
+    Default: one per cluster CPU, capped (at real cluster scale callers
+    pass an explicit count sized to the data, not the default)."""
+    if requested is not None:
+        return requested
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(2, min(cap, cpus))
+
+
 class BroadcastJoiner:
     """Actor-pool/batch callable joining each batch against a broadcast
     dimension table (J1 enrichment / J3 lookup; ``DESIGN.md:246``,
@@ -427,6 +444,60 @@ def cube_aggregate(ds: rd.Dataset, keys: list[str], value_col: str,
     return out
 
 
+def grouping_sets_aggregate(ds: rd.Dataset, sets: list[list[str]],
+                            value_col: str, out_col: str,
+                            total_label: str = "ALL") -> rd.Dataset:
+    """SQL ``GROUP BY GROUPING SETS (sets...)`` (sum): ARBITRARY —
+    possibly non-hierarchical — grouping sets, e.g. ``[["flag"],
+    ["status"]]``, which neither ROLLUP (prefix levels) nor a full CUBE
+    expresses alone.  Rolled-up key columns carry ``total_label`` (same
+    string-key convention as ``rollup_aggregate``).
+
+    Scale shape: ONE full-data shuffle at the common refinement (group by
+    the union of all sets' keys, materialized once, group-cardinality
+    rows); every requested set re-aggregates that small result.  Empty
+    sets (grand total) are allowed."""
+    from ray.data.aggregate import Sum
+
+    keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in keys:
+                keys.append(k)
+    for s in sets:
+        unknown = [k for k in s if k not in keys]
+        assert not unknown, unknown
+
+    def pad(kept: tuple):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for k in keys:
+                cols[k] = (t[k] if k in kept else
+                           pa.array([total_label] * t.num_rows, pa.string()))
+            cols[out_col] = t[out_col]
+            return pa.table(cols)
+
+        return fn
+
+    sum_type = _sum_out_type(ds, value_col)
+    finest = (ds.select_columns(keys + [value_col]).groupby(keys)
+              .aggregate(Sum(value_col, alias_name=out_col))
+              .materialize())          # shared by every set — small
+    out: rd.Dataset | None = None
+    for s in sets:
+        if s:
+            cur = finest.groupby(list(s)).aggregate(
+                Sum(out_col, alias_name=out_col))
+        else:
+            total = finest.sum(out_col, ignore_nulls=True)
+            cur = rd.from_arrow(pa.table({out_col:
+                                          pa.array([total], type=sum_type)}))
+        padded = cur.map_batches(pad(tuple(s)), batch_format="pyarrow")
+        out = padded if out is None else out.union(padded)
+    assert out is not None, "at least one grouping set required"
+    return out
+
+
 def unpivot(ds: rd.Dataset, id_cols: list[str], value_cols: list[str],
             attr_col: str = "attr", val_col: str = "val") -> rd.Dataset:
     """UNPIVOT / melt: one output row per (input row × value column),
@@ -480,7 +551,7 @@ def hash_shuffle_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
                       right_on: list[str] | None = None,
                       how: Literal["inner", "left_outer", "right_outer",
                                    "full_outer"] = "inner",
-                      num_partitions: int = 32) -> rd.Dataset:
+                      num_partitions: int | None = None) -> rd.Dataset:
     """LARGE-LARGE join: both sides hash-partitioned on the key
     (``Dataset.join``'s hash-shuffle aggregator path) — the complement of
     ``broadcast_join`` for fact-to-fact enrichment where neither side fits
@@ -490,18 +561,23 @@ def hash_shuffle_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
     ``num_partitions`` sizes the shuffle: at cluster scale use ≥ the number
     of cores so every reducer gets a partition; skewed keys should be
     salted upstream (``salted_groupby_agg`` shows the pattern)."""
-    return left.join(right, join_type=how, num_partitions=num_partitions,
+    return left.join(right, join_type=how,
+                     num_partitions=adaptive_join_partitions(num_partitions),
                      on=tuple(on), right_on=tuple(right_on) if right_on else None)
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
               left_ts: str, right_ts: str, right_values: list[str],
               suffix: str = "_asof", strict: bool = True,
+              tolerance_us: int | None = None,
               num_partitions: int | None = None) -> rd.Dataset:
     """AS-OF join: for each left row, attach ``right_values`` from the
     latest right row of the same key with ``right_ts < left_ts`` (strict,
     DuckDB ``ASOF JOIN ... ON l.ts > r.ts`` semantics) or ``<=``
     (``strict=False``).  Unmatched left rows get nulls (LEFT semantics).
+    ``tolerance_us`` bounds the lookback: matches older than
+    ``left_ts - tolerance_us`` microseconds are treated as no-match
+    (nulls) — the "within N days" business variant (q112).
 
     Ray-Data-first shape: both sides are tagged and UNIONED, then hash-
     partitioned by key (``ops.grouped.partitioned_group_apply`` — O(P)
@@ -571,7 +647,8 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
         rdf = rdf.sort_values("__ts_i", kind="mergesort")
         merged = pd.merge_asof(ldf, rdf, on="__ts_i", by=list(on),
                                direction="backward",
-                               allow_exact_matches=not strict)
+                               allow_exact_matches=not strict,
+                               tolerance=tolerance_us)
         idx = merged["__rpos"].fillna(-1).to_numpy(dtype=np.int64)
         matched = pa.array(idx >= 0)
         lpos = pa.array(merged["__lpos"].to_numpy(dtype=np.int64))
@@ -1040,7 +1117,7 @@ MARK_COL = "__semi_mark"
 def shuffle_semi_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
                       right_on: list[str] | None = None,
                       anti: bool = False,
-                      num_partitions: int = 32) -> rd.Dataset:
+                      num_partitions: int | None = None) -> rd.Dataset:
     """LARGE-LARGE semi/anti join — referential membership when the
     build side is itself too big to broadcast (the complement of
     ``broadcast_join(how="semi"/"anti")`` / ``semi_join_keys``).
@@ -1065,7 +1142,8 @@ def shuffle_semi_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
 
     keys = keys.map_batches(mark, batch_format="pyarrow")
     joined = left.join(keys, join_type="left_outer",
-                       num_partitions=num_partitions, on=tuple(on))
+                       num_partitions=adaptive_join_partitions(num_partitions),
+                       on=tuple(on))
 
     def keep(t: pa.Table) -> pa.Table:
         hit = pc.is_valid(t[MARK_COL])
@@ -1173,3 +1251,53 @@ def union_by_name(dss: "list[rd.Dataset]") -> rd.Dataset:
     for nxt in padded[1:]:
         out = out.union(nxt)
     return out
+
+
+def join_cardinality(left: rd.Dataset, right: rd.Dataset,
+                     on: list[str]) -> pd.DataFrame:
+    """EXACT inner-join output cardinality WITHOUT running the join —
+    the planner-style pre-flight an engine needs before committing to a
+    shuffle at 100 TB: Σ over matching keys of cl(k)·cr(k), plus the
+    matching-key count and each side's distinct-key count.
+
+    Cost shape: each side reduces to a (key, cnt) table via per-batch
+    partial combine + one key-cardinality ``groupby`` (never row-scale
+    after the first pass); the two count tables join hash-to-hash and a
+    scalar aggregate finishes.  Use it to decide broadcast vs shuffle vs
+    salted join, or to refuse a query whose output would explode.
+
+    Returns one row: ``n_left_keys, n_right_keys, n_common_keys,
+    join_rows``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def side_counts(ds: rd.Dataset, name: str) -> rd.Dataset:
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.select(on).group_by(on).aggregate([([], "count_all")])
+            return g.rename_columns(list(on) + [name])
+
+        return (ds.select_columns(list(on))
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby(list(on)).aggregate(Sum(name, alias_name=name)))
+
+    lc = side_counts(left, "cl")
+    rc = side_counts(right, "cr")
+    n_left = lc.count()
+    n_right = rc.count()
+    joined = lc.join(rc, join_type="inner", on=tuple(on),
+                     num_partitions=adaptive_join_partitions())
+
+    def product(t: pa.Table) -> pa.Table:
+        cl = t["cl"].to_numpy(zero_copy_only=False)
+        cr = t["cr"].to_numpy(zero_copy_only=False)
+        return pa.table({"rows": pa.array(cl * cr)})
+
+    stats = (joined.map_batches(product, batch_format="pyarrow")
+             .aggregate(Count(alias_name="n_common"),
+                        Sum("rows", alias_name="join_rows")))
+    return pd.DataFrame({
+        "n_left_keys": [int(n_left)],
+        "n_right_keys": [int(n_right)],
+        "n_common_keys": [int(stats["n_common"] or 0)],
+        "join_rows": [int(stats["join_rows"] or 0)],
+    })

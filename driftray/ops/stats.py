@@ -1,0 +1,133 @@
+"""Distributed statistics operators: per-group OLS regression and
+categorical mutual information.
+
+The reference's profiling surface stops at per-column moments
+(`/root/reference/DESIGN.md:331-392` quality reports); these extend it to
+RELATIONSHIPS between columns — the next question a data-validation run
+asks ("is price still linear in quantity per flag?", "how much does
+`lang` actually tell you about `source`?"), and standard
+feature-diagnostics for training-data curation.
+
+Both are sufficient-statistics reductions — the 100 TB shape:
+
+* ``grouped_ols`` — per batch, each group folds to six scalars
+  (n, Σx, Σy, Σxx, Σxy, Σyy) via ONE pandas C-kernel groupby; a
+  group-cardinality ``groupby().sum`` merges partials; slope/intercept/r²
+  close over the six sums.  Nothing row-scale ever shuffles.
+* ``mutual_information`` — joint (a, b) counts via per-batch partial
+  combine + one vocabulary-sized exchange; marginals fold FROM the joint
+  (never rescanning rows); the Σ p·log2 term reduces with a final scalar
+  aggregate.  I(A;B) = Σ_ab p(ab)·log2(p(ab)/(p(a)p(b))).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+__all__ = ["grouped_ols", "mutual_information"]
+
+
+def grouped_ols(ds: rd.Dataset, group_col: str, x_col: str, y_col: str,
+                slope_col: str = "slope", icept_col: str = "intercept",
+                r2_col: str = "r2") -> rd.Dataset:
+    """Per-group simple linear regression y = a·x + b (least squares),
+    with r² — numerically matching SQL ``regr_slope / regr_intercept /
+    regr_r2`` (rows where either x or y is null are excluded, the SQL
+    convention).
+
+    Returns (group, n, slope, intercept, r2); groups with zero x-variance
+    get null slope/intercept/r2 (SQL behavior).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=[x_col, y_col])
+        x = b[x_col].astype(np.float64)
+        y = b[y_col].astype(np.float64)
+        stats = pd.DataFrame({
+            group_col: b[group_col], "n": np.int64(1), "sx": x, "sy": y,
+            "sxx": x * x, "sxy": x * y, "syy": y * y,
+        })
+        return stats.groupby(group_col, sort=False, observed=True).sum(
+            ).reset_index()
+
+    sums = (ds.select_columns([group_col, x_col, y_col])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(group_col)
+            .aggregate(*[Sum(c, alias_name=c)
+                         for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        cov = n * sxy - sx * sy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(varx > 0, cov / varx, np.nan)
+            icept = np.where(varx > 0, (sy - slope * sx) / n, np.nan)
+            r2 = np.where((varx > 0) & (vary > 0),
+                          (cov * cov) / (varx * vary), np.nan)
+        return pa.table({group_col: t[group_col],
+                         "n": pc.cast(t["n"], pa.int64()),
+                         slope_col: pa.array(slope),
+                         icept_col: pa.array(icept),
+                         r2_col: pa.array(r2)})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def mutual_information(ds: rd.Dataset, a_col: str, b_col: str,
+                       out_col: str = "mi_bits") -> pd.DataFrame:
+    """Mutual information I(A;B) in bits between two categorical columns.
+
+    Joint counts reduce via per-batch partial combine + one
+    joint-vocabulary-sized exchange; the marginals fold from the joint
+    counts (two tiny groupbys over |A|·|B| rows — rows are never
+    re-scanned); the final Σ n_ab·log2(N·n_ab/(n_a·n_b)) closes with a
+    scalar aggregate.  Returns one row: (n, mi_bits).  Null category
+    values count as their own category (SQL oracle mirrors with
+    COALESCE).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (b.groupby([a_col, b_col], sort=False, observed=True,
+                         dropna=False)
+               .size().rename("cnt").reset_index())
+        return out
+
+    joint = (ds.select_columns([a_col, b_col])
+             .map_batches(partial, batch_format="pandas")
+             .groupby([a_col, b_col]).aggregate(Sum("cnt", alias_name="cnt"))
+             .materialize())  # |A|·|B| rows — feeds three consumers
+
+    ma = joint.groupby(a_col).aggregate(Sum("cnt", alias_name="na"))
+    mb = joint.groupby(b_col).aggregate(Sum("cnt", alias_name="nb"))
+    na = {r[a_col]: r["na"] for r in ma.take_all()}
+    nb = {r[b_col]: r["nb"] for r in mb.take_all()}
+    total = float(sum(na.values()))
+
+    import ray
+    na_ref, nb_ref = ray.put(na), ray.put(nb)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        da, db = ray.get(na_ref), ray.get(nb_ref)
+        nab = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        va = np.array([da[v] for v in t[a_col].to_pylist()], np.float64)
+        vb = np.array([db[v] for v in t[b_col].to_pylist()], np.float64)
+        term = nab * np.log2(total * nab / (va * vb))
+        return pa.table({"term": pa.array(term)})
+
+    s = joint.map_batches(contrib, batch_format="pyarrow").sum("term")
+    return pd.DataFrame({"n": [int(total)],
+                         out_col: [float(s) / total if total else 0.0]})

@@ -905,3 +905,101 @@ def gopher_stats(ds, id_col: str = "doc_id", text_col: str = "text",
             "keep": keep.astype(np.int64)})
 
     return ds.map_batches(stats, batch_format="pandas")
+
+
+def token_entropy_by_group(ds, text_col: str, group_col: str,
+                           n_col: str = "n_tokens",
+                           out_col: str = "entropy_bits"):
+    """Shannon entropy (bits/token) of the token distribution WITHIN each
+    group — e.g. per-language vocabulary diversity, a standard corpus
+    health metric (low entropy ⇒ template/boilerplate-dominated slice).
+
+    Identity used: H = log2(N) − (Σ nᵢ·log2 nᵢ)/N over the group's token
+    counts nᵢ — so the whole computation is two nested SUM reductions:
+
+    1. per-batch partial combine to (group, token, cnt) — shuffle weight
+       ∝ per-batch vocabulary (same contract as ``global_token_counts``);
+    2. ``groupby(group, token).sum`` → exact global counts (vocab-sized);
+    3. a vectorized map to (group, n, n·log2 n) then a group-cardinality
+       ``groupby(group)`` sum — KB-scale from here on.
+
+    Tokenizer is the single-space split with empties dropped (identical
+    to SQL ``string_split(text, ' ')``) so the DuckDB oracle (q116) is
+    exact up to float rounding.  Returns (group, n_tokens, entropy_bits).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        grp = batch[group_col].to_numpy()
+        if len(texts) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype="object"),
+                                 "token": pd.Series([], dtype="object"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        ntok = texts.str.count(" ").to_numpy() + 1
+        toks = np.array(" ".join(texts).split(" "), dtype=object)
+        gs = np.repeat(grp, ntok)
+        keep = toks != ""
+        df = pd.DataFrame({group_col: gs[keep], "token": toks[keep]})
+        part = (df.groupby([group_col, "token"], sort=False)
+                .size().rename("cnt").reset_index())
+        return part
+
+    counts = (ds.select_columns([group_col, text_col])
+              .map_batches(partial, batch_format="pandas")
+              .groupby([group_col, "token"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def moments(t: pa.Table) -> pa.Table:
+        n = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({group_col: t[group_col],
+                         "n": pc.cast(t["cnt"], pa.float64()),
+                         "nlogn": pa.array(n * np.log2(n))})
+
+    sums = (counts.map_batches(moments, batch_format="pyarrow")
+            .groupby(group_col).aggregate(Sum("n", alias_name="n"),
+                                          Sum("nlogn", alias_name="s")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table({group_col: t[group_col],
+                         n_col: pa.array(n.astype(np.int64)),
+                         out_col: pa.array(np.log2(n) - s / n)})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def compression_ratios(ds, text_col: str, id_cols: list[str],
+                       level: int = 6, out_col: str = "zlib_ratio"):
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap redundancy signal for web-corpus curation: near-0
+    ratios flag repetitive boilerplate, near-1 flags high-entropy noise
+    (both usually filtered before LLM training).
+
+    Stateless ``map_batches`` over pruned columns; the per-row loop calls
+    straight into zlib's C compressor (the work is compression itself,
+    not Python bookkeeping), and empty/null texts get ratio null.  No
+    SQL oracle exists for zlib, so the nq entry is covered by a pytest
+    oracle recomputing ratios with the stdlib directly.
+    """
+    import zlib
+
+    import pyarrow as pa
+
+    def ratios(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        vals = np.full(len(texts), np.nan)
+        for i, s in enumerate(texts):
+            if s:
+                raw = s.encode("utf-8", "surrogatepass")
+                vals[i] = len(zlib.compress(raw, level)) / len(raw)
+        cols = {c: t[c] for c in id_cols}
+        cols[out_col] = pa.array(vals)
+        return pa.table(cols)
+
+    return (ds.select_columns(id_cols + [text_col])
+            .map_batches(ratios, batch_format="pyarrow"))

@@ -474,3 +474,119 @@ def late_event_flags(ds: rd.Dataset, ts_col: str, batch_col: str,
         return t.append_column(out_col, pa.array(tsv < row_cut))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def windowed_dedup(ds: rd.Dataset, key_cols: list[str], ts_col: str,
+                   window: str = "day", tie_cols: list[str] | None = None,
+                   num_partitions: int = 32) -> rd.Dataset:
+    """Keep the FIRST row per (key, time-window): streaming dedup with a
+    window scope — "one event per (user, type, day)" — the windowed
+    variant of exact dedup (SURVEY §2.7 D2 + §2.9), with a DuckDB
+    ``QUALIFY row_number() = 1`` oracle (q111).
+
+    First = minimal ``(ts, *tie_cols)`` lexicographically; pass
+    ``tie_cols`` whenever equal timestamps are possible so the winner is
+    deterministic.
+
+    One hash exchange on ``key_cols`` (the window column never shuffles —
+    it is derived per batch); within a partition ONE vectorized pandas
+    sort + ``drop_duplicates`` covers all keys.  Window floor is
+    validated up front (same alias map as ``drift.windowed_drift_series``).
+    """
+    aliases = {"day": "D", "hour": "h", "minute": "min"}
+    if window not in aliases:
+        raise ValueError(f"unsupported window {window!r}; "
+                         f"expected one of {sorted(aliases)}")
+    freq = aliases[window]
+    tie = list(tie_cols or [])
+
+    def first_per_window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(__w=g[ts_col].dt.floor(freq))
+        g = g.sort_values([ts_col] + tie, kind="mergesort")
+        return (g.drop_duplicates(subset=key_cols + ["__w"], keep="first")
+                .drop(columns="__w"))
+
+    return partitioned_group_apply(ds, key_cols, first_per_window,
+                                   num_partitions=num_partitions)
+
+
+def rolling_distinct_count(ds: rd.Dataset, id_col: str, ts_col: str,
+                           window_days: int = 7,
+                           day_col: str = "day",
+                           out_col: str = "n_distinct") -> rd.Dataset:
+    """Trailing-window distinct count per day — "rolling 7-day active
+    users": for each day present in the data, how many distinct
+    ``id_col`` values appeared in the last ``window_days`` days
+    (inclusive of the day itself).
+
+    COUNT(DISTINCT ...) OVER a RANGE window is one of the few windowed
+    aggregates SQL engines themselves struggle to distribute; the
+    scale-shaped trick here avoids any per-day rescan:
+
+    1. reduce the corpus to DISTINCT ``(day, id)`` pairs — one
+       pre-reduced hash exchange, output ∝ active pairs, not rows;
+    2. EXPAND each pair into the ``window_days`` target days it
+       contributes to (a vectorized repeat/tile — pairs × window rows,
+       still ≪ corpus for realistic windows);
+    3. de-duplicate ``(target_day, id)`` (an id active on several source
+       days inside one window must count once) and count per day —
+       folded into ONE ``groupby(day, id)`` + day-cardinality count.
+
+    Target days with no activity of their own are dropped at the end via
+    a broadcast membership filter on the (tiny) set of observed days, so
+    the output matches the SQL formulation "for each day in the data".
+    """
+    from ray.data.aggregate import Count
+
+    import pyarrow as pa
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[ts_col].dt.floor("D")
+        out = pd.DataFrame({day_col: d, id_col: df[id_col]})
+        return out.drop_duplicates()          # per-batch pre-reduce
+
+    # materialize: pairs feed BOTH the observed-days collection and the
+    # expansion below — without the pin the lazy pipeline (and its hash
+    # exchange) would re-execute once per consumer.  Size ∝ distinct
+    # (day, id) pairs at 16 B/row, orders below the corpus.
+    pairs = (ds.select_columns([id_col, ts_col])
+             .map_batches(to_pairs, batch_format="pandas")
+             .groupby([day_col, id_col]).count()
+             .select_columns([day_col, id_col]).materialize())
+
+    # observed days: per-block unique (KB each) + tiny driver union —
+    # no extra shuffle over the pairs
+    def block_days(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({day_col: df[day_col].unique()})
+
+    day_rows = (pairs.map_batches(block_days, batch_format="pandas")
+                .take_all())
+    days_np = np.unique(np.array([r[day_col] for r in day_rows],
+                                 dtype="datetime64[us]"))
+
+    import ray
+    days_ref = ray.put(days_np)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        valid = ray.get(days_ref)
+        n = len(df)
+        if n == 0:
+            return df
+        base = df[day_col].to_numpy(dtype="datetime64[us]")
+        tgt = (np.repeat(base, window_days)
+               + np.tile(np.arange(window_days, dtype="timedelta64[D]")
+                         .astype("timedelta64[us]"), n))
+        ids = np.repeat(df[id_col].to_numpy(), window_days)
+        keep = np.isin(tgt, valid)
+        return pd.DataFrame({day_col: tgt[keep], id_col: ids[keep]})
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({day_col: t[day_col],
+                         out_col: pc.cast(t[out_col], pa.int64())})
+
+    return (pairs.map_batches(expand, batch_format="pandas")
+            .groupby([day_col, id_col]).count()
+            .groupby(day_col).aggregate(Count(alias_name=out_col))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -2278,6 +2278,367 @@ def q107_quality_counts(sf_dir: str):
         counts, batch_format="pandas")
 
 
+def q108_snapshot_diff(sf_dir: str):
+    """CDC-style snapshot reconciliation (`ops/reconcile.table_diff`):
+    two deterministic views of documents — "old" drops doc_id%17==3,
+    "new" drops doc_id%13==5 and bumps n_chars for doc_id%10==0 — diffed
+    into inserted/deleted/changed rows via ONE full-outer hash-shuffle
+    join with vectorized Arrow verdict masks.  The DuckDB oracle is the
+    textbook FULL OUTER JOIN formulation."""
+    from ..ops.reconcile import table_diff
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def as_old(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 17 != 3))
+
+    def as_new(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % 13 != 5))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_chars": pa.array(np.where(ids % 10 == 0,
+                                                      nch + 1, nch))})
+
+    old = docs.map_batches(as_old, batch_format="pyarrow")
+    new = docs.map_batches(as_new, batch_format="pyarrow")
+    return table_diff(old, new, key_cols=["doc_id"],
+                      compare_cols=["n_chars"])
+
+
+def q109_partition_fingerprints(sf_dir: str):
+    """Partition-level anti-entropy fingerprints
+    (`ops/reconcile.partition_fingerprints`): bucket documents by
+    doc_id%16, sha256 each text, emit per-bucket
+    (n_rows, n_distinct, min_sha, max_sha) — the KB-sized summary two
+    replicas exchange to locate disagreeing partitions without shipping
+    rows.  Hash-exact against DuckDB's sha256()."""
+    from ..ops.reconcile import partition_fingerprints
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return partition_fingerprints(docs, "doc_id", "text", n_buckets=16)
+
+
+def q110_key_skew_profile(sf_dir: str):
+    """Key-skew diagnostics (engine health feature): distribution stats
+    OVER the per-key group sizes of events.user_id — n_keys, min/max
+    count, exact p50/p90 of counts (`ops/selection.exact_quantile`, the
+    integer bucket path), and the hottest key's integer ppm share.  The
+    aggregate-of-aggregate shape that tells you whether a groupby needs
+    salting BEFORE you run it."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id"]).aggregate([("user_id", "count")])
+        return pa.table({"user_id": g["user_id"],
+                         "cnt": pc.cast(g["user_id_count"], pa.int64())})
+
+    counts = (_t(sf_dir, "events", ["user_id"])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id").aggregate(Sum("cnt", alias_name="cnt"))
+              .select_columns(["cnt"]).materialize())  # n_keys rows, tiny
+    from ..ops.selection import exact_quantile
+
+    stats = counts.aggregate(Count(), Max("cnt"), Min("cnt"), Sum("cnt"))
+    n_keys = int(stats["count()"])
+    mx, mn = int(stats["max(cnt)"]), int(stats["min(cnt)"])
+    total = int(stats["sum(cnt)"])
+    p50 = int(exact_quantile(counts, "cnt", 0.5, fetch_threshold=256))
+    p90 = int(exact_quantile(counts, "cnt", 0.9, fetch_threshold=256))
+    return pd.DataFrame({"n_keys": [n_keys], "max_cnt": [mx],
+                         "min_cnt": [mn], "total": [total],
+                         "p50_cnt": [p50], "p90_cnt": [p90],
+                         "top_share_ppm": [mx * 1_000_000 // total]})
+
+
+def q111_window_dedup(sf_dir: str):
+    """Windowed dedup (`ops/windowing.windowed_dedup`): first event per
+    (user, event_type, day) — streaming dedup with a time-window scope,
+    deterministic via the event_id tie-break.  One hash exchange on the
+    key; the day column never shuffles.  Oracle: DuckDB QUALIFY
+    row_number() = 1."""
+    from ..ops.windowing import windowed_dedup
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    out = windowed_dedup(ev, ["user_id", "event_type"], "ts",
+                         window="day", tie_cols=["event_id"])
+    return out.select_columns(["event_id", "user_id", "event_type", "ts"])
+
+
+def q112_asof_tolerance(sf_dir: str):
+    """AS-OF join with a lookback TOLERANCE (q45's business variant):
+    each event picks up its user's latest order price only if that order
+    is within 30 days — older matches become nulls
+    (`ops/relational.asof_join(tolerance_us=...)`, the bounded-staleness
+    enrichment shape).  Oracle: DuckDB ASOF LEFT JOIN + CASE window."""
+    from ..ops.relational import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _t(sf_dir, "orders",
+                ["o_custkey", "o_orderdate", "o_totalprice"])
+    last = orders.groupby(["o_custkey", "o_orderdate"]).max("o_totalprice")
+
+    def prep(t: pa.Table) -> pa.Table:
+        ren = {"o_custkey": "user_id", "max(o_totalprice)": "last_price"}
+        return t.rename_columns([ren.get(c, c) for c in t.schema.names])
+
+    last = last.map_batches(prep, batch_format="pyarrow")
+    out = asof_join(ev, last, on=["user_id"], left_ts="ts",
+                    right_ts="o_orderdate", right_values=["last_price"],
+                    suffix="", strict=False,
+                    tolerance_us=30 * 86_400 * 1_000_000)
+    return out.select_columns(["event_id", "user_id", "last_price"])
+
+
+def q113_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((flag), (status), ()) — non-hierarchical
+    sets neither ROLLUP nor CUBE alone expresses
+    (`ops/relational.grouping_sets_aggregate`): one full shuffle at the
+    common refinement, every set re-aggregated from that tiny result."""
+    from ..ops.relational import grouping_sets_aggregate
+
+    li = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_extendedprice"])
+    out = grouping_sets_aggregate(
+        li, [["l_returnflag"], ["l_linestatus"], []],
+        value_col="l_extendedprice", out_col="revenue").to_pandas()
+    return _round_cols(out, {"revenue": ROUND})
+
+
+def q114_dense_topk(sf_dir: str):
+    """Per-group top-N WITH TIES (DENSE_RANK ≤ 3 over part prices per
+    brand) without any per-group materialization: distinct
+    (brand, price) pairs (tiny) → `grouped_top_k` picks each brand's top
+    3 distinct prices → rank attached and rows recovered via ONE
+    broadcast inner join back to the fact table.  The qualifying-row
+    recovery never shuffles the fact side."""
+    from ..ops.grouped import grouped_top_k
+    from ..ops.relational import broadcast_join, distinct
+
+    parts = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_retailprice"])
+    pairs = distinct(parts, ["p_brand", "p_retailprice"])
+    top3 = grouped_top_k(pairs, ["p_brand"], "p_retailprice", 3,
+                         descending=True)
+    top3 = top3.sort_values(["p_brand", "p_retailprice"],
+                            ascending=[True, False], kind="mergesort")
+    top3["p_rank"] = top3.groupby("p_brand", sort=False).cumcount() + 1
+    out = broadcast_join(parts, top3, on=["p_brand", "p_retailprice"],
+                         how="inner")
+    return out.select_columns(["p_partkey", "p_brand", "p_retailprice",
+                               "p_rank"])
+
+
+def q115_rolling_active_users(sf_dir: str):
+    """Rolling 7-day distinct active users per day
+    (`ops/windowing.rolling_distinct_count`) — the windowed
+    COUNT(DISTINCT) SQL engines themselves struggle to distribute.
+    Scale shape: corpus → distinct (day, user) pairs (pre-reduced hash
+    exchange), pairs × 7 vectorized expansion, one (day, user) dedup +
+    day-cardinality count.  Oracle: days × activity self-join."""
+    from ..ops.windowing import rolling_distinct_count
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+    return rolling_distinct_count(ev, "user_id", "ts", window_days=7,
+                                  day_col="day", out_col="n_active")
+
+
+def q116_token_entropy(sf_dir: str):
+    """Per-language token-distribution Shannon entropy
+    (`ops/text.token_entropy_by_group`): H = log2(N) − Σ n·log2(n)/N over
+    exact per-language token counts — corpus-health metric flagging
+    boilerplate-dominated slices.  Two nested SUM reductions; nothing
+    bigger than the vocabulary ever shuffles."""
+    from ..ops.text import token_entropy_by_group
+
+    docs = _t(sf_dir, "documents", ["lang", "text"])
+    out = token_entropy_by_group(docs, "text", "lang").to_pandas()
+    return _round_cols(out, {"entropy_bits": ROUND_F})
+
+
+def q117_zone_map_stats(sf_dir: str):
+    """Footer-only zone map (`ops/zonemap.parquet_zone_map`): per-row-
+    group min/max/count of orders.o_totalprice read from Parquet METADATA
+    only, folded to table-level stats.  The oracle recomputes the same
+    stats from the DATA — green means the footer statistics this engine
+    prunes on are exact, which is the property pruning correctness rests
+    on."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..ops.zonemap import parquet_zone_map
+
+    zm = parquet_zone_map([f"{sf_dir}/orders.parquet"], "o_totalprice")
+    stats = zm.aggregate(Sum("n_rows", alias_name="n_rows"),
+                         Min("vmin", alias_name="vmin"),
+                         Max("vmax", alias_name="vmax"))
+    return pd.DataFrame({"n_rows": [int(stats["n_rows"])],
+                         "vmin": [round(float(stats["vmin"]), ROUND)],
+                         "vmax": [round(float(stats["vmax"]), ROUND)]})
+
+
+def q118_pruned_range_scan(sf_dir: str):
+    """Range aggregate over a zone-map-PRUNED read
+    (`ops/zonemap.pruned_read`): only row groups whose footer [min,max]
+    overlaps the price band are ever opened (the planted multi-row-group
+    test asserts skipped groups are not read); surviving rows are
+    filtered exactly and aggregated.  Oracle: plain SQL WHERE."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.zonemap import pruned_read
+
+    lo, hi = 100_000.0, 200_000.0
+    ds = pruned_read([f"{sf_dir}/orders.parquet"], "o_totalprice", lo, hi,
+                     columns=["o_orderkey", "o_totalprice"])
+    stats = ds.aggregate(Count(alias_name="n_rows"),
+                         Sum("o_totalprice", alias_name="revenue"))
+    return pd.DataFrame({
+        "n_rows": [int(stats["n_rows"] or 0)],
+        "revenue": [round(float(stats["revenue"] or 0.0), ROUND)]})
+
+
+def q119_join_cardinality(sf_dir: str):
+    """Planner-style EXACT join-size pre-flight
+    (`ops/relational.join_cardinality`): events ⋈ orders on the customer
+    key WITHOUT running the join — each side reduces to (key, cnt), the
+    two count tables join, Σ cl·cr finishes.  The decision input for
+    broadcast-vs-shuffle-vs-salt at 100 TB.  Oracle recomputes the same
+    counts in SQL."""
+    from ..ops.relational import join_cardinality
+
+    ev = _t(sf_dir, "events", ["user_id"])
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["user_id"])
+
+    return join_cardinality(ev, orders.map_batches(ren,
+                                                   batch_format="pyarrow"),
+                            on=["user_id"])
+
+
+def q120_apply_changes(sf_dir: str):
+    """CDC MERGE INTO (`ops/mutate.apply_changes`): a deterministic
+    changeset (deletes doc_id%11==2, bumps n_chars for doc_id%7==1, adds
+    new keys doc_id+1e6 for doc_id%13==3) merged into the documents
+    snapshot — last-change-wins upsert/delete over ONE key-hash
+    exchange.  Oracle: textbook FULL OUTER JOIN + CASE."""
+    from ..ops.mutate import apply_changes
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def make_changes(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        dels = ids % 11 == 2
+        upds = (ids % 7 == 1) & ~dels
+        ins = ids % 13 == 3
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(
+                [ids[dels], ids[upds], ids[ins] + 1_000_000])),
+            "n_chars": pa.array(np.concatenate(
+                [np.zeros(dels.sum(), np.int64), nch[upds] + 10,
+                 ids[ins]])),
+            "op": pa.array(["delete"] * int(dels.sum())
+                           + ["upsert"] * int(upds.sum() + ins.sum()),
+                           pa.string()),
+        })
+
+    changes = docs.map_batches(make_changes, batch_format="pyarrow")
+    return apply_changes(docs, changes, ["doc_id"], ["n_chars"])
+
+
+def q121_scd2_history(sf_dir: str):
+    """SCD Type-2 history build (`ops/mutate.scd2_intervals`): per-user
+    event_type versions with [valid_from, valid_to) intervals,
+    consecutive repeats collapsed — one key-hash exchange, vectorized
+    shift kernels per partition.  Oracle: LAG-filter + LEAD windows."""
+    from ..ops.mutate import scd2_intervals
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    out = scd2_intervals(ev, ["user_id"], "ts", ["event_type"],
+                         tie_cols=["event_id"], collapse=True)
+    return out.select_columns(["user_id", "event_type",
+                               "valid_from", "valid_to"])
+
+
+def q122_zorder_scan(sf_dir: str):
+    """Z-order layout end-to-end (`ops/layout.zorder_sort` →
+    `write_parquet` → `ops/zonemap.pruned_read`): orders re-clustered on
+    (o_custkey, o_totalprice), then a two-column band scan runs over the
+    REWRITTEN files opening only zone-map-surviving row groups.  Values
+    must equal the plain SQL filter — layout never changes answers."""
+    import glob
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.layout import zorder_sort
+    from ..ops.zonemap import pruned_read
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_totalprice"])
+    outdir = tempfile.mkdtemp(prefix="driftray_zorder_")
+    zorder_sort(orders, ["o_custkey", "o_totalprice"]).write_parquet(
+        outdir)
+    lo, hi = 50_000.0, 120_000.0
+    ds = pruned_read(sorted(glob.glob(f"{outdir}/*.parquet")),
+                     "o_totalprice", lo, hi)
+
+    def custband(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_custkey"], 100),
+                       pc.less_equal(t["o_custkey"], 600))
+        return t.filter(keep)
+
+    stats = (ds.map_batches(custband, batch_format="pyarrow")
+             .aggregate(Count(alias_name="n_rows"),
+                        Sum("o_totalprice", alias_name="revenue")))
+    return pd.DataFrame({
+        "n_rows": [int(stats["n_rows"] or 0)],
+        "revenue": [round(float(stats["revenue"] or 0.0), ROUND)]})
+
+
+def q123_grouped_ols(sf_dir: str):
+    """Per-group least-squares regression (`ops/stats.grouped_ols`):
+    price-vs-quantity slope/intercept/r² per return flag from
+    six-scalar sufficient statistics — nothing row-scale shuffles.
+    Oracle: SQL regr_slope / regr_intercept / regr_r2."""
+    from ..ops.stats import grouped_ols
+
+    li = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = grouped_ols(li, "l_returnflag", "l_quantity",
+                      "l_extendedprice").to_pandas()
+    return _round_cols(out, {"slope": ROUND, "intercept": ROUND,
+                             "r2": ROUND_F})
+
+
+def q124_mutual_information(sf_dir: str):
+    """Mutual information I(lang; source) in bits
+    (`ops/stats.mutual_information`): joint counts via partial combine +
+    one vocabulary-sized exchange, marginals folded FROM the joint,
+    scalar Σ p·log2 finish — the feature-diagnostic telling you how much
+    one categorical column explains another."""
+    from ..ops.stats import mutual_information
+
+    docs = _t(sf_dir, "documents", ["lang", "source"])
+    out = mutual_information(docs, "lang", "source")
+    return _round_cols(out, {"mi_bits": ROUND_F})
+
+
+def nq_compression_ratio(sf_dir: str):
+    """Per-document zlib compression ratio
+    (`ops/text.compression_ratios`) — the cheap redundancy signal
+    web-corpus curation filters on (low ⇒ boilerplate, ~1 ⇒ noise).
+    No SQL zlib exists; the pytest oracle recomputes ratios with the
+    stdlib."""
+    from ..ops.text import compression_ratios
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = compression_ratios(docs, "text", ["doc_id"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def nq_lsh_ann(sf_dir: str):
     """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`): top-10 neighbors
     of vector 0 scoring only bucket-colliding candidates.  Approximate —
@@ -3259,6 +3620,178 @@ ORACLE_SQL["q107_quality_counts"] = """
                            w -> w IN (__SW_EN__))) AS n_stop
     FROM documents""".replace("__SW_EN__", _SW["en"])
 
+ORACLE_SQL["q108_snapshot_diff"] = """
+    WITH old AS (
+        SELECT doc_id, n_chars FROM documents WHERE doc_id % 17 <> 3),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN n_chars + 1
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 13 <> 5)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'inserted'
+                WHEN n.doc_id IS NULL THEN 'deleted'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+       OR o.n_chars <> n.n_chars"""
+
+ORACLE_SQL["q109_partition_fingerprints"] = """
+    WITH h AS (SELECT doc_id % 16 AS bucket, sha256(text) AS sha
+               FROM documents)
+    SELECT bucket, COUNT(*) AS n_rows,
+           COUNT(DISTINCT sha) AS n_distinct,
+           MIN(sha) AS min_sha, MAX(sha) AS max_sha
+    FROM h GROUP BY bucket"""
+
+ORACLE_SQL["q110_key_skew_profile"] = """
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt
+               FROM events GROUP BY user_id),
+    s AS (SELECT COUNT(*) AS n_keys, MAX(cnt) AS max_cnt,
+                 MIN(cnt) AS min_cnt, CAST(SUM(cnt) AS BIGINT) AS total
+          FROM c),
+    r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM c)
+    SELECT n_keys, max_cnt, min_cnt, total,
+           (SELECT cnt FROM r WHERE rn = (n - 1) // 2 + 1) AS p50_cnt,
+           (SELECT cnt FROM r
+            WHERE rn = CAST(FLOOR(0.9 * (n - 1)) AS BIGINT) + 1) AS p90_cnt,
+           max_cnt * 1000000 // total AS top_share_ppm
+    FROM s"""
+
+ORACLE_SQL["q111_window_dedup"] = """
+    SELECT event_id, user_id, event_type, ts FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type, date_trunc('day', ts)
+        ORDER BY ts, event_id) = 1"""
+
+ORACLE_SQL["q112_asof_tolerance"] = """
+    WITH last AS (
+        SELECT o_custkey AS user_id, o_orderdate,
+               MAX(o_totalprice) AS last_price
+        FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id,
+           CASE WHEN l.o_orderdate >= e.ts - INTERVAL 30 DAY
+                THEN l.last_price END AS last_price
+    FROM events e ASOF LEFT JOIN last l
+      ON e.user_id = l.user_id AND e.ts >= l.o_orderdate"""
+
+ORACLE_SQL["q113_grouping_sets"] = f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           ROUND(SUM(l_extendedprice), {ROUND}) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+
+ORACLE_SQL["q114_dense_topk"] = """
+    SELECT p_partkey, p_brand, p_retailprice,
+           DENSE_RANK() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC) AS p_rank
+    FROM part
+    QUALIFY DENSE_RANK() OVER (PARTITION BY p_brand
+                               ORDER BY p_retailprice DESC) <= 3"""
+
+ORACLE_SQL["q115_rolling_active_users"] = """
+    WITH u AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+               FROM events),
+    days AS (SELECT DISTINCT d FROM u)
+    SELECT days.d AS day, COUNT(DISTINCT u.user_id) AS n_active
+    FROM days JOIN u
+      ON u.d <= days.d AND u.d > days.d - INTERVAL 7 DAY
+    GROUP BY days.d"""
+
+ORACLE_SQL["q116_token_entropy"] = f"""
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    c AS (SELECT lang, token, COUNT(*) AS n
+          FROM tok WHERE token <> '' GROUP BY lang, token),
+    s AS (SELECT lang, CAST(SUM(n) AS DOUBLE) AS nn,
+                 SUM(n * log2(n)) AS ss
+          FROM c GROUP BY lang)
+    SELECT lang, CAST(nn AS BIGINT) AS n_tokens,
+           ROUND(log2(nn) - ss / nn, {ROUND_F}) AS entropy_bits
+    FROM s"""
+
+ORACLE_SQL["q117_zone_map_stats"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(o_totalprice), {ROUND}) AS vmin,
+           ROUND(MAX(o_totalprice), {ROUND}) AS vmax
+    FROM orders"""
+
+ORACLE_SQL["q118_pruned_range_scan"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(COALESCE(SUM(o_totalprice), 0), {ROUND}) AS revenue
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000.0 AND 200000.0"""
+
+ORACLE_SQL["q119_join_cardinality"] = """
+    WITH lc AS (SELECT user_id, COUNT(*) AS cl FROM events GROUP BY 1),
+    rc AS (SELECT o_custkey AS user_id, COUNT(*) AS cr
+           FROM orders GROUP BY 1)
+    SELECT (SELECT COUNT(*) FROM lc) AS n_left_keys,
+           (SELECT COUNT(*) FROM rc) AS n_right_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_common_keys,
+           CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) AS join_rows
+    FROM lc JOIN rc USING (user_id)"""
+
+ORACLE_SQL["q120_apply_changes"] = """
+    WITH ch AS (
+        SELECT doc_id, CAST(NULL AS BIGINT) AS n_chars, 'delete' AS op
+        FROM documents WHERE doc_id % 11 = 2
+        UNION ALL
+        SELECT doc_id, n_chars + 10, 'upsert'
+        FROM documents WHERE doc_id % 7 = 1 AND doc_id % 11 <> 2
+        UNION ALL
+        SELECT doc_id + 1000000, doc_id, 'upsert'
+        FROM documents WHERE doc_id % 13 = 3)
+    SELECT COALESCE(s.doc_id, ch.doc_id) AS doc_id,
+           CASE WHEN ch.op = 'upsert' THEN ch.n_chars
+                ELSE s.n_chars END AS n_chars
+    FROM documents s FULL OUTER JOIN ch ON s.doc_id = ch.doc_id
+    WHERE ch.op IS NULL OR ch.op = 'upsert'"""
+
+ORACLE_SQL["q121_scd2_history"] = """
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events),
+    k AS (SELECT user_id, event_type, ts, event_id FROM o
+          WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM k"""
+
+ORACLE_SQL["q122_zorder_scan"] = f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(COALESCE(SUM(o_totalprice), 0), {ROUND}) AS revenue
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000.0 AND 120000.0
+      AND o_custkey BETWEEN 100 AND 600"""
+
+ORACLE_SQL["q123_grouped_ols"] = f"""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), {ROUND})
+               AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), {ROUND})
+               AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), {ROUND_F}) AS r2
+    FROM lineitem GROUP BY l_returnflag"""
+
+ORACLE_SQL["q124_mutual_information"] = f"""
+    WITH j AS (SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS nab
+               FROM documents GROUP BY lang, source),
+    a AS (SELECT lang, SUM(nab) AS na FROM j GROUP BY lang),
+    b AS (SELECT source, SUM(nab) AS nb FROM j GROUP BY source),
+    t AS (SELECT SUM(nab) AS n FROM j)
+    SELECT CAST(t.n AS BIGINT) AS n,
+           ROUND(SUM(j.nab * log2(t.n * j.nab / (a.na * b.nb))) / t.n,
+                 {ROUND_F}) AS mi_bits
+    FROM j JOIN a USING (lang) JOIN b USING (source) CROSS JOIN t
+    GROUP BY t.n"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -3382,6 +3915,23 @@ SQL_QUERIES = {
     "q105_heavy_hitters_exact": q105_heavy_hitters_exact,
     "q106_segment_dedup": q106_segment_dedup,
     "q107_quality_counts": q107_quality_counts,
+    "q108_snapshot_diff": q108_snapshot_diff,
+    "q109_partition_fingerprints": q109_partition_fingerprints,
+    "q110_key_skew_profile": q110_key_skew_profile,
+    "q111_window_dedup": q111_window_dedup,
+    "q112_asof_tolerance": q112_asof_tolerance,
+    "q113_grouping_sets": q113_grouping_sets,
+    "q114_dense_topk": q114_dense_topk,
+    "q115_rolling_active_users": q115_rolling_active_users,
+    "q116_token_entropy": q116_token_entropy,
+    "q117_zone_map_stats": q117_zone_map_stats,
+    "q118_pruned_range_scan": q118_pruned_range_scan,
+    "q119_join_cardinality": q119_join_cardinality,
+    "q120_apply_changes": q120_apply_changes,
+    "q121_scd2_history": q121_scd2_history,
+    "q122_zorder_scan": q122_zorder_scan,
+    "q123_grouped_ols": q123_grouped_ols,
+    "q124_mutual_information": q124_mutual_information,
 }
 
 
@@ -3938,6 +4488,7 @@ NONSQL_QUERIES = {
     "nq_lsh_ann": nq_lsh_ann,
     "nq_validate_documents": nq_validate_documents,
     "nq_validate_events": nq_validate_events,
+    "nq_compression_ratio": nq_compression_ratio,
 }
 
 # The correctness driver snapshots only the FIRST 50 entries of
