@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "q79_pack_sequences",       # distributed prefix sum + sequence packing
     "q87_order_ntile",          # exact global NTILE (bucket-grid prefix sum)
     "q94_cohort_retention",     # per-user first-seen + distinct-week join
+    "q115_rolling_active_users",  # rolling 7-day COUNT(DISTINCT) per day
+    "q120_apply_changes",       # CDC MERGE INTO (one key-hash exchange)
+    "q125_pagerank",            # iterative PageRank (2 power rounds)
 ]
 
 

@@ -70,8 +70,16 @@ def partitioned_group_apply(ds: rd.Dataset, key_cols: list[str],
     parted = parted.repartition(max(num_partitions, 16))
 
     if batch_format == "pandas":
-        def wrapper(g: pd.DataFrame) -> pd.DataFrame:
-            return fn(g.drop(columns=[PART_COL]))
+        # Emit ARROW blocks even though fn works in pandas: Ray's
+        # sort-based exchange (any later groupby/sort over this output)
+        # is ~14x slower on pandas blocks than on arrow blocks
+        # (measured 27s vs 1.9s for a 292k-row 64-block groupby,
+        # ROUND_NOTES r4) — the conversion here is one cheap pass.
+        def wrapper(g: pd.DataFrame) -> pa.Table:
+            out = fn(g.drop(columns=[PART_COL]))
+            if isinstance(out, pd.DataFrame):
+                return pa.Table.from_pandas(out, preserve_index=False)
+            return out
     else:
         def wrapper(g: pa.Table) -> pa.Table:
             return fn(g.drop_columns([PART_COL]))

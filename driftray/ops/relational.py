@@ -941,7 +941,9 @@ def pivot_counts(ds: rd.Dataset, key_col: str, pivot_col: str,
         ct.columns = cols
         out = ct.reset_index()
         out[cols] = out[cols].astype("int64")
-        return out
+        # arrow-out: pandas blocks into the sort-based groupby exchange
+        # are ~14x slower than arrow blocks (ROUND_NOTES r4)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = ds.select_columns([key_col, pivot_col]).map_batches(
         partial, batch_format="pandas")

@@ -53,8 +53,11 @@ def grouped_ols(ds: rd.Dataset, group_col: str, x_col: str, y_col: str,
             group_col: b[group_col], "n": np.int64(1), "sx": x, "sy": y,
             "sxx": x * x, "sxy": x * y, "syy": y * y,
         })
-        return stats.groupby(group_col, sort=False, observed=True).sum(
-            ).reset_index()
+        # arrow-out: pandas blocks into Ray's sort-based groupby are
+        # ~14x slower than arrow blocks (ROUND_NOTES r4)
+        return pa.Table.from_pandas(
+            stats.groupby(group_col, sort=False, observed=True).sum()
+            .reset_index(), preserve_index=False)
 
     sums = (ds.select_columns([group_col, x_col, y_col])
             .map_batches(partial, batch_format="pandas")
@@ -104,7 +107,8 @@ def mutual_information(ds: rd.Dataset, a_col: str, b_col: str,
         out = (b.groupby([a_col, b_col], sort=False, observed=True,
                          dropna=False)
                .size().rename("cnt").reset_index())
-        return out
+        # arrow-out: see grouped_ols note
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     joint = (ds.select_columns([a_col, b_col])
              .map_batches(partial, batch_format="pandas")

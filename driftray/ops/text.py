@@ -248,15 +248,19 @@ def global_token_counts(ds, text_col: str = "text"):
     shared training stage for ``token_frequencies`` and
     ``perplexity_scores``."""
 
-    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial_counts(batch: pd.DataFrame) -> "pa.Table":
+        import pyarrow as _pa
         texts = batch[text_col].fillna("")
         if len(texts) == 0:
-            return pd.DataFrame({"token": pd.Series([], dtype="object"),
-                                 "n": pd.Series([], dtype="int64")})
+            return _pa.table({"token": _pa.array([], _pa.string()),
+                              "n": _pa.array([], _pa.int64())})
         toks = np.array(" ".join(texts).split(" "), dtype=object)
         toks = toks[toks != ""]
         uniq, cnt = np.unique(toks, return_counts=True)
-        return pd.DataFrame({"token": uniq, "n": cnt.astype(np.int64)})
+        # arrow-out: pandas blocks into the sort-based groupby exchange
+        # are ~14x slower than arrow blocks (ROUND_NOTES r4)
+        return _pa.table({"token": _pa.array(uniq, _pa.string()),
+                          "n": _pa.array(cnt.astype(np.int64))})
 
     counts = (ds.map_batches(partial_counts, batch_format="pandas")
               .groupby("token").sum("n"))
@@ -574,18 +578,22 @@ def document_frequencies(ds, text_col: str = "text",
     ``groupby(token).sum`` — same scale shape as
     :func:`global_token_counts`."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pd.DataFrame) -> "pa.Table":
+        import pyarrow as _pa
+        empty = _pa.table({"token": _pa.array([], _pa.string()),
+                           "df": _pa.array([], _pa.int64())})
         if len(batch) == 0:
-            return pd.DataFrame({"token": pd.Series([], dtype="object"),
-                                 "df": pd.Series([], dtype="int64")})
+            return empty
         doc_ids, toks = _explode_tokens(batch, id_col, text_col)
         if len(toks) == 0:
-            return pd.DataFrame({"token": pd.Series([], dtype="object"),
-                                 "df": pd.Series([], dtype="int64")})
+            return empty
         pairs = pd.DataFrame({"d": doc_ids, "t": toks}).drop_duplicates()
         cnt = pairs.groupby("t", sort=False).size()
-        return pd.DataFrame({"token": cnt.index.to_numpy(dtype=object),
-                             "df": cnt.to_numpy(dtype=np.int64)})
+        # arrow-out: see global_token_counts note
+        return _pa.table(
+            {"token": _pa.array(cnt.index.to_numpy(dtype=object),
+                                _pa.string()),
+             "df": _pa.array(cnt.to_numpy(dtype=np.int64))})
 
     out = (ds.select_columns([id_col, text_col])
            .map_batches(partial, batch_format="pandas")
@@ -946,7 +954,8 @@ def token_entropy_by_group(ds, text_col: str, group_col: str,
         df = pd.DataFrame({group_col: gs[keep], "token": toks[keep]})
         part = (df.groupby([group_col, "token"], sort=False)
                 .size().rename("cnt").reset_index())
-        return part
+        # arrow-out: see global_token_counts note
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     counts = (ds.select_columns([group_col, text_col])
               .map_batches(partial, batch_format="pandas")

@@ -540,10 +540,13 @@ def rolling_distinct_count(ds: rd.Dataset, id_col: str, ts_col: str,
 
     import pyarrow as pa
 
-    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def to_pairs(df: pd.DataFrame) -> pa.Table:
         d = df[ts_col].dt.floor("D")
         out = pd.DataFrame({day_col: d, id_col: df[id_col]})
-        return out.drop_duplicates()          # per-batch pre-reduce
+        # arrow-out: pandas blocks into the sort-based groupby exchange
+        # are ~14x slower than arrow blocks (ROUND_NOTES r4)
+        return pa.Table.from_pandas(out.drop_duplicates(),
+                                    preserve_index=False)
 
     # materialize: pairs feed BOTH the observed-days collection and the
     # expansion below — without the pin the lazy pipeline (and its hash
@@ -567,18 +570,18 @@ def rolling_distinct_count(ds: rd.Dataset, id_col: str, ts_col: str,
     import ray
     days_ref = ray.put(days_np)
 
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
+    def expand(df: pd.DataFrame) -> pa.Table:
         valid = ray.get(days_ref)
         n = len(df)
-        if n == 0:
-            return df
         base = df[day_col].to_numpy(dtype="datetime64[us]")
         tgt = (np.repeat(base, window_days)
                + np.tile(np.arange(window_days, dtype="timedelta64[D]")
                          .astype("timedelta64[us]"), n))
         ids = np.repeat(df[id_col].to_numpy(), window_days)
         keep = np.isin(tgt, valid)
-        return pd.DataFrame({day_col: tgt[keep], id_col: ids[keep]})
+        # arrow-out: see to_pairs note
+        return pa.table({day_col: pa.array(tgt[keep]),
+                         id_col: pa.array(ids[keep])})
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -1537,7 +1537,9 @@ def q83_value_histogram(sf_dir: str):
                            "bin": bins})
              .groupby(["event_type", "bin"], sort=False).size()
              .rename("n").reset_index())
-        return g
+        # arrow-out: pandas blocks into the sort-based groupby exchange
+        # are ~14x slower than arrow blocks (ROUND_NOTES r4)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (ev.map_batches(partial, batch_format="pandas")
            .groupby(["event_type", "bin"])
@@ -1680,7 +1682,9 @@ def q88_local_supplier_volume(sf_dir: str):
         rev = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
         part = (pd.DataFrame({"n_name": b["n_name"], "revenue": rev})
                 .groupby("n_name", sort=False)["revenue"].sum())
-        return part.reset_index()
+        # arrow-out (ROUND_NOTES r4)
+        return pa.Table.from_pandas(part.reset_index(),
+                                    preserve_index=False)
 
     out = (withsupp.map_batches(local_rev, batch_format="pandas")
            .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
@@ -1803,7 +1807,8 @@ def q92_bigram_merges(sf_dir: str):
         part = (pd.DataFrame({"w1": flat[:-1][valid], "w2": flat[1:][valid]})
                 .groupby(["w1", "w2"], sort=False).size()
                 .rename("n").reset_index())
-        return part
+        # arrow-out (ROUND_NOTES r4)
+        return pa.Table.from_pandas(part, preserve_index=False)
 
     counts = (docs.map_batches(local_counts, batch_format="pandas")
               .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n")))
@@ -2039,8 +2044,11 @@ def q99_nation_trade(sf_dir: str):
         df = pd.DataFrame({"supp_nation": b["s_nationkey"].map(names),
                            "cust_nation": b["c_nationkey"].map(names),
                            "l_year": yr, "revenue": rev})
-        return (df.groupby(["supp_nation", "cust_nation", "l_year"],
-                           sort=False)["revenue"].sum().reset_index())
+        # arrow-out (ROUND_NOTES r4)
+        return pa.Table.from_pandas(
+            df.groupby(["supp_nation", "cust_nation", "l_year"],
+                       sort=False)["revenue"].sum().reset_index(),
+            preserve_index=False)
 
     out = (withsupp.map_batches(pair_rev, batch_format="pandas")
            .groupby(["supp_nation", "cust_nation", "l_year"])
@@ -2624,6 +2632,53 @@ def q124_mutual_information(sf_dir: str):
     docs = _t(sf_dir, "documents", ["lang", "source"])
     out = mutual_information(docs, "lang", "source")
     return _round_cols(out, {"mi_bits": ROUND_F})
+
+
+def _customer_supplier_edges(sf_dir: str):
+    """Directed customer→supplier edge list from the order graph (shared
+    by q125/q126): large-large hash join orders ⋈ lineitem, distinct
+    pairs."""
+    from ..ops.relational import distinct, hash_shuffle_join
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    j = hash_shuffle_join(li, orders, on=["l_orderkey"],
+                          right_on=["o_orderkey"])
+
+    def disjoint_ids(t: pa.Table) -> pa.Table:
+        # suppliers offset into their own id space — customer key 5 and
+        # supplier key 5 are different nodes
+        supp = pc.add(t["l_suppkey"], pa.scalar(1_000_000))
+        return pa.table({"o_custkey": t["o_custkey"], "l_suppkey": supp})
+
+    j = j.map_batches(disjoint_ids, batch_format="pyarrow")
+    return distinct(j, ["o_custkey", "l_suppkey"])
+
+
+def q125_pagerank(sf_dir: str):
+    """Distributed PageRank (`ops/graph.pagerank`) over the
+    customer→supplier order graph — exact power iteration where ranks
+    and edges stay Datasets end-to-end (3 key-hash exchanges per round,
+    dangling mass redistributed uniformly).  Fixed 2 iterations so the
+    DuckDB oracle expresses the same recurrence as chained CTEs."""
+    from ..ops.graph import pagerank
+
+    edges = _customer_supplier_edges(sf_dir)
+    out = pagerank(edges, "o_custkey", "l_suppkey", damping=0.85,
+                   iterations=2, rank_col="pr").to_pandas()
+    return _round_cols(out, {"pr": 9})
+
+
+def q126_cooccurrence(sf_dir: str):
+    """Item-item co-occurrence mining (`ops/graph.cooccurrence_pairs`):
+    supplier pairs sharing ≥ 20 customers — contexts hash-partition, one
+    vectorized self-merge per partition emits ordered pairs, counts
+    reduce per pair.  The co-purchase/blocking primitive."""
+    from ..ops.graph import cooccurrence_pairs
+
+    edges = _customer_supplier_edges(sf_dir)
+    return cooccurrence_pairs(edges, "o_custkey", "l_suppkey",
+                              min_count=20, max_per_context=100_000)
 
 
 def nq_compression_ratio(sf_dir: str):
@@ -3792,6 +3847,43 @@ ORACLE_SQL["q124_mutual_information"] = f"""
     FROM j JOIN a USING (lang) JOIN b USING (source) CROSS JOIN t
     GROUP BY t.n"""
 
+ORACLE_SQL["q125_pagerank"] = """
+    WITH e AS (SELECT DISTINCT o_custkey AS src,
+                      l_suppkey + 1000000 AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM n),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / c.nn AS r FROM n CROSS JOIN c),
+    d0 AS (SELECT COALESCE(SUM(r0.r), 0) AS m FROM r0
+           LEFT JOIN deg ON deg.src = r0.node WHERE deg.src IS NULL),
+    s0 AS (SELECT e.dst AS node, SUM(r0.r / deg.d) AS cc
+           FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+           GROUP BY e.dst),
+    r1 AS (SELECT n.node, (1 - 0.85) / c.nn
+                  + 0.85 * ((SELECT m FROM d0) / c.nn
+                            + COALESCE(s0.cc, 0)) AS r
+           FROM n CROSS JOIN c LEFT JOIN s0 ON s0.node = n.node),
+    d1 AS (SELECT COALESCE(SUM(r1.r), 0) AS m FROM r1
+           LEFT JOIN deg ON deg.src = r1.node WHERE deg.src IS NULL),
+    s1 AS (SELECT e.dst AS node, SUM(r1.r / deg.d) AS cc
+           FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT n.node, (1 - 0.85) / c.nn
+                  + 0.85 * ((SELECT m FROM d1) / c.nn
+                            + COALESCE(s1.cc, 0)) AS r
+           FROM n CROSS JOIN c LEFT JOIN s1 ON s1.node = n.node)
+    SELECT node, ROUND(r, 9) AS pr FROM r2"""
+
+ORACLE_SQL["q126_cooccurrence"] = """
+    WITH p AS (SELECT DISTINCT o_custkey AS ctx,
+                      l_suppkey + 1000000 AS item
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT a.item AS l_suppkey_a, b.item AS l_suppkey_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM p a JOIN p b ON a.ctx = b.ctx AND a.item < b.item
+    GROUP BY 1, 2 HAVING COUNT(*) >= 20"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -3932,6 +4024,8 @@ SQL_QUERIES = {
     "q122_zorder_scan": q122_zorder_scan,
     "q123_grouped_ols": q123_grouped_ols,
     "q124_mutual_information": q124_mutual_information,
+    "q125_pagerank": q125_pagerank,
+    "q126_cooccurrence": q126_cooccurrence,
 }
 
 
@@ -4392,6 +4486,11 @@ def nq_curation_pipeline(sf_dir: str):
         return b[~b["doc_id"].isin(_ray.get(ref))]
 
     final = kept.map_batches(drop_dups, batch_format="pandas")         .map_batches(TokenCounter(), batch_format="pandas")
+    # project + arrow-out before the groupby exchange (ROUND_NOTES r4)
+    final = final.map_batches(
+        lambda b: pa.Table.from_pandas(b[["lang", "n_tokens_ws"]],
+                                       preserve_index=False),
+        batch_format="pandas")
     out = (final.groupby("lang")
            .aggregate(Count(alias_name="n_docs"),
                       Sum("n_tokens_ws", alias_name="total_tokens")))
