@@ -321,6 +321,80 @@ class RangeCheck(BatchCheck):
                                 f"outside [{cs.min_value}, {cs.max_value}]")
 
 
+def _when_mask(batch: pa.Table, when: tuple | None,
+               n_rows: int) -> np.ndarray | None:
+    """Row-condition mask for conditional (cross-column) rules; None when
+    the rule is unconditional."""
+    if when is None:
+        return None
+    col, val = when
+    if col not in batch.column_names:
+        return np.zeros(n_rows, dtype=bool)
+    eq = pc.fill_null(pc.equal(batch[col], val), False)
+    return np.asarray(eq.to_pandas(), dtype=bool)
+
+
+def _rule_label(cs) -> str:
+    """Counter label; conditional rules carry their condition so two rules
+    on the same column don't merge counts."""
+    if cs.when is None:
+        return cs.name
+    return f"{cs.name}?{cs.when[0]}={cs.when[1]}"
+
+
+class AcceptedValuesCheck(BatchCheck):
+    """Accepted-values expectation (the per-type value domains implied at
+    DESIGN.md:366-380, GE's expect_column_values_to_be_in_set): non-null
+    values must be in the declared set.  Nulls are completeness's business.
+    Honors ``ColumnSpec.when`` row conditions (cross-column rules)."""
+
+    def __init__(self, spec: TableSpec):
+        self.columns = spec.accepted_columns
+        # precompile value sets to Arrow once per actor
+        self._sets = [pa.array(list(c.accepted_values)) for c in self.columns]
+
+    def process(self, ctx: CheckContext) -> None:
+        batch = ctx.batch
+        for cs, vset in zip(self.columns, self._sets):
+            if cs.name not in batch.column_names:
+                continue
+            col = batch[cs.name]
+            ok = pc.is_in(col, value_set=vset)
+            viol = pc.and_kleene(pc.invert(ok), pc.is_valid(col))
+            mask = np.asarray(pc.fill_null(viol, False).to_pandas(), dtype=bool)
+            wm = _when_mask(batch, cs.when, ctx.n_rows)
+            if wm is not None:
+                mask &= wm
+            ctx.emit_violations(mask, "accepted", _rule_label(cs),
+                                f"not in accepted set ({len(vset)} values)")
+
+
+class FormatCheck(BatchCheck):
+    """Format expectation: the FULL non-null value must match the declared
+    RE2 ``ColumnSpec.pattern`` (engine anchors it).  Vectorized via Arrow's
+    RE2 kernel; nulls are completeness's business.  Honors ``when`` row
+    conditions (cross-column rules)."""
+
+    def __init__(self, spec: TableSpec):
+        self.columns = spec.pattern_columns
+        self._anchored = [f"^(?:{c.pattern})$" for c in self.columns]
+
+    def process(self, ctx: CheckContext) -> None:
+        batch = ctx.batch
+        for cs, rx in zip(self.columns, self._anchored):
+            if cs.name not in batch.column_names:
+                continue
+            col = batch[cs.name]
+            ok = pc.match_substring_regex(col, rx)
+            viol = pc.and_kleene(pc.invert(ok), pc.is_valid(col))
+            mask = np.asarray(pc.fill_null(viol, False).to_pandas(), dtype=bool)
+            wm = _when_mask(batch, cs.when, ctx.n_rows)
+            if wm is not None:
+                mask &= wm
+            ctx.emit_violations(mask, "format", _rule_label(cs),
+                                f"does not match /{cs.pattern}/")
+
+
 class Sha256Check(BatchCheck):
     """M11 / BASELINE.json input_hint: sha256(content) == content_sha256."""
 
@@ -449,11 +523,13 @@ class UniquenessHLLCheck(BatchCheck):
 
 def build_checks(spec: TableSpec, hist_edges: dict, nbins: int,
                  membership: dict[int, object]) -> list[BatchCheck]:
-    """Compile a spec into its check list: the five built-ins plus any
+    """Compile a spec into its check list: the built-ins plus any
     ``spec.custom_checks`` resolved through ``CHECK_REGISTRY``."""
     checks: list[BatchCheck] = [
         CompletenessCheck(spec),
         RangeCheck(spec),
+        AcceptedValuesCheck(spec),
+        FormatCheck(spec),
         Sha256Check(spec),
         ReferentialCheck(spec, membership),
         ProfileCheck(spec, hist_edges, nbins),

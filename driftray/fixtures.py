@@ -63,6 +63,8 @@ class RepoFilesConfig:
     p_orphan_repo: float = 0.003
     p_bad_commit: float = 0.003
     p_bad_sha: float = 0.001
+    p_bad_lang: float = 0.002       # lang outside the accepted set
+    p_bad_path_fmt: float = 0.002   # path with a space (format violation)
     lang_weights: tuple[float, ...] = (0.30, 0.20, 0.12, 0.10, 0.13, 0.10, 0.05)
     # drifted windows: content length ×1.5 and lang re-weighted toward "md"
     drift_len_scale: float = 1.5
@@ -153,7 +155,14 @@ def repo_files_batch(ids: np.ndarray, cfg: RepoFilesConfig) -> pa.Table:
     u_orph = _uniform(ids, 12, s) < cfg.p_orphan_repo
     u_badc = _uniform(ids, 13, s) < cfg.p_bad_commit
     u_bads = _uniform(ids, 14, s) < cfg.p_bad_sha
+    u_badl = _uniform(ids, 17, s) < cfg.p_bad_lang
+    u_badp = _uniform(ids, 18, s) < cfg.p_bad_path_fmt
 
+    lang = np.where(u_badl, "xx", lang)
+    path = np.where(u_badp,
+                    np.array([f"src dir/file {int(i) % 1000}.tmp"
+                              for i in _stream(ids, 19, s)], dtype=object),
+                    path)
     path = np.where(u_null & (_uniform(ids, 15, s) < 0.5), "", path)
     path[u_null & ~(_uniform(ids, 15, s) < 0.5)] = None
     # duplicates: copy the key of row id-1 (same window in practice)
@@ -187,7 +196,8 @@ def repo_files_batch(ids: np.ndarray, cfg: RepoFilesConfig) -> pa.Table:
             # ground-truth tags (sidecar columns; dropped from the engine input)
             "_null_path": pa.array(u_null), "_dup_key": pa.array(u_dup),
             "_orphan_repo": pa.array(u_orph), "_bad_commit": pa.array(u_badc),
-            "_bad_sha": pa.array(u_bads),
+            "_bad_sha": pa.array(u_bads), "_bad_lang": pa.array(u_badl),
+            "_bad_path_fmt": pa.array(u_badp),
         }
     )
 
@@ -248,7 +258,8 @@ def write_repo_files(out_dir: str, n_rows: int, cfg: RepoFilesConfig | None = No
     engine_cols = [c for c in full.column_names if not c.startswith("_")]
     pq.write_table(full.select(engine_cols), os.path.join(out_dir, "repo_files.parquet"))
     pq.write_table(full.select(["row_id", "window_id", "_null_path", "_dup_key",
-                                "_orphan_repo", "_bad_commit", "_bad_sha"]),
+                                "_orphan_repo", "_bad_commit", "_bad_sha",
+                                "_bad_lang", "_bad_path_fmt"]),
                    os.path.join(out_dir, "repo_files_expected.parquet"))
     repos, commits = dimensions(cfg)
     pq.write_table(repos, os.path.join(out_dir, "repos.parquet"))

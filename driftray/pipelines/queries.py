@@ -2681,6 +2681,124 @@ def q126_cooccurrence(sf_dir: str):
                               min_count=20, max_per_context=100_000)
 
 
+def _expectation_counters(ds: rd.Dataset, spec) -> pd.DataFrame:
+    """Run the REAL validation kernel (checks.ValidationKernel — the same
+    code path run_validation uses) over a Dataset and reduce its counter
+    findings to one (rule, n_violations) row per declared expectation."""
+    from ..checks import ValidationKernel
+    from ray.data.aggregate import Sum
+
+    findings = ds.map_batches(ValidationKernel(spec), batch_format="pyarrow")
+
+    def counters_only(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["kind"], "counter"),
+                       pc.not_equal(t["check"], "rows"))
+        t = t.filter(keep)
+        rule = pc.binary_join_element_wise(t["check"], t["column"], "|")
+        return pa.table({"rule": rule,
+                         "n": pc.cast(t["n"], pa.int64())})
+
+    out = (findings.map_batches(counters_only, batch_format="pyarrow")
+           .groupby("rule").aggregate(Sum("n", alias_name="n_violations"))
+           .to_pandas())
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out
+
+
+def q127_accepted_values(sf_dir: str):
+    """Accepted-values expectation (`checks.AcceptedValuesCheck`, GE
+    expect_column_values_to_be_in_set): events whose event_type falls
+    outside the declared domain, counted through the engine's
+    ValidationKernel — counters are per-batch integers that sum, so the
+    reduce is exact at any scale."""
+    from ..spec import ColumnSpec, TableSpec
+
+    spec = TableSpec(name="events", columns=[
+        ColumnSpec("event_type",
+                   accepted_values=("click", "view", "purchase", "signup")),
+    ])
+    ds = _t(sf_dir, "events", ["event_type"])
+    return _expectation_counters(ds, spec)
+
+
+def q128_format_violations(sf_dir: str):
+    """Format expectation (`checks.FormatCheck`): full-match RE2 patterns
+    per column over documents — Arrow's RE2 kernel per batch, counter
+    reduce, zero row materialization."""
+    from ..spec import ColumnSpec, TableSpec
+
+    spec = TableSpec(name="documents", columns=[
+        ColumnSpec("source", pattern=r"src[0-9]"),
+        ColumnSpec("lang", pattern=r"[a-z]{2}"),
+    ])
+    ds = _t(sf_dir, "documents", ["source", "lang"])
+    return _expectation_counters(ds, spec)
+
+
+def q129_conditional_rules(sf_dir: str):
+    """Cross-column conditional expectations (ColumnSpec.when): when
+    lang='en' then n_chars >= 100; when lang='zh' then source must be a
+    single-digit src — two rules on DIFFERENT target columns gated by a
+    discriminator column, the DESIGN.md:366-380 per-type-condition shape."""
+    from ..spec import ColumnSpec, TableSpec
+
+    spec = TableSpec(name="documents", columns=[
+        ColumnSpec("n_chars", min_value=100, when=("lang", "en")),
+        ColumnSpec("source", pattern=r"src[0-9]", when=("lang", "zh")),
+    ])
+    ds = _t(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return _expectation_counters(ds, spec)
+
+
+def q130_benford_digits(sf_dir: str):
+    """Benford first-significant-digit screen (`ops/anomaly
+    .benford_digit_counts`): digit counts per return flag — per-batch
+    partial counts, 9×|groups| shuffle rows."""
+    from ..ops.anomaly import benford_digit_counts
+
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return benford_digit_counts(li, "l_extendedprice", ["l_returnflag"])
+
+
+def q131_rolling_anomalies(sf_dir: str):
+    """Trailing-window z-score outliers per user (`ops/anomaly
+    .rolling_zscore`): the anomaly decision is an exact int64
+    cross-multiplied inequality, so the SQL window-frame oracle agrees
+    bit-for-bit at the 3σ boundary."""
+    from ..ops.anomaly import rolling_zscore
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                        pa.int64())
+        return t.drop_columns(["value"]).append_column("v", cents)
+
+    ev = ev.map_batches(to_cents, batch_format="pyarrow")
+    out = rolling_zscore(ev, ["user_id"], ["ts", "event_id"], "v",
+                         window=20, min_periods=5, z_threshold=3.0)
+    return out.select_columns(["event_id", "user_id", "n_prev", "is_anomaly"])
+
+
+def q132_freshness_lag(sf_dir: str):
+    """Per-type freshness vs the dataset watermark (`ops/anomaly
+    .freshness_lag`): one Max aggregate, µs-exact lag integers."""
+    from ..ops.anomaly import freshness_lag
+
+    ev = _t(sf_dir, "events", ["event_type", "ts"])
+    return freshness_lag(ev, "event_type", "ts")
+
+
+def q133_daily_count_anomaly(sf_dir: str):
+    """Per-day row-count outliers vs the median day (`ops/anomaly
+    .window_count_anomaly`): feed-drop / double-ingest detector; integer
+    percent-band decision."""
+    from ..ops.anomaly import window_count_anomaly
+
+    ev = _t(sf_dir, "events", ["ts"])
+    return window_count_anomaly(ev, "ts", low_pct=97, high_pct=103)
+
+
 def nq_compression_ratio(sf_dir: str):
     """Per-document zlib compression ratio
     (`ops/text.compression_ratios`) — the cheap redundancy signal
@@ -3884,6 +4002,80 @@ ORACLE_SQL["q126_cooccurrence"] = """
     FROM p a JOIN p b ON a.ctx = b.ctx AND a.item < b.item
     GROUP BY 1, 2 HAVING COUNT(*) >= 20"""
 
+ORACLE_SQL["q130_benford_digits"] = """
+    SELECT l_returnflag,
+           CAST(SUBSTR(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem WHERE l_extendedprice >= 1
+    GROUP BY 1, 2"""
+
+ORACLE_SQL["q131_rolling_anomalies"] = """
+    WITH v AS (SELECT event_id, user_id, ts,
+                      CAST(FLOOR(value * 100) AS BIGINT) AS v
+               FROM events),
+    w AS (SELECT event_id, user_id, v,
+                 COUNT(*) OVER win AS n,
+                 COALESCE(SUM(v) OVER win, 0) AS s,
+                 COALESCE(SUM(v * v) OVER win, 0) AS s2
+          FROM v
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_id, user_id, CAST(n AS BIGINT) AS n_prev,
+           CAST(CASE WHEN n >= 5
+                      AND (n*v - s) * (n*v - s) * (n - 1) > 9 * n * (n*s2 - s*s)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM w"""
+
+ORACLE_SQL["q132_freshness_lag"] = """
+    WITH m AS (SELECT event_type, MAX(ts) AS max_ts FROM events GROUP BY 1),
+         g AS (SELECT MAX(max_ts) AS wm FROM m)
+    SELECT event_type, max_ts,
+           date_diff('microsecond', max_ts, g.wm) AS lag_us
+    FROM m CROSS JOIN g"""
+
+ORACLE_SQL["q133_daily_count_anomaly"] = """
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+         m AS (SELECT CAST(2 * MEDIAN(n) AS BIGINT) AS med2 FROM d)
+    SELECT day, n,
+           CAST(CASE WHEN n * 200 < 97 * med2 OR n * 200 > 103 * med2
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM d CROSS JOIN m"""
+
+ORACLE_SQL["q127_accepted_values"] = """
+    SELECT 'accepted|event_type' AS rule,
+           CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
+                     AND event_type NOT IN ('click','view','purchase','signup')
+                     THEN 1 END), 0) AS BIGINT) AS n_violations
+    FROM events"""
+
+ORACLE_SQL["q128_format_violations"] = """
+    SELECT 'format|source' AS rule,
+           CAST(COALESCE(SUM(CASE WHEN source IS NOT NULL
+                     AND NOT regexp_matches(source, '^(?:src[0-9])$')
+                     THEN 1 END), 0) AS BIGINT) AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'format|lang',
+           CAST(COALESCE(SUM(CASE WHEN lang IS NOT NULL
+                     AND NOT regexp_matches(lang, '^(?:[a-z]{2})$')
+                     THEN 1 END), 0) AS BIGINT)
+    FROM documents"""
+
+ORACLE_SQL["q129_conditional_rules"] = """
+    SELECT 'range|n_chars' AS rule,
+           CAST(COALESCE(SUM(CASE WHEN lang = 'en' AND n_chars < 100
+                     THEN 1 END), 0) AS BIGINT) AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'format|source?lang=zh',
+           CAST(COALESCE(SUM(CASE WHEN lang = 'zh' AND source IS NOT NULL
+                     AND NOT regexp_matches(source, '^(?:src[0-9])$')
+                     THEN 1 END), 0) AS BIGINT)
+    FROM documents"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -4026,6 +4218,13 @@ SQL_QUERIES = {
     "q124_mutual_information": q124_mutual_information,
     "q125_pagerank": q125_pagerank,
     "q126_cooccurrence": q126_cooccurrence,
+    "q127_accepted_values": q127_accepted_values,
+    "q128_format_violations": q128_format_violations,
+    "q129_conditional_rules": q129_conditional_rules,
+    "q130_benford_digits": q130_benford_digits,
+    "q131_rolling_anomalies": q131_rolling_anomalies,
+    "q132_freshness_lag": q132_freshness_lag,
+    "q133_daily_count_anomaly": q133_daily_count_anomaly,
 }
 
 

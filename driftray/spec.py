@@ -19,9 +19,16 @@ class ColumnSpec:
     required   — null (and ''/NaN for str/float) counts as a completeness
                  violation (DESIGN.md:344-357 semantics).
     min/max    — range expectation bounds, inclusive (DESIGN.md:366-380).
-    when       — optional (column, value) row-condition gating the range
-                 check, mirroring the per-type conditions at DESIGN.md:369-379
-                 (e.g. traffic rows only).
+    when       — optional (column, value) row-condition gating the range /
+                 accepted-values / format checks, mirroring the per-type
+                 conditions at DESIGN.md:369-379 (e.g. traffic rows only).
+                 A second ColumnSpec entry for an already-declared column
+                 with ``when`` set expresses a cross-column conditional rule.
+    accepted_values — non-null values must be in this set (the
+                 expect_column_values_to_be_in_set expectation implied by
+                 the per-type discriminators at DESIGN.md:366-380).
+    pattern    — RE2 regex the FULL value must match (anchored by the
+                 engine); nulls are completeness's business.
     """
 
     name: str
@@ -29,6 +36,8 @@ class ColumnSpec:
     min_value: float | None = None
     max_value: float | None = None
     when: tuple[str, str] | None = None
+    accepted_values: tuple[str, ...] | None = None
+    pattern: str | None = None
 
 
 @dataclass(frozen=True)
@@ -94,6 +103,14 @@ class TableSpec:
     def range_columns(self) -> list[ColumnSpec]:
         return [c for c in self.columns if c.min_value is not None or c.max_value is not None]
 
+    @property
+    def accepted_columns(self) -> list[ColumnSpec]:
+        return [c for c in self.columns if c.accepted_values is not None]
+
+    @property
+    def pattern_columns(self) -> list[ColumnSpec]:
+        return [c for c in self.columns if c.pattern is not None]
+
 
 # --- specs for the driver-provided test tables (TESTDATA.md) ----------------
 
@@ -133,12 +150,17 @@ def repo_files_spec(max_content_len: int = 1 << 20) -> TableSpec:
     return TableSpec(
         name="repo_files",
         columns=[
-            ColumnSpec("repo", required=True),
-            ColumnSpec("path", required=True),
-            ColumnSpec("commit", required=True),
-            ColumnSpec("lang", required=True),
+            ColumnSpec("repo", required=True,
+                       pattern=r"[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+"),
+            ColumnSpec("path", required=True, pattern=r"[\w./-]+"),
+            ColumnSpec("commit", required=True, pattern=r"[0-9a-f]{40}"),
+            ColumnSpec("lang", required=True,
+                       accepted_values=("py", "js", "go", "rs", "java",
+                                        "md", "yaml")),
             ColumnSpec("content", required=True),
             ColumnSpec("content_len", min_value=0, max_value=max_content_len),
+            # cross-column conditional: python files must carry a .py path
+            ColumnSpec("path", pattern=r".*\.py", when=("lang", "py")),
         ],
         unique_key=("repo", "path", "commit"),
         foreign_keys=[
@@ -163,6 +185,8 @@ def spec_from_dict(d: dict) -> TableSpec:
             min_value=c.get("min"),
             max_value=c.get("max"),
             when=tuple(c["when"]) if c.get("when") else None,
+            accepted_values=tuple(c["accepted"]) if c.get("accepted") else None,
+            pattern=c.get("pattern"),
         )
         for c in d.get("columns", [])
     ]
