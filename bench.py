@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "q115_rolling_active_users",  # rolling 7-day COUNT(DISTINCT) per day
     "q120_apply_changes",       # CDC MERGE INTO (one key-hash exchange)
     "q125_pagerank",            # iterative PageRank (2 power rounds)
+    "q131_rolling_anomalies",   # trailing-window z-score outliers
+    "q134_documents_profile",   # whole-table auto-profiler (one pass)
 ]
 
 

@@ -1,0 +1,119 @@
+"""Distributed model fitting over Dataset passes: logistic regression.
+
+The curation stack scores documents with small linear models (quality
+classifiers a la CCNet/FineWeb).  Training one at corpus scale is an
+ITERATIVE full-batch gradient descent where each epoch is one streaming
+``map_batches`` pass emitting a (D+1)-dim gradient partial per block; the
+driver holds only the weight vector (KBs), so the input can be 100 TB.
+
+The input is materialized once (it is consumed ``epochs`` times; without
+the pin the lazy pipeline would re-read storage every epoch) after
+projecting to exactly the feature + label columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    out = np.empty_like(z)
+    pos = z >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-z[pos]))
+    ez = np.exp(z[~pos])
+    out[~pos] = ez / (1.0 + ez)
+    return out
+
+
+def logistic_fit(ds: rd.Dataset, x_cols: list[str], y_col: str,
+                 epochs: int = 30, lr: float = 1.0, l2: float = 0.0,
+                 standardize: bool = True) -> dict:
+    """Full-batch gradient-descent logistic regression.
+
+    Returns ``{"weights": np.ndarray[D], "bias": float, "mean": ...,
+    "std": ..., "loss": list[float per epoch], "n": int}`` — weights are in
+    STANDARDIZED feature space when ``standardize`` (apply via
+    :func:`logistic_score`).  Deterministic: full-batch gradients, fixed
+    epoch count; per-block partial sums reduce in block order.
+
+    Scale shape: one projection + materialize, then per epoch ONE
+    map_batches pass emitting a (D+2)-scalar row per block (gradient, loss,
+    count) — the driver reduces |blocks| tiny rows and updates the
+    broadcast weight vector.  No shuffle at any point.
+    """
+    import ray
+
+    d = len(x_cols)
+    proj = ds.select_columns(list(x_cols) + [y_col]).materialize()
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_cols].to_numpy(dtype=np.float64)
+        return pd.DataFrame([{
+            "n": np.int64(len(df)),
+            **{f"s{j}": x[:, j].sum() for j in range(d)},
+            **{f"q{j}": (x[:, j] ** 2).sum() for j in range(d)},
+        }])
+
+    if standardize:
+        st = proj.map_batches(stats_partial, batch_format="pandas").to_pandas()
+        n = float(st["n"].sum())
+        mean = np.array([st[f"s{j}"].sum() / n for j in range(d)])
+        var = np.array([st[f"q{j}"].sum() / n - mean[j] ** 2 for j in range(d)])
+        std = np.sqrt(np.maximum(var, 1e-12))
+    else:
+        mean, std = np.zeros(d), np.ones(d)
+    mean_ref, std_ref = ray.put(mean), ray.put(std)
+
+    w = np.zeros(d + 1)  # [bias, weights...]
+    losses = []
+    n_total = 0
+    for _ in range(epochs):
+        w_ref = ray.put(w)
+
+        def grad_partial(df: pd.DataFrame) -> pd.DataFrame:
+            wv = ray.get(w_ref)
+            x = (df[x_cols].to_numpy(dtype=np.float64) - ray.get(mean_ref)) \
+                / ray.get(std_ref)
+            y = df[y_col].to_numpy(dtype=np.float64)
+            z = x @ wv[1:] + wv[0]
+            p = _sigmoid(z)
+            err = p - y
+            # numerically-stable log-loss: log(1+e^-|z|) + max(z,0) - z*y
+            ll = np.log1p(np.exp(-np.abs(z))) + np.maximum(z, 0) - z * y
+            return pd.DataFrame([{
+                "n": np.int64(len(df)), "loss": ll.sum(),
+                "g0": err.sum(),
+                **{f"g{j + 1}": (err * x[:, j]).sum() for j in range(d)},
+            }])
+
+        parts = proj.map_batches(grad_partial, batch_format="pandas").to_pandas()
+        n_total = int(parts["n"].sum())
+        g = np.array([parts[f"g{j}"].sum() for j in range(d + 1)]) / n_total
+        g[1:] += l2 * w[1:]
+        w = w - lr * g
+        losses.append(float(parts["loss"].sum()) / n_total)
+
+    return {"weights": w[1:], "bias": float(w[0]), "mean": mean, "std": std,
+            "loss": losses, "n": n_total}
+
+
+def logistic_score(ds: rd.Dataset, model: dict, x_cols: list[str],
+                   out_col: str = "p") -> rd.Dataset:
+    """Score a Dataset with a :func:`logistic_fit` model — broadcast the
+    tiny model once, vectorized per batch."""
+    import ray
+
+    ref = ray.put({k: model[k] for k in ("weights", "bias", "mean", "std")})
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        x = (df[x_cols].to_numpy(dtype=np.float64) - m["mean"]) / m["std"]
+        df = df.copy()
+        df[out_col] = _sigmoid(x @ m["weights"] + m["bias"])
+        return df
+
+    return ds.map_batches(score, batch_format="pandas")

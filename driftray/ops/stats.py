@@ -29,7 +29,39 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-__all__ = ["grouped_ols", "mutual_information"]
+__all__ = ["grouped_ols", "mutual_information", "fd_violations"]
+
+
+def fd_violations(ds: rd.Dataset, lhs_cols: list[str], rhs_cols: list[str],
+                  num_partitions: int | None = None) -> pd.DataFrame:
+    """Functional-dependency check: does ``lhs -> rhs`` hold?
+
+    Returns one row: ``n_lhs`` (distinct LHS keys) and ``n_violating``
+    (LHS keys mapping to more than one distinct RHS value) — the schema
+    normalization / dirty-join-key screen (Deequ's ``hasUniqueness``
+    composite cousin).
+
+    Scale shape: one distinct over (lhs, rhs) — shuffle ∝ distinct pairs,
+    not rows — then a key-cardinality groupby-count; both exchanges reuse
+    the same hash partitioning.  The result is two scalars.
+    """
+    from ray.data.aggregate import Count
+
+    from .relational import distinct
+
+    pairs = distinct(ds.select_columns(list(lhs_cols) + list(rhs_cols)),
+                     list(lhs_cols) + list(rhs_cols))
+    per_key = pairs.groupby(list(lhs_cols)).aggregate(
+        Count(alias_name="n_rhs"))
+
+    def verdict(t: pa.Table) -> pa.Table:
+        viol = pc.sum(pc.cast(pc.greater(t["n_rhs"], 1), pa.int64())).as_py() or 0
+        return pa.table({"n_lhs": pa.array([t.num_rows], pa.int64()),
+                         "n_violating": pa.array([viol], pa.int64())})
+
+    # one tiny row per block reaches the driver — two scalars after the sum
+    parts = per_key.map_batches(verdict, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([parts.sum().astype("int64")])
 
 
 def grouped_ols(ds: rd.Dataset, group_col: str, x_col: str, y_col: str,

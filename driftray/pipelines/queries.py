@@ -2799,6 +2799,76 @@ def q133_daily_count_anomaly(sf_dir: str):
     return window_count_anomaly(ev, "ts", low_pct=97, high_pct=103)
 
 
+def q134_documents_profile(sf_dir: str):
+    """Whole-table auto-profiler (`ops/profile.profile_table`): every
+    column's count / nulls / min / max / sum in ONE streaming pass —
+    per-batch sketch partials hash-partitioned BY COLUMN NAME, so the
+    driver sees |columns| rows regardless of table size.  The oracled
+    subset is integer-exact (values for numerics, utf8 lengths for
+    strings); the HLL/top-k side is covered by nq_table_profile."""
+    from ..ops.profile import profile_table
+
+    prof = profile_table(_t(sf_dir, "documents"))
+    out = prof[["col", "n", "n_null", "vmin", "vmax", "vsum"]].copy()
+    for c in ("vmin", "vmax", "vsum"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q135_fd_check(sf_dir: str):
+    """Functional-dependency screen (`ops/stats.fd_violations`): does
+    user_id -> event_type hold?  Distinct-pair shuffle + key-cardinality
+    count; two scalars out."""
+    from ..ops.stats import fd_violations
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+    return fd_violations(ev, ["user_id"], ["event_type"])
+
+
+def nq_table_profile(sf_dir: str):
+    """Full profiler row set incl. HLL approx-distinct, mean/std and
+    Misra-Gries top values (JSON) — the non-SQL half of q134."""
+    from ..ops.profile import profile_table
+
+    prof = profile_table(_t(sf_dir, "documents"))
+    return _round_cols(prof.drop(columns=["moments", "hll", "mg"],
+                                 errors="ignore"),
+                       {"mean": ROUND_F, "std": ROUND_F})
+
+
+def nq_logreg_quality(sf_dir: str):
+    """Quality-classifier training (`ops/ml.logistic_fit`): full-batch
+    distributed gradient descent (one streaming pass per epoch, driver
+    holds only the weight vector), then broadcast scoring — per-lang mean
+    predicted probability for the is-English head.  The CCNet/FineWeb
+    linear-filter training loop."""
+    from ray.data.aggregate import Count, Mean
+    from ..ops.ml import logistic_fit, logistic_score
+
+    docs = _t(sf_dir, "documents", ["text", "lang", "n_chars"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df["text"].fillna("")
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "f_len": df["n_chars"].astype("float64"),
+            "f_spaces": txt.str.count(" ").astype("float64"),
+            "f_digits": txt.str.count(r"\d").astype("float64"),
+            "y": (df["lang"] == "en").astype("float64"),
+        })
+
+    feat = docs.map_batches(feats, batch_format="pandas")
+    model = logistic_fit(feat, ["f_len", "f_spaces", "f_digits"], "y",
+                         epochs=25, lr=1.0)
+    scored = logistic_score(feat, model, ["f_len", "f_spaces", "f_digits"])
+    out = (scored.groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Mean("p", alias_name="mean_p"))
+           .to_pandas().sort_values("lang", ignore_index=True))
+    out["final_loss"] = round(model["loss"][-1], 6)
+    return _round_cols(out, {"mean_p": ROUND_F})
+
+
 def nq_compression_ratio(sf_dir: str):
     """Per-document zlib compression ratio
     (`ops/text.compression_ratios`) — the cheap redundancy signal
@@ -4044,6 +4114,45 @@ ORACLE_SQL["q133_daily_count_anomaly"] = """
                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
     FROM d CROSS JOIN m"""
 
+ORACLE_SQL["q134_documents_profile"] = """
+    SELECT 'doc_id' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(MIN(doc_id) AS BIGINT) AS vmin, CAST(MAX(doc_id) AS BIGINT) AS vmax,
+           CAST(SUM(doc_id) AS BIGINT) AS vsum
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(n_chars) AS BIGINT), CAST(MAX(n_chars) AS BIGINT),
+           CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'text', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(LENGTH(text)) AS BIGINT), CAST(MAX(LENGTH(text)) AS BIGINT),
+           CAST(SUM(LENGTH(text)) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(LENGTH(lang)) AS BIGINT), CAST(MAX(LENGTH(lang)) AS BIGINT),
+           CAST(SUM(LENGTH(lang)) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(MIN(LENGTH(source)) AS BIGINT), CAST(MAX(LENGTH(source)) AS BIGINT),
+           CAST(SUM(LENGTH(source)) AS BIGINT)
+    FROM documents"""
+
+ORACLE_SQL["q135_fd_check"] = """
+    WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+         c AS (SELECT user_id, COUNT(*) AS n_rhs FROM p GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(COALESCE(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_violating
+    FROM c"""
+
 ORACLE_SQL["q127_accepted_values"] = """
     SELECT 'accepted|event_type' AS rule,
            CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
@@ -4225,6 +4334,8 @@ SQL_QUERIES = {
     "q131_rolling_anomalies": q131_rolling_anomalies,
     "q132_freshness_lag": q132_freshness_lag,
     "q133_daily_count_anomaly": q133_daily_count_anomaly,
+    "q134_documents_profile": q134_documents_profile,
+    "q135_fd_check": q135_fd_check,
 }
 
 
@@ -4787,6 +4898,8 @@ NONSQL_QUERIES = {
     "nq_validate_documents": nq_validate_documents,
     "nq_validate_events": nq_validate_events,
     "nq_compression_ratio": nq_compression_ratio,
+    "nq_table_profile": nq_table_profile,
+    "nq_logreg_quality": nq_logreg_quality,
 }
 
 # The correctness driver snapshots only the FIRST 50 entries of
