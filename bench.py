@@ -171,6 +171,16 @@ def run_queries() -> dict[str, float]:
 def main() -> None:
     import ray
 
+    # Generate a missing fixture in a SUBPROCESS with its own Ray session:
+    # writing the 2.5 GB fixture in this session leaves the object store
+    # under spill pressure and the page cache churned, which contaminates
+    # the timed headline ~10x (measured 103.6 s vs 9.5 s warm).
+    if not os.path.exists(os.path.join(BENCH_FIXTURE_DIR, "_COMPLETE")) \
+            and "--make-fixture" not in sys.argv:
+        subprocess.run([sys.executable, os.path.join(REPO, "bench.py"),
+                        "--make-fixture"], check=True, cwd=REPO,
+                       capture_output=True)
+
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  logging_level="ERROR")
@@ -180,6 +190,9 @@ def main() -> None:
     ctx.enable_progress_bars = False
 
     ensure_bench_fixture()  # untimed: generation + page-cache warm
+    if "--make-fixture" in sys.argv:
+        ray.shutdown()
+        return
     warmup()                # untimed: spawn workers + import library everywhere
     head = run_headline()
     qtimes = {} if os.environ.get("DRIFTRAY_SKIP_QUERIES") else run_queries()

@@ -10,11 +10,15 @@ the item-item similarity count behind recommenders and entity linkage).
 
 Scale shape:
 * ``pagerank`` — the rank vector and the edge list stay DATASETS end to
-  end; one iteration = join(edges ⋈ ranks on src, hash) + groupby(dst)
-  sum + a union+groupby ZERO-FILL back onto the node set (3 key-hash
-  exchanges, each ∝ edges/nodes, never collected; the zero-fill is
-  deliberately NOT a left-outer join — a join whose side descends from
-  another join loses schema on empty hash partitions, ROUND_NOTES r3).
+  end; one iteration = TWO key-hash exchanges and ZERO joins:
+  (1) rank rows and edge rows union (tagged) and hash-partition by src —
+  a vectorized per-partition merge emits one contribution row per edge;
+  (2) those raw contributions union with the node set's zero rows and
+  ONE groupby(node) folds the Σ and the zero-fill together.  No
+  ``Dataset.join`` anywhere in the loop: the hash-shuffle join spins up
+  ``num_partitions`` aggregator actors per call, which both costs
+  per-round actor startup and deadlocks when partitions exceed cluster
+  CPUs (ROUND_NOTES r4) — the tagged-union exchange has neither problem.
   The edge list and node/out-degree table build once up front (the
   degree via a union+groupby, no join) and the rank Dataset carries its
   node's out-degree so the dangling mass is one scalar aggregate per
@@ -51,8 +55,8 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
 
     Parallel edges are collapsed first (DISTINCT on (src, dst)); the node
     set is src ∪ dst.  Returns one row per node: ``(node, rank)``,
-    summing to 1.  ``iterations`` is explicit — each round is 3 key-hash
-    exchanges; rank error decays ∝ damping^t.
+    summing to 1.  ``iterations`` is explicit — each round is 2 key-hash
+    exchanges (no joins); rank error decays ∝ damping^t.
     """
     from ray.data.aggregate import Max, Sum
 
@@ -96,6 +100,9 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
 
     ranks = node_deg.map_batches(init, batch_format="pyarrow").materialize()
 
+    _sch = e.schema()
+    dst_type = dict(zip(_sch.names, _sch.types))[dst_col]
+
     for _ in range(iterations):
         # dangling mass in ONE scalar aggregate over ranks
         def mass(t: pa.Table) -> pa.Table:
@@ -106,22 +113,47 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
         dang = float(ranks.map_batches(mass, batch_format="pyarrow")
                      .sum("__dang") or 0.0)
 
-        # contributions: edges ⋈ ranks on src — both sides are PURELY
-        # materialized datasets (see naming note above)
-        contrib = e.join(ranks, join_type="inner", on=(src_col,),
-                         num_partitions=P)
-
-        def scale(t: pa.Table) -> pa.Table:
+        # contributions WITHOUT a join: tag rank rows (kind 0, val=r/deg)
+        # and edge rows (kind 1), hash-partition the union by src, and do
+        # one vectorized pandas merge per PARTITION — r/deg flows onto
+        # every out-edge, one output row per edge, keyed by dst.  The
+        # union schema is NULL-FREE (rank rows carry src as a dummy dst):
+        # a nullable int64 dst would land in pandas as float64 inside the
+        # partition kernel and corrupt node ids > 2^53 (the CC lesson,
+        # ROUND_NOTES r3).
+        def rank_val(t: pa.Table) -> pa.Table:
             r = t[rank_col].to_numpy(zero_copy_only=False)
             d = t["__deg"].to_numpy(zero_copy_only=False).astype(np.float64)
-            return pa.table({src_col: t[dst_col], "__c": pa.array(r / d)})
+            val = np.divide(r, d, out=np.zeros_like(r), where=d > 0)
+            return pa.table({src_col: t[src_col],
+                             dst_col: pc.cast(t[src_col], dst_type),
+                             "__val": pa.array(val),
+                             "__kind": pa.array(
+                                 np.zeros(t.num_rows, np.int8))})
 
-        sums = (contrib.map_batches(scale, batch_format="pyarrow")
-                .groupby(src_col).aggregate(Sum("__c", alias_name="__c")))
+        def edge_row(t: pa.Table) -> pa.Table:
+            return pa.table({src_col: t[src_col], dst_col: t[dst_col],
+                             "__val": pa.array(np.zeros(t.num_rows)),
+                             "__kind": pa.array(
+                                 np.ones(t.num_rows, np.int8))})
 
-        # zero-fill WITHOUT a join (empty-partition-proof): union the
-        # node set as (node, deg, c=0) rows with the contribution sums
-        # as (node, deg=0, c) rows; groupby(node) re-derives both
+        tagged = (ranks.map_batches(rank_val, batch_format="pyarrow")
+                  .union(e.map_batches(edge_row, batch_format="pyarrow")))
+
+        def merge_part(df: pd.DataFrame) -> pa.Table:
+            vals = df[df["__kind"] == 0][[src_col, "__val"]]
+            ed = df[df["__kind"] == 1][[src_col, dst_col]]
+            m = ed.merge(vals, on=src_col, how="inner")
+            return pa.Table.from_pandas(
+                pd.DataFrame({src_col: m[dst_col], "__c": m["__val"]}),
+                preserve_index=False)
+
+        contrib = partitioned_group_apply(tagged, [src_col], merge_part,
+                                          num_partitions=P)
+
+        # zero-fill fused with the Σ: union the node set as
+        # (node, deg, c=0) rows with the RAW per-edge contributions as
+        # (node, deg=0, c) rows; ONE groupby(node) derives both
         def as_zero(t: pa.Table) -> pa.Table:
             return pa.table({src_col: t[src_col], "__deg": t["__deg"],
                              "__c": pa.array(np.zeros(t.num_rows))})
@@ -133,8 +165,8 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
                 "__c": pc.cast(t["__c"], pa.float64())})
 
         merged = (ranks.map_batches(as_zero, batch_format="pyarrow")
-                  .union(sums.map_batches(as_contrib,
-                                          batch_format="pyarrow"))
+                  .union(contrib.map_batches(as_contrib,
+                                             batch_format="pyarrow"))
                   .groupby(src_col)
                   .aggregate(Max("__deg", alias_name="__deg"),
                              Sum("__c", alias_name="__c")))
