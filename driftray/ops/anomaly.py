@@ -182,3 +182,56 @@ def window_count_anomaly(ds: rd.Dataset, ts_col: str,
     per["is_anomaly"] = ((n100 < low_pct * med2) |
                          (n100 > high_pct * med2)).astype(np.int64)
     return per
+
+
+def cusum_changepoints(ds: rd.Dataset, ts_col: str, value_col: str,
+                       k_sigma: float = 0.5, h_sigma: float = 5.0,
+                       baseline_days: int | None = None,
+                       day_col: str = "day") -> pd.DataFrame:
+    """Two-sided CUSUM change-point detection over the DAILY MEAN series
+    (Page's test — the level-shift detector threshold rules miss).
+
+    Scale shape: the corpus reduces to one (day, sum, count) row per day
+    via per-batch partials + a |days|-sized groupby; the CUSUM recursion
+    (inherently sequential, O(|days|)) runs on the driver over that tiny
+    series.  Days, not rows, bound the driver work.
+
+    ``baseline_days``: estimate the in-control mean/σ from the FIRST that
+    many days (the standard Page formulation — a detector standardized on
+    the whole series sees a mean pulled toward the post-shift level and
+    alarms on the in-control side too).  None = whole series (drift
+    screening over a window believed mostly in-control).
+
+    Returns per-day rows: ``day, mean, cusum_hi, cusum_lo, alarm`` where
+    the statistics are in σ units of the daily-mean series and ``alarm``
+    flags |CUSUM| > h_sigma.  k_sigma is the slack per step.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def day_rows(t: pa.Table) -> pa.Table:
+        return pa.table({day_col: pc.floor_temporal(t[ts_col], unit="day"),
+                         "__v": pc.cast(t[value_col], pa.float64())})
+
+    per = (ds.select_columns([ts_col, value_col])
+           .map_batches(day_rows, batch_format="pyarrow")
+           .groupby(day_col)
+           .aggregate(Sum("__v", alias_name="__s"),
+                      Count(alias_name="__n"))
+           .to_pandas().sort_values(day_col, ignore_index=True))
+    means = per["__s"].to_numpy() / per["__n"].to_numpy()
+    base = means[:baseline_days] if baseline_days else means
+    mu, sd = float(base.mean()), float(base.std(ddof=0) or 1.0)
+    z = (means - mu) / (sd if sd > 0 else 1.0)
+
+    hi = np.zeros(len(z))
+    lo = np.zeros(len(z))
+    h_prev = l_prev = 0.0
+    for i, zi in enumerate(z):          # O(|days|) — driver-side by design
+        h_prev = max(0.0, h_prev + zi - k_sigma)
+        l_prev = min(0.0, l_prev + zi + k_sigma)
+        hi[i], lo[i] = h_prev, l_prev
+
+    return pd.DataFrame({day_col: per[day_col], "mean": means,
+                         "cusum_hi": hi, "cusum_lo": lo,
+                         "alarm": ((hi > h_sigma) | (-lo > h_sigma))
+                         .astype(np.int64)})

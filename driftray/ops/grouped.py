@@ -285,3 +285,67 @@ def grouped_concat(ds: rd.Dataset, key_cols: list[str],
 
     return partitioned_group_apply(ds, key_cols, per_partition,
                                    num_partitions=num_partitions)
+
+
+def grouped_winsorize_stats(ds: rd.Dataset, key_cols: list[str],
+                            value_col: str, q_lo: float = 0.05,
+                            q_hi: float = 0.95,
+                            num_partitions: int = 64) -> rd.Dataset:
+    """Per-group winsorization against EXACT order-statistic bounds: the
+    bound for quantile q is the ceil(q·n)-th smallest value (SQL
+    ``quantile_disc`` semantics — a real data value, so engine and oracle
+    agree bit-for-bit; no interpolation float drift).
+
+    Returns one row per group: ``n, lo, hi, n_below, n_above, wins_sum``
+    where ``n_below``/``n_above`` count STRICT outliers and ``wins_sum``
+    is the sum after clipping to [lo, hi] — exact int64 for integer
+    inputs (pre-scale floats to cents upstream).
+
+    One hash exchange; per partition the kernel sorts all its groups once
+    and reads every bound by index arithmetic over run boundaries — no
+    per-group Python.
+    """
+    if not (0.0 < q_lo <= q_hi < 1.0):
+        raise ValueError("need 0 < q_lo <= q_hi < 1")
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        cols = key_cols + ["n", "lo", "hi", "n_below", "n_above", "wins_sum"]
+        if len(df) == 0:
+            return pa.Table.from_pandas(pd.DataFrame(columns=cols),
+                                        preserve_index=False)
+        df = df.sort_values(key_cols + [value_col], kind="mergesort",
+                            ignore_index=True)
+        v = df[value_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            raise TypeError(
+                f"grouped_winsorize_stats needs an integer value column "
+                f"for exactness; got {v.dtype} — pre-scale floats upstream")
+        m = len(df)
+        key_change = np.zeros(m, dtype=bool)
+        key_change[0] = True
+        for k in key_cols:
+            kv = df[k].to_numpy()
+            key_change[1:] |= kv[1:] != kv[:-1]
+        run_id = np.cumsum(key_change) - 1
+        run_start = np.flatnonzero(key_change)
+        n = np.diff(np.append(run_start, m))
+        # ceil(q*n)-th smallest, 1-indexed → offset ceil(q*n)-1 in the run
+        k_lo = np.maximum(np.ceil(q_lo * n).astype(np.int64), 1) - 1
+        k_hi = np.maximum(np.ceil(q_hi * n).astype(np.int64), 1) - 1
+        lo = v[run_start + k_lo]
+        hi = v[run_start + k_hi]
+        below = v < lo[run_id]
+        above = v > hi[run_id]
+        clipped = np.clip(v, lo[run_id], hi[run_id]).astype(np.int64)
+        out = df.iloc[run_start][key_cols].reset_index(drop=True)
+        out["n"] = n.astype(np.int64)
+        out["lo"] = lo.astype(np.int64)
+        out["hi"] = hi.astype(np.int64)
+        out["n_below"] = np.add.reduceat(below.astype(np.int64), run_start)
+        out["n_above"] = np.add.reduceat(above.astype(np.int64), run_start)
+        out["wins_sum"] = np.add.reduceat(clipped, run_start)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return partitioned_group_apply(
+        ds.select_columns(key_cols + [value_col]), key_cols, per_partition,
+        num_partitions=num_partitions)

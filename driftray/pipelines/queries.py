@@ -2869,6 +2869,40 @@ def nq_logreg_quality(sf_dir: str):
     return _round_cols(out, {"mean_p": ROUND_F})
 
 
+def q136_winsorized_values(sf_dir: str):
+    """Per-type winsorization (`ops/grouped.grouped_winsorize_stats`):
+    outlier treatment against EXACT order-statistic bounds (quantile_disc
+    semantics — a real data value, no interpolation float drift), so
+    bounds, strict-outlier counts and the clipped sum are all int64-exact
+    vs the SQL oracle."""
+    from ..ops.grouped import grouped_winsorize_stats
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                        pa.int64())
+        return pa.table({"event_type": t["event_type"], "v": cents})
+
+    ev = ev.map_batches(to_cents, batch_format="pyarrow")
+    out = grouped_winsorize_stats(ev, ["event_type"], "v",
+                                  q_lo=0.05, q_hi=0.95)
+    return out.to_pandas().sort_values("event_type", ignore_index=True)
+
+
+def nq_cusum_changepoint(sf_dir: str):
+    """Two-sided CUSUM over the daily-mean series
+    (`ops/anomaly.cusum_changepoints`) — Page's level-shift detector;
+    corpus reduces to one row per day, the O(|days|) recursion runs on
+    the driver by design."""
+    from ..ops.anomaly import cusum_changepoints
+
+    ev = _t(sf_dir, "events", ["ts", "value"])
+    out = cusum_changepoints(ev, "ts", "value", k_sigma=0.5, h_sigma=4.0)
+    return _round_cols(out, {"mean": ROUND_F, "cusum_hi": ROUND_F,
+                             "cusum_lo": ROUND_F})
+
+
 def nq_compression_ratio(sf_dir: str):
     """Per-document zlib compression ratio
     (`ops/text.compression_ratios`) — the cheap redundancy signal
@@ -4153,6 +4187,23 @@ ORACLE_SQL["q135_fd_check"] = """
                 AS BIGINT) AS n_violating
     FROM c"""
 
+ORACLE_SQL["q136_winsorized_values"] = """
+    WITH v AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS v
+               FROM events),
+         b AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(quantile_disc(v, 0.05) AS BIGINT) AS lo,
+                      CAST(quantile_disc(v, 0.95) AS BIGINT) AS hi
+               FROM v GROUP BY 1)
+    SELECT b.event_type, b.n, b.lo, b.hi,
+           CAST(SUM(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below,
+           CAST(SUM(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above,
+           CAST(SUM(LEAST(GREATEST(v.v, b.lo), b.hi)) AS BIGINT)
+               AS wins_sum
+    FROM v JOIN b USING (event_type)
+    GROUP BY 1, 2, 3, 4"""
+
 ORACLE_SQL["q127_accepted_values"] = """
     SELECT 'accepted|event_type' AS rule,
            CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
@@ -4336,6 +4387,7 @@ SQL_QUERIES = {
     "q133_daily_count_anomaly": q133_daily_count_anomaly,
     "q134_documents_profile": q134_documents_profile,
     "q135_fd_check": q135_fd_check,
+    "q136_winsorized_values": q136_winsorized_values,
 }
 
 
@@ -4900,6 +4952,7 @@ NONSQL_QUERIES = {
     "nq_compression_ratio": nq_compression_ratio,
     "nq_table_profile": nq_table_profile,
     "nq_logreg_quality": nq_logreg_quality,
+    "nq_cusum_changepoint": nq_cusum_changepoint,
 }
 
 # The correctness driver snapshots only the FIRST 50 entries of

@@ -146,3 +146,66 @@ class TestCountAnomaly:
         ds = rd.from_pandas(pd.DataFrame({"ts": pd.to_datetime(days)}))
         out = window_count_anomaly(ds, "ts", low_pct=80, high_pct=120)
         assert out["is_anomaly"].tolist() == [1, 1, 1, 1]
+
+
+class TestCusum:
+    def test_level_shift_detected(self, ray_session):
+        import pandas as pd
+        from driftray.ops.anomaly import cusum_changepoints
+        import ray.data as rd
+        # 20 days at level 10, then 10 days at level 12 → hi-side alarm
+        days, vals = [], []
+        for d in range(30):
+            lvl = 10.0 if d < 20 else 12.0
+            for k in range(50):
+                days.append(pd.Timestamp("2026-01-01") + pd.Timedelta(days=d,
+                                                                      minutes=k))
+                vals.append(lvl + (k % 5 - 2) * 0.01)
+        ds = rd.from_pandas(pd.DataFrame({"ts": days, "value": vals}))
+        out = cusum_changepoints(ds, "ts", "value", k_sigma=0.5, h_sigma=3.0,
+                                 baseline_days=15)
+        assert len(out) == 30
+        assert out["alarm"].iloc[:20].sum() == 0
+        assert out["alarm"].iloc[22:].all()
+
+    def test_no_shift_no_alarm(self, ray_session):
+        import pandas as pd
+        from driftray.ops.anomaly import cusum_changepoints
+        import ray.data as rd
+        rng = np.random.default_rng(2)
+        ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(
+            rng.integers(0, 30 * 86400, size=3000), unit="s")
+        ds = rd.from_pandas(pd.DataFrame({"ts": ts,
+                                          "value": rng.normal(5, 1, 3000)}))
+        out = cusum_changepoints(ds, "ts", "value", k_sigma=0.5, h_sigma=5.0)
+        assert out["alarm"].sum() == 0
+
+
+class TestWinsorize:
+    def test_exact_order_statistic_bounds(self, ray_session):
+        import pandas as pd
+        from driftray.ops.grouped import grouped_winsorize_stats
+        import ray.data as rd
+        # group a: values 1..20 → q05 bound = ceil(.05*20)=1st = 1,
+        # q95 = ceil(.95*20)=19th = 19
+        df = pd.DataFrame({"g": ["a"] * 20 + ["b"] * 10,
+                           "v": list(range(1, 21)) + [100] * 9 + [1000]})
+        out = (grouped_winsorize_stats(rd.from_pandas(df), ["g"], "v",
+                                       num_partitions=4)
+               .to_pandas().set_index("g"))
+        assert out.loc["a", ["n", "lo", "hi"]].tolist() == [20, 1, 19]
+        assert out.loc["a", "n_below"] == 0 and out.loc["a", "n_above"] == 1
+        assert out.loc["a", "wins_sum"] == sum(range(1, 20)) + 19
+        # group b: lo = 1st = 100, hi = ceil(9.5)=10th = 1000
+        assert out.loc["b", ["lo", "hi"]].tolist() == [100, 1000]
+        assert out.loc["b", "wins_sum"] == 900 + 1000
+
+    def test_float_rejected(self, ray_session):
+        import pandas as pd
+        import pytest as _pt
+        from driftray.ops.grouped import grouped_winsorize_stats
+        import ray.data as rd
+        df = pd.DataFrame({"g": ["a"], "v": [1.5]})
+        with _pt.raises(Exception):
+            grouped_winsorize_stats(rd.from_pandas(df), ["g"], "v",
+                                    num_partitions=4).to_pandas()
