@@ -1012,3 +1012,120 @@ def compression_ratios(ds, text_col: str, id_cols: list[str],
 
     return (ds.select_columns(id_cols + [text_col])
             .map_batches(ratios, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training — the standard two-level shape: ONE distributed
+# pass reduces the corpus to a word-frequency table (vocabulary-scale, KBs
+# per 100 TB of text), then the merge loop runs locally over that table
+# (exactly how production BPE trainers work — merges never rescan the
+# corpus).  Encoding broadcasts the merge ranks and runs per batch.
+# ---------------------------------------------------------------------------
+
+
+def bpe_train(ds, text_col: str = "text", num_merges: int = 200,
+              min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merges on a corpus.
+
+    Distributed part: :func:`global_token_counts` — per-batch partial
+    word counts, one vocabulary-sized exchange.  Local part: the merge
+    loop over the word-frequency dict (symbol sequences only as long as
+    words; cost ∝ vocabulary, independent of corpus size).  Ties break
+    deterministically by (count DESC, pair lexicographic).
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    wc = global_token_counts(ds, text_col=text_col).to_pandas()
+    words = wc["token"].to_numpy(dtype=object)
+    counts = wc["n"].to_numpy(dtype=np.int64)
+
+    # symbol sequences per word; </w> marks word end (classic BPE)
+    seqs = [tuple(w) + ("</w>",) for w in words]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for seq, c in zip(seqs, counts):
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + int(c)
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        ab = a + b
+        new_seqs = []
+        for seq in seqs:
+            if a not in seq:
+                new_seqs.append(seq)
+                continue
+            out, i, n = [], 0, len(seq)
+            while i < n:
+                if i < n - 1 and seq[i] == a and seq[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs.append(tuple(out))
+        seqs = new_seqs
+    return merges
+
+
+class BpeEncoder:
+    """Actor-pool encode stage: merge ranks broadcast once per actor
+    (``__init__``), per-batch vectorized-ish encode (the inner merge walk
+    is per WORD over a memoized word→pieces cache, so repeated words —
+    the overwhelming majority of any corpus — cost one dict hit)."""
+
+    def __init__(self, merges: list[tuple[str, str]],
+                 text_col: str = "text", out_col: str = "n_bpe_tokens"):
+        self.ranks = {tuple(m): r for r, m in enumerate(merges)}
+        self.text_col = text_col
+        self.out_col = out_col
+        self._cache: dict[str, int] = {}
+
+    def _encode_word(self, w: str) -> int:
+        hit = self._cache.get(w)
+        if hit is not None:
+            return hit
+        seq = list(w) + ["</w>"]
+        ranks = self.ranks
+        while len(seq) > 1:
+            best_r, best_i = None, -1
+            for i in range(len(seq) - 1):
+                r = ranks.get((seq[i], seq[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_r, best_i = r, i
+            if best_r is None:
+                break
+            seq[best_i: best_i + 2] = [seq[best_i] + seq[best_i + 1]]
+        n = len(seq)
+        if len(self._cache) < 1_000_000:
+            self._cache[w] = n
+        return n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        enc = self._encode_word
+        out = df.copy()
+        out[self.out_col] = [
+            sum(enc(w) for w in t.split(" ") if w) if t else 0
+            for t in df[self.text_col].fillna("")
+        ]
+        out[self.out_col] = out[self.out_col].astype("int64")
+        return out
+
+
+def bpe_token_counts(ds, merges: list[tuple[str, str]],
+                     text_col: str = "text",
+                     out_col: str = "n_bpe_tokens",
+                     concurrency: int | None = None):
+    """Per-document BPE token counts with the merge table held per actor."""
+    from .pool import actor_pool
+
+    conc = actor_pool() if concurrency is None else concurrency
+    return ds.map_batches(
+        BpeEncoder, fn_constructor_args=(merges, text_col, out_col),
+        batch_format="pandas", concurrency=conc)

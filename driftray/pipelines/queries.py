@@ -2903,6 +2903,31 @@ def nq_cusum_changepoint(sf_dir: str):
                              "cusum_lo": ROUND_F})
 
 
+def nq_bpe_tokenizer(sf_dir: str):
+    """BPE tokenizer training + encoding (`ops/text.bpe_train` /
+    `bpe_token_counts`): the corpus reduces to a word-frequency table in
+    ONE distributed pass, the merge loop runs over that table (cost ∝
+    vocabulary, not corpus), and encoding broadcasts the merge ranks to
+    an actor pool.  Output: per-lang doc counts + total BPE token counts
+    (integers, deterministic)."""
+    from ray.data.aggregate import Count, Sum
+    from ..ops.text import bpe_token_counts, bpe_train
+
+    docs = _t(sf_dir, "documents", ["text", "lang"])
+    merges = bpe_train(docs, text_col="text", num_merges=100)
+    enc = bpe_token_counts(docs, merges, text_col="text")
+    out = (enc.map_batches(
+        lambda b: pa.Table.from_pandas(b[["lang", "n_bpe_tokens"]],
+                                       preserve_index=False),
+        batch_format="pandas")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_bpe_tokens", alias_name="total_bpe_tokens"))
+        .to_pandas().sort_values("lang", ignore_index=True))
+    out["n_merges"] = len(merges)
+    return out
+
+
 def nq_compression_ratio(sf_dir: str):
     """Per-document zlib compression ratio
     (`ops/text.compression_ratios`) — the cheap redundancy signal
@@ -4953,6 +4978,7 @@ NONSQL_QUERIES = {
     "nq_table_profile": nq_table_profile,
     "nq_logreg_quality": nq_logreg_quality,
     "nq_cusum_changepoint": nq_cusum_changepoint,
+    "nq_bpe_tokenizer": nq_bpe_tokenizer,
 }
 
 # The correctness driver snapshots only the FIRST 50 entries of
