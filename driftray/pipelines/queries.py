@@ -2928,6 +2928,36 @@ def nq_bpe_tokenizer(sf_dir: str):
     return out
 
 
+def nq_pq_ann(sf_dir: str):
+    """Product-quantization ANN (`ops/ann.pq_train/pq_encode/pq_topk`):
+    vectors compress 32x (64 float32 dims -> 8 bytes) and queries score
+    via an ADC lookup table without reading the originals.  Output:
+    per-query recall@10 overlap counts vs the exact brute-force baseline
+    (deterministic integers)."""
+    from ..ops.ann import (brute_force_topk, pq_encode, pq_topk,
+                           pq_topk_rerank, pq_train)
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = emb.limit(5).to_pandas()
+    Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
+
+    exact = brute_force_topk(emb, Q, k=10).to_pandas()
+    model = pq_train(emb, m=8, n_codes=32, sample_rows=4096)
+    codes = pq_encode(emb, model).materialize()
+    approx = pq_topk(codes, model, Q, k=10).to_pandas()
+    rr = pq_topk_rerank(emb, codes, model, Q, k=10, rerank=100).to_pandas()
+
+    rows = []
+    for qi in range(len(Q)):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        r = set(rr[rr.query_id == qi]["vec_id"])
+        rows.append({"query_id": qi, "n_exact": len(e),
+                     "n_overlap_coarse": len(e & a),
+                     "n_overlap_rerank": len(e & r)})
+    return pd.DataFrame(rows)
+
+
 def nq_compression_ratio(sf_dir: str):
     """Per-document zlib compression ratio
     (`ops/text.compression_ratios`) — the cheap redundancy signal
@@ -4979,6 +5009,7 @@ NONSQL_QUERIES = {
     "nq_logreg_quality": nq_logreg_quality,
     "nq_cusum_changepoint": nq_cusum_changepoint,
     "nq_bpe_tokenizer": nq_bpe_tokenizer,
+    "nq_pq_ann": nq_pq_ann,
 }
 
 # The correctness driver snapshots only the FIRST 50 entries of
