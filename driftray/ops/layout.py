@@ -96,3 +96,61 @@ def pruning_fraction(paths: list[str], col: str, lo, hi) -> pd.DataFrame:
         "frac_rows_pruned": [zm.loc[prunable, "n_rows"].sum()
                              / max(zm["n_rows"].sum(), 1)],
     })
+
+
+def compact_partitions(in_dir: str, out_dir: str,
+                       target_mb: int = 128,
+                       partition_col: str | None = None) -> pd.DataFrame:
+    """Small-file compaction (the lakehouse ``OPTIMIZE`` maintenance op):
+    rewrite a directory of parquet files into ~``target_mb`` outputs.
+
+    Streaming-ingest sinks leave thousands of KB-scale files; every later
+    scan then pays per-file open/footer cost and tiny row groups defeat
+    zone-map pruning.  Compaction is a read → repartition(target-size) →
+    write pipeline per PARTITION (hive subdirectory when
+    ``partition_col`` is given, else the whole directory), so each
+    partition compacts independently — a failed run just re-runs the
+    partitions without an output ``_DONE``.
+
+    Returns one row per partition: files/bytes before and after.  Sizing
+    uses the input's bytes-per-row (parquet-encoded) to pick the output
+    block count — exact enough for maintenance purposes.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    def subdirs() -> list[tuple[str, str]]:
+        if partition_col is None:
+            return [("", in_dir)]
+        out = []
+        for name in sorted(os.listdir(in_dir)):
+            p = os.path.join(in_dir, name)
+            if os.path.isdir(p) and name.startswith(f"{partition_col}="):
+                out.append((name, p))
+        return out
+
+    rows = []
+    for name, src in subdirs():
+        files = [os.path.join(src, f) for f in sorted(os.listdir(src))
+                 if f.endswith(".parquet")]
+        if not files:
+            continue
+        bytes_in = sum(os.path.getsize(f) for f in files)
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        dst = os.path.join(out_dir, name) if name else out_dir
+        done = os.path.join(dst, "_DONE")
+        if not os.path.exists(done):
+            n_out = max(1, round(bytes_in / (target_mb * (1 << 20))))
+            ds = rd.read_parquet(files)
+            ds.repartition(n_out).write_parquet(dst)
+            with open(done, "w") as fh:
+                fh.write("ok\n")
+        files_out = [os.path.join(dst, f) for f in sorted(os.listdir(dst))
+                     if f.endswith(".parquet")]
+        rows.append({"partition": name or ".",
+                     "files_in": len(files), "bytes_in": bytes_in,
+                     "rows": n_rows, "files_out": len(files_out),
+                     "bytes_out": sum(os.path.getsize(f)
+                                      for f in files_out)})
+    return pd.DataFrame(rows)

@@ -148,3 +148,53 @@ def test_join_cardinality_exact(ray_session):
     assert out["n_common_keys"][0] == len(common)
     assert out["n_left_keys"][0] == l["k"].nunique()
     assert out["n_right_keys"][0] == r["k"].nunique()
+
+
+class TestCompaction:
+    def _write_small_files(self, tmp, n_files=20, rows_per=500, parts=2):
+        import os
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import numpy as np
+        for p in range(parts):
+            d = os.path.join(tmp, f"k={p}")
+            os.makedirs(d, exist_ok=True)
+            for i in range(n_files):
+                t = pa.table({
+                    "v": pa.array(np.arange(rows_per) + i * rows_per,
+                                  pa.int64()),
+                    "s": pa.array([f"row{j}" for j in range(rows_per)]),
+                })
+                pq.write_table(t, os.path.join(d, f"f{i:03d}.parquet"))
+
+    def test_compacts_and_preserves_rows(self, ray_session, tmp_path):
+        import duckdb
+        from driftray.ops.layout import compact_partitions
+        src, dst = str(tmp_path / "in"), str(tmp_path / "out")
+        self._write_small_files(src)
+        rep = compact_partitions(src, dst, target_mb=64, partition_col="k")
+        assert len(rep) == 2
+        assert (rep["files_out"] < rep["files_in"]).all()
+        assert (rep["files_out"] == 1).all()   # tiny data → one file each
+        con = duckdb.connect()
+        for part in ["k=0", "k=1"]:
+            a = con.sql(f"SELECT sum(v), count(*) FROM '{src}/{part}/*.parquet'").fetchone()
+            b = con.sql(f"SELECT sum(v), count(*) FROM '{dst}/{part}/*.parquet'").fetchone()
+            assert a == b
+
+    def test_resume_skips_done_partitions(self, ray_session, tmp_path):
+        import os
+        from driftray.ops.layout import compact_partitions
+        src, dst = str(tmp_path / "in"), str(tmp_path / "out")
+        self._write_small_files(src, n_files=3)
+        compact_partitions(src, dst, partition_col="k")
+        before = {p: sorted(os.listdir(os.path.join(dst, p)))
+                  for p in os.listdir(dst)}
+        mtimes = {p: [os.path.getmtime(os.path.join(dst, p, f))
+                      for f in fs] for p, fs in before.items()}
+        rep2 = compact_partitions(src, dst, partition_col="k")
+        assert len(rep2) == 2
+        for p, fs in before.items():
+            assert sorted(os.listdir(os.path.join(dst, p))) == fs
+            assert [os.path.getmtime(os.path.join(dst, p, f))
+                    for f in fs] == mtimes[p]
