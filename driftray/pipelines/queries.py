@@ -2928,6 +2928,34 @@ def nq_bpe_tokenizer(sf_dir: str):
     return out
 
 
+def q137_event_transitions(sf_dir: str):
+    """Markov transition counts — how often each (previous event type ->
+    event type) step occurs within a user's ordered stream
+    (`ops/windowing.shift_by_key` LAG + a |types|²-sized count reduce):
+    the behavioral-model / funnel-input primitive."""
+    from ray.data.aggregate import Sum
+    from ..ops.windowing import shift_by_key
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    lagged = shift_by_key(ev, ["user_id"], ["ts", "event_id"], "event_type",
+                          offset=1, out_col="prev_type")
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t["prev_type"])
+        t = t.filter(keep)
+        g = (pa.table({"prev_type": t["prev_type"],
+                       "event_type": t["event_type"]}).to_pandas()
+             .groupby(["prev_type", "event_type"], sort=False)
+             .size().rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (lagged.map_batches(pair_counts, batch_format="pyarrow")
+           .groupby(["prev_type", "event_type"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "event_type"], ignore_index=True)
+
+
 def nq_pq_ann(sf_dir: str):
     """Product-quantization ANN (`ops/ann.pq_train/pq_encode/pq_topk`):
     vectors compress 32x (64 float32 dims -> 8 bytes) and queries score
@@ -4259,6 +4287,16 @@ ORACLE_SQL["q136_winsorized_values"] = """
     FROM v JOIN b USING (event_type)
     GROUP BY 1, 2, 3, 4"""
 
+ORACLE_SQL["q137_event_transitions"] = """
+    WITH l AS (SELECT event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                          AS prev_type
+               FROM events)
+    SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM l WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2"""
+
 ORACLE_SQL["q127_accepted_values"] = """
     SELECT 'accepted|event_type' AS rule,
            CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
@@ -4443,6 +4481,7 @@ SQL_QUERIES = {
     "q134_documents_profile": q134_documents_profile,
     "q135_fd_check": q135_fd_check,
     "q136_winsorized_values": q136_winsorized_values,
+    "q137_event_transitions": q137_event_transitions,
 }
 
 
