@@ -314,3 +314,21 @@ def windowed_drift_series(ds, ts_col: str, value_col: str,
                                      + 0.5 * np.sum(q * np.log(q / m)))})
         prev = cur
     return pd.DataFrame(rows)
+
+
+def wasserstein_from_hist(ref: "Histogram", cur: "Histogram") -> float:
+    """Wasserstein-1 (earth-mover) distance between two SAME-EDGE
+    histograms, in the value column's own units — the drift metric that
+    says HOW FAR the distribution moved, where PSI/JS only say how much
+    mass disagrees.  W1 = ∫|CDF_ref - CDF_cur| dx, computed exactly from
+    the shared bin edges (mass inside a bin contributes at bin
+    granularity — the sketch's resolution, same tolerance class as the
+    PSI/JS pair).  Mergeable-partial friendly: histograms already travel
+    as per-batch partials."""
+    if not np.allclose(ref.edges, cur.edges):
+        raise ValueError("wasserstein_from_hist needs identical bin edges")
+    p = ref.counts / max(ref.counts.sum(), 1)
+    q = cur.counts / max(cur.counts.sum(), 1)
+    widths = np.diff(ref.edges)
+    cdf_gap = np.abs(np.cumsum(p) - np.cumsum(q))
+    return float(np.sum(cdf_gap * widths))

@@ -185,3 +185,44 @@ def test_windowed_drift_series_matches_direct(ray_session):
             assert abs(out["psi"].iloc[i] - exp_psi) < 1e-12
         assert out["n"].iloc[i] == len(grp)
         prev = cur
+
+
+class TestWasserstein:
+    def test_shifted_mass(self):
+        import numpy as np
+        from driftray.drift import wasserstein_from_hist
+        from driftray.sketches import Histogram
+        # all mass in bin [0,1) vs all in [3,4) → W1 = 3
+        a = Histogram(0.0, 4.0, 4).update(np.full(100, 0.5))
+        b = Histogram(0.0, 4.0, 4).update(np.full(100, 3.5))
+        assert abs(wasserstein_from_hist(a, b) - 3.0) < 1e-12
+
+    def test_identical_is_zero(self):
+        import numpy as np
+        from driftray.drift import wasserstein_from_hist
+        from driftray.sketches import Histogram
+        v = np.random.default_rng(1).uniform(0, 4, 1000)
+        a = Histogram(0.0, 4.0, 8).update(v)
+        b = Histogram(0.0, 4.0, 8).update(v)
+        assert wasserstein_from_hist(a, b) == 0.0
+
+    def test_matches_scipy_style_reference(self):
+        import numpy as np
+        from driftray.drift import wasserstein_from_hist
+        from driftray.sketches import Histogram
+        rng = np.random.default_rng(3)
+        x = rng.normal(2.0, 0.5, 20_000)
+        y = rng.normal(2.6, 0.5, 20_000)
+        a = Histogram(0.0, 5.0, 100).update(x)
+        b = Histogram(0.0, 5.0, 100).update(y)
+        # reference: W1 of the binned distributions via quantile functions
+        w = wasserstein_from_hist(a, b)
+        assert abs(w - 0.6) < 0.05      # W1 of two equal-σ normals = |Δμ|
+
+    def test_edge_mismatch_raises(self):
+        import numpy as np
+        import pytest
+        from driftray.drift import wasserstein_from_hist
+        from driftray.sketches import Histogram
+        with pytest.raises(ValueError):
+            wasserstein_from_hist(Histogram(0, 1, 4), Histogram(0, 2, 4))
