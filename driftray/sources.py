@@ -75,3 +75,52 @@ def union_sources(datasets: list[rd.Dataset], limit_per_source: int | None = Non
     for d in datasets[1:]:
         out = out.union(d)
     return out
+
+
+def read_parquet_evolving(path: str, columns=None, **kw) -> rd.Dataset:
+    """Read a directory whose parquet files were written across SCHEMA
+    VERSIONS (columns added/removed over time) — the case a naive
+    ``read_parquet`` breaks on or silently mis-aligns.
+
+    Footer-only planning: files group by their exact footer schema
+    (metadata reads, no data scanned — same cost at any table size), each
+    group reads as its own Dataset, and the groups combine with
+    ``relational.union_by_name`` (typed null padding for columns a
+    version lacks; conflicting types for the SAME column name raise
+    loudly rather than coerce).  Optional ``columns`` prunes each group
+    to the requested subset it actually has.
+    """
+    import pyarrow.parquet as pq
+
+    from .ops.relational import union_by_name
+
+    files = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files.extend(os.path.join(root, n) for n in sorted(names)
+                         if n.endswith(".parquet"))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+
+    groups: dict[str, list[str]] = {}
+    schemas: dict[str, object] = {}
+    for f in files:
+        sch = pq.ParquetFile(f).schema_arrow
+        key = sch.to_string()
+        groups.setdefault(key, []).append(f)
+        schemas[key] = sch
+    parts = []
+    for key, fs in sorted(groups.items()):
+        cols = ([c for c in columns if c in schemas[key].names]
+                if columns else None)
+        parts.append(rd.read_parquet(fs, columns=cols, **kw))
+    out = parts[0] if len(parts) == 1 else union_by_name(parts)
+    if columns:
+        have = out.schema().names
+        missing = [c for c in columns if c not in have]
+        if missing:
+            raise KeyError(f"columns {missing} in no schema group")
+        out = out.select_columns(list(columns))
+    return out

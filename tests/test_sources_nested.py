@@ -155,3 +155,65 @@ class TestRunLineage:
         assert {"membership", "window_discovery", "hist_edges",
                 "validate_chunks"} <= set(rec["stages_s"])
         assert rec["rows_per_sec"] > 0
+
+
+class TestEvolvingSchemaRead:
+    def _write_versions(self, d):
+        import os
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        os.makedirs(d, exist_ok=True)
+        # v1: (a, b); v2 adds c; v3 drops b
+        pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64()),
+                                 "b": pa.array(["x", "y"])}),
+                       f"{d}/v1.parquet")
+        pq.write_table(pa.table({"a": pa.array([3], pa.int64()),
+                                 "b": pa.array(["z"]),
+                                 "c": pa.array([9.5], pa.float64())}),
+                       f"{d}/v2.parquet")
+        pq.write_table(pa.table({"a": pa.array([4], pa.int64()),
+                                 "c": pa.array([7.5], pa.float64())}),
+                       f"{d}/v3.parquet")
+
+    def test_union_by_name_with_null_padding(self, ray_session, tmp_path):
+        from driftray.sources import read_parquet_evolving
+        d = str(tmp_path / "evo")
+        self._write_versions(d)
+        df = (read_parquet_evolving(d).to_pandas()
+              .sort_values("a", ignore_index=True))
+        assert sorted(df.columns) == ["a", "b", "c"]
+        assert df["a"].tolist() == [1, 2, 3, 4]
+        assert df["b"].tolist()[:3] == ["x", "y", "z"] and df["b"].isna().iloc[3]
+        assert df["c"].isna().iloc[0] and df["c"].iloc[3] == 7.5
+
+    def test_column_pruning_per_group(self, ray_session, tmp_path):
+        from driftray.sources import read_parquet_evolving
+        d = str(tmp_path / "evo2")
+        self._write_versions(d)
+        df = (read_parquet_evolving(d, columns=["a", "c"]).to_pandas()
+              .sort_values("a", ignore_index=True))
+        assert sorted(df.columns) == ["a", "c"]
+        assert len(df) == 4
+
+    def test_missing_column_raises(self, ray_session, tmp_path):
+        import pytest
+        from driftray.sources import read_parquet_evolving
+        d = str(tmp_path / "evo3")
+        self._write_versions(d)
+        with pytest.raises(KeyError):
+            read_parquet_evolving(d, columns=["a", "nope"])
+
+    def test_conflicting_type_raises(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest
+        from driftray.sources import read_parquet_evolving
+        d = tmp_path / "evo4"
+        d.mkdir()
+        pq.write_table(pa.table({"a": pa.array([1], pa.int64())}),
+                       str(d / "x.parquet"))
+        pq.write_table(pa.table({"a": pa.array(["s"], pa.string())}),
+                       str(d / "y.parquet"))
+        with pytest.raises(Exception):
+            read_parquet_evolving(str(d)).to_pandas()
