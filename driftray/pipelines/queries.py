@@ -2956,6 +2956,78 @@ def q137_event_transitions(sf_dir: str):
     return out.sort_values(["prev_type", "event_type"], ignore_index=True)
 
 
+def q138_compaction_roundtrip(sf_dir: str):
+    """Small-file compaction end-to-end (`ops/layout.compact_partitions`):
+    documents write as many tiny per-lang files, compaction rewrites each
+    lang partition to ~one file, and the compacted copy must answer the
+    same aggregate as the original table — maintenance never changes
+    answers.  Output: per-lang n_docs / total_chars read FROM the
+    compacted files + the file-count proof."""
+    import glob
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.layout import compact_partitions
+    from ..ops.sink import write_partitioned_resumable
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    src = tempfile.mkdtemp(prefix="driftray_smallfiles_")
+    dst = tempfile.mkdtemp(prefix="driftray_compacted_")
+    # deliberately fragment: one file per ~32 rows inside each partition
+    write_partitioned_resumable(docs.repartition(16), src, "lang")
+    rep = compact_partitions(src, dst, target_mb=64, partition_col="lang")
+    assert (rep["files_out"] <= rep["files_in"]).all()
+
+    out = (rd.read_parquet(sorted(glob.glob(f"{dst}/lang=*/*.parquet")))
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_chars", alias_name="total_chars"))
+           .to_pandas().sort_values("lang", ignore_index=True))
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return out
+
+
+def q139_value_drift_w1(sf_dir: str):
+    """Wasserstein-1 distance between the first and second half of the
+    events stream (`drift.wasserstein_from_hist` over shared-edge
+    histogram partials): HOW FAR the value distribution moved, in value
+    units — with fixed bin edges the binned W1 is Σ|CDF gap|·width,
+    exactly expressible in SQL, so the sketch math is hash-checked."""
+    from ray.data.aggregate import Max, Min
+
+    from .. import sketches
+    from ..drift import wasserstein_from_hist
+    from ..sketches import Histogram
+
+    ev = _t(sf_dir, "events", ["event_id", "value"])
+    mm = ev.aggregate(Min("event_id"), Max("event_id"))
+    split = (int(mm["min(event_id)"]) + int(mm["max(event_id)"])) // 2
+    edges = np.linspace(0.0, 500.0, 21)           # fixed 25-unit bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        blobs, halves = [], []
+        for name, mask in (("a", ids <= split), ("b", ids > split)):
+            h = Histogram.from_edges(edges).update(
+                np.asarray(v[mask], dtype=np.float64))
+            blobs.append(sketches.dumps(h))
+            halves.append(name)
+        return pa.table({"half": pa.array(halves),
+                         "blob": pa.array(blobs, pa.binary())})
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    merged = {h: sketches.merge_all(sketches.loads(b)
+                                    for b in parts[parts.half == h]["blob"])
+              for h in ("a", "b")}
+    w1 = wasserstein_from_hist(merged["a"], merged["b"])
+    return pd.DataFrame({"n_a": [int(merged["a"].counts.sum())],
+                         "n_b": [int(merged["b"].counts.sum())],
+                         "w1": [round(w1, ROUND_F)]})
+
+
 def nq_pq_ann(sf_dir: str):
     """Product-quantization ANN (`ops/ann.pq_train/pq_encode/pq_topk`):
     vectors compress 32x (64 float32 dims -> 8 bytes) and queries score
@@ -4297,6 +4369,37 @@ ORACLE_SQL["q137_event_transitions"] = """
     FROM l WHERE prev_type IS NOT NULL
     GROUP BY 1, 2"""
 
+ORACLE_SQL["q138_compaction_roundtrip"] = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1"""
+
+ORACLE_SQL["q139_value_drift_w1"] = """
+    WITH mm AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS split
+                FROM events),
+    b AS (SELECT CASE WHEN event_id <= split THEN 'a' ELSE 'b' END AS half,
+                 LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bin
+          FROM events CROSS JOIN mm
+          WHERE value >= 0 AND value <= 500),
+    c AS (SELECT half, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    tot AS (SELECT half, SUM(n) AS t FROM c GROUP BY 1),
+    grid AS (SELECT h.half, g.bin
+             FROM (SELECT DISTINCT half FROM c) h
+             CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) g),
+    f AS (SELECT grid.half, grid.bin, COALESCE(c.n, 0) AS n
+          FROM grid LEFT JOIN c ON c.half = grid.half AND c.bin = grid.bin),
+    cdf AS (SELECT f.half, f.bin,
+                   SUM(f.n) OVER (PARTITION BY f.half ORDER BY f.bin) * 1.0
+                   / (SELECT t FROM tot WHERE tot.half = f.half) AS p
+            FROM f),
+    gap AS (SELECT a.bin, ABS(a.p - b.p) AS g
+            FROM cdf a JOIN cdf b ON a.bin = b.bin
+            WHERE a.half = 'a' AND b.half = 'b')
+    SELECT CAST((SELECT t FROM tot WHERE half = 'a') AS BIGINT) AS n_a,
+           CAST((SELECT t FROM tot WHERE half = 'b') AS BIGINT) AS n_b,
+           ROUND(SUM(g) * 25.0, 6) AS w1
+    FROM gap"""
+
 ORACLE_SQL["q127_accepted_values"] = """
     SELECT 'accepted|event_type' AS rule,
            CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
@@ -4482,6 +4585,8 @@ SQL_QUERIES = {
     "q135_fd_check": q135_fd_check,
     "q136_winsorized_values": q136_winsorized_values,
     "q137_event_transitions": q137_event_transitions,
+    "q138_compaction_roundtrip": q138_compaction_roundtrip,
+    "q139_value_drift_w1": q139_value_drift_w1,
 }
 
 
