@@ -314,10 +314,10 @@ class RangeCheck(BatchCheck):
                 viol = pc.or_kleene(viol, pc.greater(col, cs.max_value))
             viol = pc.fill_null(viol, False)  # nulls are completeness's business
             mask = np.asarray(viol.to_pandas(), dtype=bool)
-            if cs.when is not None and cs.when[0] in batch.column_names:
-                cond = pc.fill_null(pc.equal(batch[cs.when[0]], cs.when[1]), False)
-                mask &= np.asarray(cond.to_pandas(), dtype=bool)
-            ctx.emit_violations(mask, "range", cs.name,
+            wm = _when_mask(batch, cs.when, ctx.n_rows)
+            if wm is not None:
+                mask &= wm
+            ctx.emit_violations(mask, "range", _rule_label(cs),
                                 f"outside [{cs.min_value}, {cs.max_value}]")
 
 

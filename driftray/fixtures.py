@@ -157,6 +157,10 @@ def repo_files_batch(ids: np.ndarray, cfg: RepoFilesConfig) -> pa.Table:
     u_bads = _uniform(ids, 14, s) < cfg.p_bad_sha
     u_badl = _uniform(ids, 17, s) < cfg.p_bad_lang
     u_badp = _uniform(ids, 18, s) < cfg.p_bad_path_fmt
+    # null-path and dup-key planting OVERWRITE the path below — mask the
+    # format tag out of those rows so the ground-truth sidecar matches
+    # the data exactly (the overlap is ~p·p but nonzero at bench scale)
+    u_badp &= ~(u_null | u_dup)
 
     lang = np.where(u_badl, "xx", lang)
     path = np.where(u_badp,

@@ -44,9 +44,11 @@ def rolling_zscore(ds: rd.Dataset, key_cols: list[str],
     ``value_col`` must be int64 (pre-scale floats to cents upstream, the
     :func:`rolling_sum_by_key` convention).  The anomaly decision
     ``|v - mean| > z * std``  is evaluated as the cross-multiplied integer
-    inequality ``(n·v - S)² · (n-1) > z² · n · (n·S2 - S²)`` — exact in
-    int64 (object-int for the squares, numpy overflow-safe), so Ray and a
-    SQL oracle agree bit-for-bit at the threshold boundary.
+    inequality ``(n·v - S)² · (n-1) > z² · n · (n·S2 - S²)`` — the
+    squares ride object ints, and value magnitudes whose WINDOW sum of
+    squares could exceed int64 are rejected loudly up front (two's-
+    complement cumsum differences are exact below that bound), so Ray and
+    a SQL oracle agree bit-for-bit at the threshold boundary.
 
     Output: input columns + ``n_prev`` (trailing-window row count) +
     ``is_anomaly`` (int64 0/1; rows with fewer than ``min_periods``
@@ -81,6 +83,15 @@ def rolling_zscore(ds: rd.Dataset, key_cols: list[str],
         pos = idx - run_start[run_id]
 
         v64 = v.astype(np.int64)
+        # exactness guard: the windowed Σv² must fit int64 or the
+        # vectorized prefix sums wrap SILENTLY (numpy) where a SQL
+        # BIGINT oracle raises — reject loudly instead (pre-scale less
+        # aggressively upstream; e.g. window=20 allows |v| ≤ ~6.8e8)
+        vmax = int(np.abs(v64).max()) if n_rows else 0
+        if vmax and vmax * vmax * window >= 2**63:
+            raise OverflowError(
+                f"rolling_zscore: window={window} sum of squares of values "
+                f"up to {vmax} can exceed int64 — rescale the value column")
         cs = np.concatenate(([0], np.cumsum(v64)))          # exclusive
         cs2 = np.concatenate(([0], np.cumsum(v64 * v64)))
         lo = np.maximum(idx - window, run_start[run_id])    # frame [lo, idx)

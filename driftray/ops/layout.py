@@ -141,6 +141,14 @@ def compact_partitions(in_dir: str, out_dir: str,
         dst = os.path.join(out_dir, name) if name else out_dir
         done = os.path.join(dst, "_DONE")
         if not os.path.exists(done):
+            # a previous attempt may have died mid-write: without _DONE the
+            # partition's outputs are partial debris — clear them, or the
+            # rewrite would APPEND uniquely-named files next to them and
+            # duplicate rows
+            if os.path.isdir(dst):
+                for f in os.listdir(dst):
+                    if f.endswith(".parquet"):
+                        os.remove(os.path.join(dst, f))
             n_out = max(1, round(bytes_in / (target_mb * (1 << 20))))
             ds = rd.read_parquet(files)
             ds.repartition(n_out).write_parquet(dst)

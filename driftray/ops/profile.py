@@ -121,6 +121,10 @@ def profile_table(ds: rd.Dataset, columns: list[str] | None = None,
             "mg": pa.array(rows["mg"], pa.binary()),
         })
 
+    if columns:
+        # prune at the source: without this the pass streams EVERY column
+        # of the table through the workers to profile a subset
+        ds = ds.select_columns(list(columns))
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
     def reduce_col(df: pd.DataFrame) -> pd.DataFrame:

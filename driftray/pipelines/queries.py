@@ -4421,7 +4421,7 @@ ORACLE_SQL["q128_format_violations"] = """
     FROM documents"""
 
 ORACLE_SQL["q129_conditional_rules"] = """
-    SELECT 'range|n_chars' AS rule,
+    SELECT 'range|n_chars?lang=en' AS rule,
            CAST(COALESCE(SUM(CASE WHEN lang = 'en' AND n_chars < 100
                      THEN 1 END), 0) AS BIGINT) AS n_violations
     FROM documents

@@ -115,6 +115,12 @@ def read_parquet_evolving(path: str, columns=None, **kw) -> rd.Dataset:
     for key, fs in sorted(groups.items()):
         cols = ([c for c in columns if c in schemas[key].names]
                 if columns else None)
+        if cols is not None and not cols:
+            # a group with NONE of the requested columns must still
+            # contribute its rows (null-padded by union_by_name) — read
+            # one anchor column to keep the row count; a zero-column
+            # read would emit empty blocks that bypass the padding UDF
+            cols = [schemas[key].names[0]]
         parts.append(rd.read_parquet(fs, columns=cols, **kw))
     out = parts[0] if len(parts) == 1 else union_by_name(parts)
     if columns:

@@ -72,7 +72,9 @@ class TestRange:
         t = pa.table({"sid": ["a", "b"], "kind": ["small", "big"],
                       "val": pa.array([50.0, 50.0])})
         c = counters_of(ValidationKernel(spec)(t))
-        assert c[("range", "val")] == 1  # only the 'small' row is checked
+        # conditional rules carry their condition in the label (so a second
+        # rule on the same column can't merge counts) — r4 self-review fix
+        assert c[("range", "val?kind=small")] == 1  # only the 'small' row
 
 
 class TestSha256:

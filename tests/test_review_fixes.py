@@ -72,3 +72,112 @@ class TestTokenBudgetEmptyInput:
         out = token_budget_select(rds.from_pandas(df), "g", "tok", "oid",
                                   budget=100)
         assert out.count() == 0
+
+
+# --- round-4 self-review fixes (code-review over 9b32d28..HEAD) ------------
+
+
+class TestCompactionResume:
+    def test_partial_debris_cleared(self, ray_session, tmp_path):
+        """A crashed attempt's stray files (no _DONE) must not duplicate
+        rows on re-run."""
+        import os
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import duckdb
+        from driftray.ops.layout import compact_partitions
+        src = tmp_path / "in" / "k=0"
+        src.mkdir(parents=True)
+        t = pa.table({"v": pa.array(np.arange(1000), pa.int64())})
+        pq.write_table(t, str(src / "a.parquet"))
+        # simulate a dead mid-write attempt: partial output, NO _DONE
+        dst = tmp_path / "out" / "k=0"
+        dst.mkdir(parents=True)
+        pq.write_table(t.slice(0, 100), str(dst / "stale_partial.parquet"))
+        compact_partitions(str(tmp_path / "in"), str(tmp_path / "out"),
+                           partition_col="k")
+        con = duckdb.connect()
+        n, sv = con.sql(
+            f"SELECT count(*), sum(v) FROM '{dst}/*.parquet'").fetchone()
+        assert (n, sv) == (1000, 999 * 1000 // 2)
+
+
+class TestZscoreOverflowGuard:
+    def test_large_values_raise(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+        from driftray.ops.anomaly import rolling_zscore
+        # window=20 × (4e9)² > 2^63 → must raise, not wrap silently
+        ds = rd.from_arrow(pa.table({
+            "u": ["a"] * 6, "o": pa.array(np.arange(6), pa.int64()),
+            "v": pa.array([4_000_000_000] * 6, pa.int64())}))
+        with pytest.raises(Exception, match="int64|rescale|Overflow"):
+            rolling_zscore(ds, ["u"], ["o"], "v", window=20,
+                           num_partitions=4).to_pandas()
+
+    def test_safe_magnitudes_still_pass(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from driftray.ops.anomaly import rolling_zscore
+        ds = rd.from_arrow(pa.table({
+            "u": ["a"] * 8, "o": pa.array(np.arange(8), pa.int64()),
+            "v": pa.array([600_000_000] * 8, pa.int64())}))
+        out = rolling_zscore(ds, ["u"], ["o"], "v", window=20,
+                             num_partitions=4).to_pandas()
+        assert out["is_anomaly"].sum() == 0
+
+
+class TestEvolvingColumnsSubset:
+    def test_rows_kept_when_group_lacks_column(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from driftray.sources import read_parquet_evolving
+        d = tmp_path / "evo"
+        d.mkdir()
+        pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64()),
+                                 "b": pa.array(["x", "y"])}),
+                       str(d / "v1.parquet"))
+        pq.write_table(pa.table({"a": pa.array([3], pa.int64()),
+                                 "c": pa.array([9.5], pa.float64())}),
+                       str(d / "v2.parquet"))
+        df = read_parquet_evolving(str(d), columns=["c"]).to_pandas()
+        # v1's rows must survive with c = NULL, not vanish
+        assert len(df) == 3
+        assert df["c"].isna().sum() == 2
+        assert list(df.columns) == ["c"]
+
+
+class TestRangeConditionalLabels:
+    def test_two_rules_same_column_do_not_merge(self, ray_session):
+        import pyarrow as pa
+        from driftray.checks import ValidationKernel
+        from driftray.spec import ColumnSpec, TableSpec
+        spec = TableSpec(name="t", columns=[
+            ColumnSpec("v", min_value=0),
+            ColumnSpec("v", min_value=100, when=("t", "strict")),
+        ])
+        t = pa.table({"v": pa.array([50, -1, 50], pa.int64()),
+                      "t": ["strict", "lax", "lax"]})
+        f = ValidationKernel(spec)(t).to_pandas()
+        c = {(r.check, r.column): r.n for r in
+             f[f.kind == "counter"].itertuples()}
+        assert c[("range", "v")] == 1               # only the -1
+        assert c[("range", "v?t=strict")] == 1      # only the strict 50
+
+
+class TestBadPathTagConsistency:
+    def test_no_overlap_with_null_or_dup(self, ray_session):
+        import numpy as np
+        from driftray.fixtures import RepoFilesConfig, repo_files_batch
+        cfg = RepoFilesConfig(p_bad_path_fmt=0.2, p_null_path=0.2,
+                              p_dup_key=0.2)
+        df = repo_files_batch(np.arange(5000), cfg).to_pandas()
+        bad = df[df._bad_path_fmt]
+        assert len(bad) > 0
+        # every tagged row still carries the planted bad-format path
+        assert bad["path"].str.contains(" ").all()
+        assert not (df._bad_path_fmt & (df._null_path | df._dup_key)).any()
