@@ -354,6 +354,10 @@ def pq_train(ds: rd.Dataset, m: int = 8, n_codes: int = 32,
     Returns ``{"codebooks": (m, n_codes, d//m) float64, "m", "n_codes",
     "metric"}``.  Driver cost ∝ sample, independent of corpus size.
     """
+    if not 1 <= n_codes <= 256:
+        raise ValueError(
+            f"n_codes={n_codes} out of range: PQ code ids are stored as "
+            "uint8, so 1 <= n_codes <= 256")
     sample = ds.select_columns([vec_col]).limit(sample_rows).to_pandas()
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     if metric == "cosine":

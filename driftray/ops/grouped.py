@@ -343,6 +343,16 @@ def grouped_winsorize_stats(ds: rd.Dataset, key_cols: list[str],
         out["hi"] = hi.astype(np.int64)
         out["n_below"] = np.add.reduceat(below.astype(np.int64), run_start)
         out["n_above"] = np.add.reduceat(above.astype(np.int64), run_start)
+        # exactness guard (same contract as anomaly.rolling_zscore): the
+        # per-group Σ|clipped| must fit int64 or reduceat wraps SILENTLY
+        # where the SQL BIGINT oracle would raise — reject loudly instead
+        cmax = int(np.abs(clipped).max()) if m else 0
+        nmax = int(n.max()) if len(n) else 0
+        if cmax and cmax * nmax >= 2**63:
+            raise OverflowError(
+                f"grouped_winsorize_stats: group of {nmax} values with "
+                f"magnitude up to {cmax} can overflow the exact int64 "
+                "wins_sum — rescale the value column upstream")
         out["wins_sum"] = np.add.reduceat(clipped, run_start)
         return pa.Table.from_pandas(out, preserve_index=False)
 

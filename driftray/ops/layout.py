@@ -120,6 +120,19 @@ def compact_partitions(in_dir: str, out_dir: str,
 
     import pyarrow.parquet as pq
 
+    # Refuse in-place / nested output: the debris cleanup below deletes
+    # *.parquet in the destination, which would destroy the source data
+    # before it is ever read if out_dir overlaps in_dir.
+    src_real = os.path.realpath(in_dir)
+    dst_real = os.path.realpath(out_dir)
+    if (dst_real == src_real
+            or dst_real.startswith(src_real + os.sep)
+            or src_real.startswith(dst_real + os.sep)):
+        raise ValueError(
+            "compact_partitions requires a destination disjoint from the "
+            f"input (got in_dir={in_dir!r}, out_dir={out_dir!r}); "
+            "in-place compaction is not supported")
+
     def subdirs() -> list[tuple[str, str]]:
         if partition_col is None:
             return [("", in_dir)]

@@ -2964,6 +2964,7 @@ def q138_compaction_roundtrip(sf_dir: str):
     answers.  Output: per-lang n_docs / total_chars read FROM the
     compacted files + the file-count proof."""
     import glob
+    import shutil
     import tempfile
 
     from ray.data.aggregate import Count, Sum
@@ -2974,18 +2975,26 @@ def q138_compaction_roundtrip(sf_dir: str):
     docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     src = tempfile.mkdtemp(prefix="driftray_smallfiles_")
     dst = tempfile.mkdtemp(prefix="driftray_compacted_")
-    # deliberately fragment: one file per ~32 rows inside each partition
-    write_partitioned_resumable(docs.repartition(16), src, "lang")
-    rep = compact_partitions(src, dst, target_mb=64, partition_col="lang")
-    assert (rep["files_out"] <= rep["files_in"]).all()
+    try:
+        # deliberately fragment: one file per ~32 rows inside each partition
+        write_partitioned_resumable(docs.repartition(16), src, "lang")
+        rep = compact_partitions(src, dst, target_mb=64,
+                                 partition_col="lang")
+        if not (rep["files_out"] <= rep["files_in"]).all():
+            raise RuntimeError(
+                "compaction produced MORE files than it read: "
+                f"{rep.to_dict('records')}")
 
-    out = (rd.read_parquet(sorted(glob.glob(f"{dst}/lang=*/*.parquet")))
-           .groupby("lang")
-           .aggregate(Count(alias_name="n_docs"),
-                      Sum("n_chars", alias_name="total_chars"))
-           .to_pandas().sort_values("lang", ignore_index=True))
-    out["total_chars"] = out["total_chars"].astype("int64")
-    return out
+        out = (rd.read_parquet(sorted(glob.glob(f"{dst}/lang=*/*.parquet")))
+               .groupby("lang")
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("n_chars", alias_name="total_chars"))
+               .to_pandas().sort_values("lang", ignore_index=True))
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return out
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
 
 
 def q139_value_drift_w1(sf_dir: str):
@@ -3388,7 +3397,8 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents GROUP BY lang""",
     "q51_json_props_stats": """
         SELECT event_type,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                COUNT(*) AS n_events
         FROM events GROUP BY event_type""",
     "q52_user_journeys": """
@@ -3615,8 +3625,8 @@ ORACLE_SQL: dict[str, str] = {
             SELECT lang, MEDIAN(n_chars) AS m, MAD(n_chars) AS d
             FROM documents GROUP BY lang)
         SELECT lang, COUNT(*) AS n_docs,
-               SUM(CASE WHEN ABS(n_chars - m) > 3 * d
-                        THEN 1 ELSE 0 END) AS n_outliers
+               CAST(SUM(CASE WHEN ABS(n_chars - m) > 3 * d
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM documents JOIN stats USING (lang)
         GROUP BY lang""",
     "q74_pii_redaction": f"""
@@ -3731,8 +3741,8 @@ ORACLE_SQL: dict[str, str] = {
                     0) AS cbv
             FROM documents)
         SELECT doc_id, source, n_chars,
-               cbv // {PACK_SEQ_LEN} AS seq_id,
-               cbv % {PACK_SEQ_LEN} AS seq_offset
+               CAST(cbv // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+               CAST(cbv % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset
         FROM cb""",
     "q80_fuzzy_prefix_pairs": """
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -5157,14 +5167,15 @@ NONSQL_QUERIES = {
 }
 
 # The correctness driver snapshots only the FIRST 50 entries of
-# ``queries()``.  q01–q50 already have green hash-checked rows in
-# CORRECTNESS_r01–r03; the oracled queries added since (q51+) have only been
-# verified by the local harness (tools/check_queries.py).  Order the registry
-# so not-yet-driver-attested oracled queries come first, then the remaining
-# oracled ones, then the nq_* (no-oracle) queries.
+# ``queries()``.  q01–q50 have green hash-checked rows in
+# CORRECTNESS_r01–r03 and q51–q100 in CORRECTNESS_r04 (47 hash-green +
+# 3 value-equal rows whose oracle SQL carried a HUGEINT column, fixed
+# above).  Order the registry so not-yet-driver-attested oracled queries
+# (q101+) come first, then the remaining oracled ones, then the nq_*
+# (no-oracle) queries.
 _ATTESTED = {
-    f"q{i:02d}" for i in range(1, 51)
-}  # r1–r3 driver-attested prefix numbers
+    f"q{i:02d}" for i in range(1, 101)
+}  # r1–r4 driver-attested prefix numbers
 
 
 def _attested(name: str) -> bool:
