@@ -521,75 +521,66 @@ def rolling_distinct_count(ds: rd.Dataset, id_col: str, ts_col: str,
 
     COUNT(DISTINCT ...) OVER a RANGE window is one of the few windowed
     aggregates SQL engines themselves struggle to distribute; the
-    scale-shaped trick here avoids any per-day rescan:
+    scale-shaped trick here is TWO hash exchanges total, no driver
+    collect, no materialize:
 
-    1. reduce the corpus to DISTINCT ``(day, id)`` pairs — one
-       pre-reduced hash exchange, output ∝ active pairs, not rows;
-    2. EXPAND each pair into the ``window_days`` target days it
-       contributes to (a vectorized repeat/tile — pairs × window rows,
-       still ≪ corpus for realistic windows);
-    3. de-duplicate ``(target_day, id)`` (an id active on several source
-       days inside one window must count once) and count per day —
-       folded into ONE ``groupby(day, id)`` + day-cardinality count.
+    1. per block (a local combiner, no exchange): floor to days, dedup
+       ``(day, id)`` within the block, then EXPAND each pair into the
+       ``window_days`` target days it contributes to, tagging each row
+       ``src = (offset == 0)`` — whether the id was active ON the target
+       day itself (vectorized repeat/tile);
+    2. ``groupby(target_day, id).max(src)`` — one exchange dedups an id
+       active on several source days inside one window while preserving
+       "was this id active on the day itself";
+    3. ``groupby(day)`` counts distinct ids and ORs the src flags — a day
+       with ``max(src) == 0`` never appeared as a source day (it exists
+       only as some pair's window target) and is dropped, matching the
+       SQL formulation "for each day in the data".
 
-    Target days with no activity of their own are dropped at the end via
-    a broadcast membership filter on the (tiny) set of observed days, so
-    the output matches the SQL formulation "for each day in the data".
+    Shuffle volume is ∝ per-block-distinct pairs × window — the local
+    dedup bounds it long before the exchange, and target days never
+    round-trip through the driver.  The expanded pairs are PINNED
+    (`materialize`) before the exchange: feeding the sort-based groupby
+    a lazy map upstream re-executes it during range sampling (measured
+    25.5 s vs 3.8 s pinned on 100 k events, 32 CPUs); the pin holds
+    24 B × pairs × window — orders below the corpus.
     """
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Max
 
     import pyarrow as pa
 
-    def to_pairs(df: pd.DataFrame) -> pa.Table:
-        d = df[ts_col].dt.floor("D")
-        out = pd.DataFrame({day_col: d, id_col: df[id_col]})
-        # arrow-out: pandas blocks into the sort-based groupby exchange
-        # are ~14x slower than arrow blocks (ROUND_NOTES r4)
-        return pa.Table.from_pandas(out.drop_duplicates(),
-                                    preserve_index=False)
-
-    # materialize: pairs feed BOTH the observed-days collection and the
-    # expansion below — without the pin the lazy pipeline (and its hash
-    # exchange) would re-execute once per consumer.  Size ∝ distinct
-    # (day, id) pairs at 16 B/row, orders below the corpus.
-    pairs = (ds.select_columns([id_col, ts_col])
-             .map_batches(to_pairs, batch_format="pandas")
-             .groupby([day_col, id_col]).count()
-             .select_columns([day_col, id_col]).materialize())
-
-    # observed days: per-block unique (KB each) + tiny driver union —
-    # no extra shuffle over the pairs
-    def block_days(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({day_col: df[day_col].unique()})
-
-    day_rows = (pairs.map_batches(block_days, batch_format="pandas")
-                .take_all())
-    days_np = np.unique(np.array([r[day_col] for r in day_rows],
-                                 dtype="datetime64[us]"))
-
-    import ray
-    days_ref = ray.put(days_np)
+    off = (np.arange(window_days, dtype="timedelta64[D]")
+           .astype("timedelta64[us]"))
 
     def expand(df: pd.DataFrame) -> pa.Table:
-        valid = ray.get(days_ref)
-        n = len(df)
-        base = df[day_col].to_numpy(dtype="datetime64[us]")
-        tgt = (np.repeat(base, window_days)
-               + np.tile(np.arange(window_days, dtype="timedelta64[D]")
-                         .astype("timedelta64[us]"), n))
-        ids = np.repeat(df[id_col].to_numpy(), window_days)
-        keep = np.isin(tgt, valid)
-        # arrow-out: see to_pairs note
-        return pa.table({day_col: pa.array(tgt[keep]),
-                         id_col: pa.array(ids[keep])})
+        d = df[ts_col].dt.floor("D")
+        pairs = pd.DataFrame({day_col: d,
+                              id_col: df[id_col]}).drop_duplicates()
+        n = len(pairs)
+        base = pairs[day_col].to_numpy(dtype="datetime64[us]")
+        tgt = np.repeat(base, window_days) + np.tile(off, n)
+        ids = np.repeat(pairs[id_col].to_numpy(), window_days)
+        src = np.tile((np.arange(window_days) == 0), n)
+        # arrow-out: pandas blocks into the sort-based groupby exchange
+        # are ~14x slower than arrow blocks (ROUND_NOTES r4)
+        return pa.table({day_col: pa.array(tgt),
+                         id_col: pa.array(ids),
+                         "__src": pa.array(src.astype(np.int64))})
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        keep = pc.greater(t["observed"], 0)
+        t = t.filter(keep)
         return pa.table({day_col: t[day_col],
                          out_col: pc.cast(t[out_col], pa.int64())})
 
-    return (pairs.map_batches(expand, batch_format="pandas")
-            .groupby([day_col, id_col]).count()
-            .groupby(day_col).aggregate(Count(alias_name=out_col))
+    return (ds.select_columns([id_col, ts_col])
+            .map_batches(expand, batch_format="pandas")
+            .materialize()
+            .groupby([day_col, id_col]).aggregate(Max("__src"))
+            .map_batches(lambda t: t.rename_columns(
+                [day_col, id_col, "__src"]), batch_format="pyarrow")
+            .groupby(day_col).aggregate(Count(alias_name=out_col),
+                                        Max("__src", alias_name="observed"))
             .map_batches(finish, batch_format="pyarrow"))

@@ -2665,7 +2665,8 @@ def q125_pagerank(sf_dir: str):
 
     edges = _customer_supplier_edges(sf_dir)
     out = pagerank(edges, "o_custkey", "l_suppkey", damping=0.85,
-                   iterations=2, rank_col="pr").to_pandas()
+                   iterations=2, rank_col="pr",
+                   assume_distinct=True).to_pandas()
     return _round_cols(out, {"pr": 9})
 
 
@@ -2678,7 +2679,8 @@ def q126_cooccurrence(sf_dir: str):
 
     edges = _customer_supplier_edges(sf_dir)
     return cooccurrence_pairs(edges, "o_custkey", "l_suppkey",
-                              min_count=20, max_per_context=100_000)
+                              min_count=20, max_per_context=100_000,
+                              assume_distinct=True)
 
 
 def _expectation_counters(ds: rd.Dataset, spec) -> pd.DataFrame:

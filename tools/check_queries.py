@@ -98,7 +98,21 @@ def main() -> int:
             continue
         dt = time.perf_counter() - t0
         if name in sqls:
-            sql_df = con.sql(sqls[name]).df()
+            rel = con.sql(sqls[name])
+            # the driver's hash is representation-SENSITIVE where this
+            # harness's check_dtype=False compare is not: a HUGEINT
+            # (int128) oracle column hashes differently from the engine's
+            # int64 even when every value is equal.  Catch the class here
+            # (DuckDB promotes SUM(BIGINT) and windowed //,% to HUGEINT)
+            # instead of discovering it in a driver round.
+            hug = [c for c, t in zip(rel.columns, rel.types)
+                   if "HUGEINT" in str(t).upper()]
+            sql_df = rel.df()
+            if hug:
+                n_fail += 1
+                print(f"FAIL {name}  oracle emits HUGEINT column(s) {hug} "
+                      "— CAST(... AS BIGINT) in ORACLE_SQL")
+                continue
             ok, msg = compare(ray_df, sql_df)
             status = "PASS" if ok else "FAIL"
             if ok:
