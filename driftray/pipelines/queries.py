@@ -3039,6 +3039,88 @@ def q139_value_drift_w1(sf_dir: str):
                          "w1": [round(w1, ROUND_F)]})
 
 
+def q140_documents_expectations(sf_dir: str):
+    """The flagship validation pass, oracled end-to-end: ALL declared
+    expectation counters of DOCUMENTS_SPEC (completeness x4 + n_chars
+    range) through the REAL ValidationKernel — every counter is a
+    per-batch integer that sums exactly, so the whole check family is
+    hash-checkable against plain SQL counts."""
+    from ..spec import DOCUMENTS_SPEC
+
+    ds = _t(sf_dir, "documents",
+            ["doc_id", "text", "lang", "n_chars"])
+    return _expectation_counters(ds, DOCUMENTS_SPEC)
+
+
+def q141_cusum_daily(sf_dir: str):
+    """Two-sided CUSUM over the daily-mean value series
+    (`ops/anomaly.cusum_changepoints`, Page's level-shift detector).
+    The recursion h_t = max(0, h_{t-1} + z_t - k) has the closed form
+    h_t = C_t - min_{0<=j<=t} C_j with C = cumsum(z - k), so the
+    inherently-sequential detector is exactly expressible as SQL window
+    functions (cumsum minus running min) and hash-checkable."""
+    from ..ops.anomaly import cusum_changepoints
+
+    ev = _t(sf_dir, "events", ["ts", "value"])
+    out = cusum_changepoints(ev, "ts", "value", k_sigma=0.5, h_sigma=4.0)
+    return _round_cols(out, {"mean": ROUND_F, "cusum_hi": ROUND_F,
+                             "cusum_lo": ROUND_F})
+
+
+def q142_bpe_pair_counts(sf_dir: str):
+    """The exact input to BPE merge #1 (`ops/text.global_token_counts` +
+    the symbol-pair fold `bpe_train` runs): adjacent-symbol pair
+    frequencies over the word-frequency table, `</w>` marking word ends.
+    Distributed part: ONE vocabulary-sized word-count exchange; the pair
+    fold is vocabulary-bounded driver work, same contract as training.
+    Deterministic integers — the SQL twin recomputes the pairs with a
+    char-position unnest."""
+    from ..ops.text import global_token_counts
+
+    docs = _t(sf_dir, "documents", ["text"])
+    wc = global_token_counts(docs, text_col="text").to_pandas()
+    counts: dict[tuple[str, str], int] = {}
+    for w, n in zip(wc["token"].to_numpy(dtype=object),
+                    wc["n"].to_numpy(dtype=np.int64)):
+        seq = tuple(w) + ("</w>",)
+        for i in range(len(seq) - 1):
+            p = (seq[i], seq[i + 1])
+            counts[p] = counts.get(p, 0) + int(n)
+    out = pd.DataFrame(
+        {"left_sym": [p[0] for p in counts],
+         "right_sym": [p[1] for p in counts],
+         "n_pairs": np.fromiter(counts.values(), dtype=np.int64,
+                                count=len(counts))})
+    return out.sort_values(["left_sym", "right_sym"], ignore_index=True)
+
+
+def q143_median_digest_band(sf_dir: str):
+    """t-digest grouped median sketch (`ops/grouped
+    .grouped_quantile_digest` — the 100 TB quantile path) checked IN the
+    query against the exact per-lang median (q31's banded pattern): the
+    oracle hash only matches when every digest median lands within 1% of
+    the exact one, so the sketch accuracy contract is driver-enforced."""
+    from ..ops.grouped import grouped_quantile, grouped_quantile_digest
+
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+    exact = (grouped_quantile(ds, ["lang"], "n_chars", q=0.5,
+                              out_col="median_exact", num_partitions=16)
+             .to_pandas().set_index("lang")["median_exact"])
+    approx = (grouped_quantile_digest(ds, ["lang"], "n_chars", q=0.5,
+                                      out_col="m", num_partitions=8)
+              .to_pandas().set_index("lang")["m"])
+    langs = sorted(exact.index)
+    return pd.DataFrame({
+        "lang": langs,
+        "median_exact": [float(exact[l]) for l in langs],
+        "within_1pct": [
+            abs(float(approx[l]) - float(exact[l]))
+            <= max(0.01 * abs(float(exact[l])), 1.0)
+            for l in langs],
+    })
+
+
+
 def nq_pq_ann(sf_dir: str):
     """Product-quantization ANN (`ops/ann.pq_train/pq_encode/pq_topk`):
     vectors compress 32x (64 float32 dims -> 8 bytes) and queries score
@@ -4412,6 +4494,82 @@ ORACLE_SQL["q139_value_drift_w1"] = """
            ROUND(SUM(g) * 25.0, 6) AS w1
     FROM gap"""
 
+ORACLE_SQL["q140_documents_expectations"] = """
+    SELECT 'completeness|doc_id' AS rule,
+           CAST(COALESCE(SUM(CASE WHEN doc_id IS NULL THEN 1 END), 0)
+                AS BIGINT) AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'completeness|lang',
+           CAST(COALESCE(SUM(CASE WHEN lang IS NULL OR lang = '' THEN 1
+                END), 0) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'completeness|n_chars',
+           CAST(COALESCE(SUM(CASE WHEN n_chars IS NULL THEN 1 END), 0)
+                AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'completeness|text',
+           CAST(COALESCE(SUM(CASE WHEN text IS NULL OR text = '' THEN 1
+                END), 0) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'range|n_chars',
+           CAST(COALESCE(SUM(CASE WHEN n_chars IS NOT NULL
+                     AND (n_chars < 0 OR n_chars > 10000000)
+                THEN 1 END), 0) AS BIGINT)
+    FROM documents"""
+
+# CUSUM closed form: h_t = C_t - min(0, running-min C_j), C = cumsum(z-k)
+# (and the mirrored low side) — identical in exact arithmetic to the
+# engine's max(0, h+z-k) recursion.
+ORACLE_SQL["q141_cusum_daily"] = """
+    WITH per AS (SELECT date_trunc('day', ts) AS day,
+                        SUM(value) AS s, COUNT(*) AS n
+                 FROM events GROUP BY 1),
+    m AS (SELECT day, s / n AS mean FROM per),
+    st AS (SELECT AVG(mean) AS mu,
+                  CASE WHEN STDDEV_POP(mean) > 0 THEN STDDEV_POP(mean)
+                       ELSE 1 END AS sd
+           FROM m),
+    z AS (SELECT day, mean, (mean - mu) / sd AS z FROM m CROSS JOIN st),
+    c AS (SELECT day, mean,
+                 SUM(z - 0.5) OVER (ORDER BY day) AS ch,
+                 SUM(z + 0.5) OVER (ORDER BY day) AS cl
+          FROM z),
+    k AS (SELECT day, mean,
+                 ch - LEAST(0, MIN(ch) OVER (ORDER BY day)) AS hi,
+                 cl - GREATEST(0, MAX(cl) OVER (ORDER BY day)) AS lo
+          FROM c)
+    SELECT day, ROUND(mean, 6) AS mean,
+           ROUND(hi, 6) AS cusum_hi, ROUND(lo, 6) AS cusum_lo,
+           CAST(CASE WHEN hi > 4.0 OR -lo > 4.0 THEN 1 ELSE 0 END
+                AS BIGINT) AS alarm
+    FROM k"""
+
+ORACLE_SQL["q142_bpe_pair_counts"] = """
+    WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM w WHERE word <> '' GROUP BY word),
+    pos AS (SELECT word, n,
+                   CAST(unnest(range(length(word))) AS BIGINT) AS i
+            FROM wc),
+    pairs AS (SELECT substr(word, CAST(i + 1 AS INT), 1) AS left_sym,
+                     CASE WHEN i = length(word) - 1 THEN '</w>'
+                          ELSE substr(word, CAST(i + 2 AS INT), 1)
+                     END AS right_sym,
+                     n
+              FROM pos)
+    SELECT left_sym, right_sym, CAST(SUM(n) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY left_sym, right_sym"""
+
+ORACLE_SQL["q143_median_digest_band"] = """
+    SELECT lang, MEDIAN(n_chars) AS median_exact,
+           TRUE AS within_1pct
+    FROM documents GROUP BY lang"""
+
 ORACLE_SQL["q127_accepted_values"] = """
     SELECT 'accepted|event_type' AS rule,
            CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
@@ -4599,6 +4757,10 @@ SQL_QUERIES = {
     "q137_event_transitions": q137_event_transitions,
     "q138_compaction_roundtrip": q138_compaction_roundtrip,
     "q139_value_drift_w1": q139_value_drift_w1,
+    "q140_documents_expectations": q140_documents_expectations,
+    "q141_cusum_daily": q141_cusum_daily,
+    "q142_bpe_pair_counts": q142_bpe_pair_counts,
+    "q143_median_digest_band": q143_median_digest_band,
 }
 
 
