@@ -152,6 +152,63 @@ def run_headline() -> dict:
             "total_violations": sum(r.total_violations for r in results) + table_extra}
 
 
+def run_evolved() -> dict:
+    """Schema-evolution validation measured, not just unit-tested: a
+    small repo_files directory written across TWO schema versions (v2
+    adds a column) validates through the auto-detected union-by-name
+    read, diffs against the persisted v1 snapshot, and must fire the
+    critical schema_drift alert.  Reported: wall time + rows/s of the
+    mixed-schema pass (compare to rows_per_sec for the cliff check)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from driftray.alerts import AlertManager
+    from driftray.fixtures import (RepoFilesConfig, dimensions,
+                                   repo_files_batch)
+    from driftray.pipeline import run_validation
+    from driftray.spec import repo_files_spec
+
+    base = "/tmp/driftray_bench_evolved"
+    shutil.rmtree(base, ignore_errors=True)
+    data, out = os.path.join(base, "data"), os.path.join(base, "out")
+    os.makedirs(data)
+    cfg = RepoFilesConfig(window_rows=25_000)
+    rows_v2 = 50_000
+
+    def eng(t: "pa.Table") -> "pa.Table":
+        return t.select([c for c in t.column_names
+                         if not c.startswith("_")])
+
+    pq.write_table(eng(repo_files_batch(np.arange(0, 50_000), cfg)),
+                   os.path.join(data, "part-v1.parquet"))
+    repos, commits = dimensions(cfg)
+    pq.write_table(repos, os.path.join(base, "repos.parquet"))
+    pq.write_table(commits, os.path.join(base, "commits.parquet"))
+    dims = {"repos": os.path.join(base, "repos.parquet"),
+            "commits": os.path.join(base, "commits.parquet")}
+    spec = repo_files_spec()
+    run_validation(data, out, spec, dim_paths=dims)     # persists snapshot
+
+    v2 = eng(repo_files_batch(np.arange(50_000, 50_000 + rows_v2), cfg))
+    v2 = v2.append_column("stars", pa.array(
+        np.arange(rows_v2, dtype=np.int64) % 7))
+    pq.write_table(v2, os.path.join(data, "part-v2.parquet"))
+
+    t0 = time.perf_counter()
+    res = run_validation(data, out, spec, dim_paths=dims)
+    wall = time.perf_counter() - t0
+    hist = AlertManager(history_path=os.path.join(out, "alerts")).history()
+    alert = any(a["rule"] == "schema_drift" and a["severity"] == "critical"
+                for a in hist.to_pylist())
+    rows = sum(r.n_rows for r in res)
+    return {"sec": round(wall, 3), "rows": rows,
+            "rows_per_sec": round(rows / wall, 1),
+            "schema_drift_alert": bool(alert), "schema_groups": 2}
+
+
 def run_queries() -> dict[str, float]:
     from driftray.pipelines.queries import ALL_QUERIES
 
@@ -195,6 +252,7 @@ def main() -> None:
         return
     warmup()                # untimed: spawn workers + import library everywhere
     head = run_headline()
+    evolved = {} if os.environ.get("DRIFTRAY_SKIP_QUERIES") else run_evolved()
     qtimes = {} if os.environ.get("DRIFTRAY_SKIP_QUERIES") else run_queries()
     out = {
         "metric": "full constraint+profile+drift validation wall time (repo_files bench fixture)",
@@ -207,6 +265,7 @@ def main() -> None:
         "rows_per_sec": round(head["rows_per_sec"], 1),
         "windows": head["windows"],
         "total_violations": head["total_violations"],
+        "evolved_schema": evolved,
     }
     print(json.dumps(out))
     ray.shutdown()

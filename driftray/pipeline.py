@@ -710,6 +710,31 @@ def run_validation(
 
     schema_report = record_and_diff(out_dir, input_path, spec,
                                     strict=strict_schema, persist=False)
+    # mixed footer schemas ⇒ the table evolved mid-directory: route every
+    # data read through the schema-group union reader (typed null padding
+    # per version) instead of a naive read that binds the first
+    # fragment's schema.  Footer walk only — costs nothing extra beyond
+    # the snapshot above.
+    from .sources import footer_schema_groups, read_parquet_evolving
+
+    _fgroups = footer_schema_groups(input_path)
+    n_schema_groups = len(_fgroups)
+
+    def _common(columns) -> bool:
+        # a column set present with ONE type in every schema group needs
+        # no union-by-name — the plain pruned read is both correct and
+        # cheaper (the union path adds a per-group read + padding stage)
+        return all(
+            c in sch.names for sch, _ in _fgroups.values() for c in columns
+        ) and all(
+            len({str(sch.field(c).type) for sch, _ in _fgroups.values()}) == 1
+            for c in columns)
+
+    def _read(columns=None, **kw) -> rd.Dataset:
+        if n_schema_groups > 1 and not (columns and _common(columns)):
+            return read_parquet_evolving(input_path, columns=columns, **kw)
+        return rd.read_parquet(input_path, columns=columns, **kw)
+
     _mark("schema_preflight", t0)
 
     t0 = time.perf_counter()
@@ -726,7 +751,7 @@ def run_validation(
     _mark("membership", t0)
     t0 = time.perf_counter()
     if windows is None:
-        wvals = rd.read_parquet(input_path, columns=[window_column]).unique(window_column)
+        wvals = _read(columns=[window_column]).unique(window_column)
         windows = sorted(int(w) for w in wvals)
     pending = [w for w in windows if not window_done(out_dir, w)]
     _mark("window_discovery", t0)
@@ -804,8 +829,7 @@ def run_validation(
             # is memory-bandwidth-bound, and beyond ~a dozen concurrent
             # decoders per memory domain added workers CONTEND rather than
             # scale (see BASELINE.md §scaling); the kernel stage is uncapped
-            ds = rd.read_parquet(input_path, filter=wfilter,
-                                 concurrency=read_concurrency)
+            ds = _read(filter=wfilter, concurrency=read_concurrency)
             results = validate_dataset(ds, spec, window_column=window_column,
                                        membership=membership, baseline=baseline,
                                        hist_edges=hist_edges,
@@ -861,6 +885,7 @@ def run_validation(
         "stages_s": stage_s,
         "schema_drift": schema_report["drift"],
         "schema_violations": schema_report["spec_violations"],
+        "schema_groups": n_schema_groups,
     }
     run_lineage["rows_per_sec"] = round(
         run_lineage["rows"] / max(run_lineage["total_s"], 1e-9), 1)

@@ -33,11 +33,19 @@ class SchemaError(RuntimeError):
 
 
 def snapshot_schema(input_path: str) -> dict[str, str]:
-    """``{column: type}`` from Parquet metadata only (footer read; the
-    unified dataset schema across fragments, so a fragment that disagrees
-    surfaces as pyarrow's own unification error)."""
-    schema = pads.dataset(input_path, format="parquet").schema
-    return {name: str(schema.field(name).type) for name in schema.names}
+    """``{column: type}`` from Parquet metadata only — the UNION across
+    every file footer.  A directory written across schema versions must
+    surface its added/removed columns here, not hide them behind the
+    first fragment's schema (pyarrow dataset discovery does exactly
+    that); a column whose type differs across files reports the sorted
+    ``'a|b'`` type set, so a retype diffs as a change."""
+    from .sources import footer_schema_groups
+
+    types: dict[str, set] = {}
+    for sch, _files in footer_schema_groups(input_path).values():
+        for name in sch.names:
+            types.setdefault(name, set()).add(str(sch.field(name).type))
+    return {name: "|".join(sorted(ts)) for name, ts in types.items()}
 
 
 def diff_schemas(old: dict[str, str], new: dict[str, str]) -> dict:

@@ -77,22 +77,12 @@ def union_sources(datasets: list[rd.Dataset], limit_per_source: int | None = Non
     return out
 
 
-def read_parquet_evolving(path: str, columns=None, **kw) -> rd.Dataset:
-    """Read a directory whose parquet files were written across SCHEMA
-    VERSIONS (columns added/removed over time) — the case a naive
-    ``read_parquet`` breaks on or silently mis-aligns.
-
-    Footer-only planning: files group by their exact footer schema
-    (metadata reads, no data scanned — same cost at any table size), each
-    group reads as its own Dataset, and the groups combine with
-    ``relational.union_by_name`` (typed null padding for columns a
-    version lacks; conflicting types for the SAME column name raise
-    loudly rather than coerce).  Optional ``columns`` prunes each group
-    to the requested subset it actually has.
-    """
+def footer_schema_groups(path: str) -> dict[str, tuple[object, list[str]]]:
+    """Group a parquet file/directory's files by their exact footer
+    schema: ``{schema_key: (arrow_schema, [files])}``.  Footer reads
+    only — no data scanned, same cost at any table size.  One entry
+    means a schema-stable table; more means the table evolved."""
     import pyarrow.parquet as pq
-
-    from .ops.relational import union_by_name
 
     files = []
     if os.path.isdir(path):
@@ -103,14 +93,34 @@ def read_parquet_evolving(path: str, columns=None, **kw) -> rd.Dataset:
         files = [path]
     if not files:
         raise FileNotFoundError(f"no parquet files under {path}")
-
-    groups: dict[str, list[str]] = {}
-    schemas: dict[str, object] = {}
+    out: dict[str, tuple[object, list[str]]] = {}
     for f in files:
         sch = pq.ParquetFile(f).schema_arrow
         key = sch.to_string()
-        groups.setdefault(key, []).append(f)
-        schemas[key] = sch
+        if key in out:
+            out[key][1].append(f)
+        else:
+            out[key] = (sch, [f])
+    return out
+
+
+def read_parquet_evolving(path: str, columns=None, **kw) -> rd.Dataset:
+    """Read a directory whose parquet files were written across SCHEMA
+    VERSIONS (columns added/removed over time) — the case a naive
+    ``read_parquet`` breaks on or silently mis-aligns.
+
+    Footer-only planning (:func:`footer_schema_groups`): each schema
+    group reads as its own Dataset, and the groups combine with
+    ``relational.union_by_name`` (typed null padding for columns a
+    version lacks; conflicting types for the SAME column name raise
+    loudly rather than coerce).  Optional ``columns`` prunes each group
+    to the requested subset it actually has.
+    """
+    from .ops.relational import union_by_name
+
+    grouped = footer_schema_groups(path)
+    groups = {k: fs for k, (_, fs) in grouped.items()}
+    schemas = {k: sch for k, (sch, _) in grouped.items()}
     parts = []
     for key, fs in sorted(groups.items()):
         cols = ([c for c in columns if c in schemas[key].names]
