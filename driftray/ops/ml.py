@@ -117,3 +117,87 @@ def logistic_score(ds: rd.Dataset, model: dict, x_cols: list[str],
         return df
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def hist_split_gains(ds: rd.Dataset, feature_cols: list[str], y_col: str,
+                     n_bins: int = 32) -> pd.DataFrame:
+    """GBDT-style histogram split finder (the LightGBM/XGBoost 'hist'
+    method): for every feature and every candidate bin boundary, the
+    squared-error gain of splitting there —
+    ``gain = S_L²/n_L + S_R²/n_R − S²/N`` (variance reduction × N).
+
+    Scale shape: ONE Min/Max aggregate fixes uniform bin edges, ONE
+    map_batches pass reduces each block to (feature, bin, n, sum_y)
+    partials via ``np.bincount`` (|features| × n_bins rows per block, KB),
+    one tiny groupby folds them, and the prefix-sum + gain scan runs on
+    the driver over |features| × n_bins rows — raw rows never shuffle.
+
+    EXACTNESS CONTRACT: ``y_col`` must be integer-valued (pre-scale
+    prices to cents upstream) with |Σy| per split < 2⁵³ — partials and
+    prefix sums then stay exact integers in float64, and the gain floats
+    are deterministic functions of exact inputs (hash-checkable against
+    a SQL window-function oracle, q144).
+
+    Returns one row per (feature, split bin b < n_bins-1) with n_left>0
+    and n_right>0: ``feature, split_bin, threshold (right-edge of b),
+    n_left, n_right, gain``.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    aggs = []
+    for f in feature_cols:
+        aggs += [Min(f), Max(f)]
+    mm = ds.aggregate(*aggs)
+    edges = {}
+    for f in feature_cols:
+        vmin, vmax = float(mm[f"min({f})"]), float(mm[f"max({f})"])
+        if vmax <= vmin:
+            raise ValueError(f"feature {f!r} is constant — no split exists")
+        edges[f] = (vmin, (vmax - vmin) / n_bins)
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        y = df[y_col].to_numpy(dtype=np.float64)
+        feats, bins, ns, sums = [], [], [], []
+        for f in feature_cols:
+            vmin, w = edges[f]
+            x = df[f].to_numpy(dtype=np.float64)
+            b = np.minimum(np.floor((x - vmin) / w).astype(np.int64),
+                           n_bins - 1)
+            ns.append(np.bincount(b, minlength=n_bins))
+            sums.append(np.bincount(b, weights=y, minlength=n_bins))
+            feats.append(np.repeat(f, n_bins))
+            bins.append(np.arange(n_bins, dtype=np.int64))
+        return pa.table({
+            "feature": pa.array(np.concatenate(feats)),
+            "bin": pa.array(np.concatenate(bins)),
+            "n": pa.array(np.concatenate(ns).astype(np.int64)),
+            "s": pa.array(np.concatenate(sums))})
+
+    hist = (ds.select_columns(list(feature_cols) + [y_col])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(["feature", "bin"])
+            .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+            .to_pandas())
+
+    rows = []
+    for f in feature_cols:
+        h = (hist[hist["feature"] == f]
+             .sort_values("bin", ignore_index=True))
+        n = np.zeros(n_bins, np.int64)
+        s = np.zeros(n_bins, np.float64)
+        n[h["bin"].to_numpy()] = h["n"].to_numpy()
+        s[h["bin"].to_numpy()] = h["s"].to_numpy()
+        nl, sl = np.cumsum(n), np.cumsum(s)
+        nt, st = int(nl[-1]), float(sl[-1])
+        vmin, w = edges[f]
+        for b in range(n_bins - 1):
+            if nl[b] == 0 or nt - nl[b] == 0:
+                continue
+            slb, srb = float(sl[b]), st - float(sl[b])
+            gain = (slb * slb / int(nl[b]) + srb * srb / (nt - int(nl[b]))
+                    - st * st / nt)
+            rows.append({"feature": f, "split_bin": int(b),
+                         "threshold": vmin + w * (b + 1),
+                         "n_left": int(nl[b]), "n_right": nt - int(nl[b]),
+                         "gain": gain})
+    return pd.DataFrame(rows)

@@ -3121,6 +3121,30 @@ def q143_median_digest_band(sf_dir: str):
 
 
 
+def q144_tree_split(sf_dir: str):
+    """GBDT histogram split finder (`ops/ml.hist_split_gains` — the
+    LightGBM 'hist' method): squared-error gain of every candidate
+    l_quantity split for predicting price.  One Min/Max pass + one
+    bincount-partial pass; prices pre-scale to exact cents so Σy is an
+    exact integer and the gain doubles are deterministic — the oracle
+    recomputes the prefix-sum scan with SQL window functions."""
+    from ..ops.ml import hist_split_gains
+
+    li = _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_quantity": t["l_quantity"],
+            "y_cents": pc.cast(pc.round(
+                pc.multiply(t["l_extendedprice"], pa.scalar(100.0))),
+                pa.int64())})
+
+    out = hist_split_gains(li.map_batches(cents, batch_format="pyarrow"),
+                           ["l_quantity"], "y_cents", n_bins=16)
+    return _round_cols(out, {"threshold": ROUND_F, "gain": ROUND_F})
+
+
+
 def nq_pq_ann(sf_dir: str):
     """Product-quantization ANN (`ops/ann.pq_train/pq_encode/pq_topk`):
     vectors compress 32x (64 float32 dims -> 8 bytes) and queries score
@@ -4570,6 +4594,36 @@ ORACLE_SQL["q143_median_digest_band"] = """
            TRUE AS within_1pct
     FROM documents GROUP BY lang"""
 
+ORACLE_SQL["q144_tree_split"] = """
+    WITH mm AS (SELECT CAST(MIN(l_quantity) AS DOUBLE) AS vmin,
+                       CAST(MAX(l_quantity) AS DOUBLE) AS vmax
+                FROM lineitem),
+    b AS (SELECT LEAST(CAST(FLOOR((CAST(l_quantity AS DOUBLE) - vmin)
+                                  / ((vmax - vmin) / 16.0)) AS BIGINT),
+                       15) AS bin,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+          FROM lineitem CROSS JOIN mm),
+    g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS DOUBLE) AS s
+          FROM b GROUP BY bin),
+    grid AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS bin),
+    f AS (SELECT grid.bin, COALESCE(g.n, 0) AS n, COALESCE(g.s, 0.0) AS s
+          FROM grid LEFT JOIN g USING (bin)),
+    p AS (SELECT bin,
+                 SUM(n) OVER (ORDER BY bin) AS nl,
+                 SUM(s) OVER (ORDER BY bin) AS sl,
+                 (SELECT SUM(n) FROM f) AS nt,
+                 (SELECT SUM(s) FROM f) AS st
+          FROM f)
+    SELECT 'l_quantity' AS feature, bin AS split_bin,
+           ROUND(vmin + (vmax - vmin) / 16.0 * (bin + 1), 6) AS threshold,
+           CAST(nl AS BIGINT) AS n_left,
+           CAST(nt - nl AS BIGINT) AS n_right,
+           ROUND(sl * sl / nl + (st - sl) * (st - sl) / (nt - nl)
+                 - st * st / nt, 6) AS gain
+    FROM p CROSS JOIN mm
+    WHERE bin < 15 AND nl > 0 AND nt - nl > 0"""
+
 ORACLE_SQL["q127_accepted_values"] = """
     SELECT 'accepted|event_type' AS rule,
            CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
@@ -4761,6 +4815,7 @@ SQL_QUERIES = {
     "q141_cusum_daily": q141_cusum_daily,
     "q142_bpe_pair_counts": q142_bpe_pair_counts,
     "q143_median_digest_band": q143_median_digest_band,
+    "q144_tree_split": q144_tree_split,
 }
 
 

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 import ray.data as rd
 
@@ -59,3 +60,53 @@ class TestLogisticFit:
         m2 = logistic_fit(rd.from_pandas(df).repartition(4),
                           ["x0", "x1", "x2"], "y", epochs=5, lr=0.5)
         assert np.array_equal(m1["weights"], m2["weights"])
+
+
+class TestHistSplitGains:
+    def test_matches_numpy_reference(self, ray_session):
+        import ray.data as rd
+
+        from driftray.ops.ml import hist_split_gains
+
+        rng = np.random.default_rng(11)
+        n, n_bins = 5000, 8
+        x1 = rng.integers(0, 100, n)
+        x2 = rng.integers(-50, 50, n)
+        # integer target with a real split structure on x1
+        y = np.where(x1 >= 60, 500, 100) + rng.integers(0, 10, n)
+        df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+        out = hist_split_gains(rd.from_pandas(df).repartition(4),
+                               ["x1", "x2"], "y", n_bins=n_bins)
+
+        for feat in ("x1", "x2"):
+            x = df[feat].to_numpy(dtype=np.float64)
+            vmin, vmax = x.min(), x.max()
+            w = (vmax - vmin) / n_bins
+            b = np.minimum(np.floor((x - vmin) / w).astype(int), n_bins - 1)
+            cnt = np.bincount(b, minlength=n_bins)
+            s = np.bincount(b, weights=y.astype(np.float64),
+                            minlength=n_bins)
+            nl, sl = np.cumsum(cnt), np.cumsum(s)
+            nt, st = nl[-1], sl[-1]
+            got = out[out["feature"] == feat].set_index("split_bin")
+            for k in range(n_bins - 1):
+                if nl[k] == 0 or nt - nl[k] == 0:
+                    continue
+                ref = (sl[k] ** 2 / nl[k]
+                       + (st - sl[k]) ** 2 / (nt - nl[k]) - st ** 2 / nt)
+                assert got.loc[k, "n_left"] == nl[k]
+                assert abs(got.loc[k, "gain"] - ref) < 1e-9 * max(abs(ref), 1)
+
+        # the planted split (x1 ~ 60) must be the global best
+        best = out.loc[out["gain"].idxmax()]
+        assert best["feature"] == "x1"
+        assert 55 <= best["threshold"] <= 65
+
+    def test_constant_feature_raises(self, ray_session):
+        import ray.data as rd
+
+        from driftray.ops.ml import hist_split_gains
+
+        df = pd.DataFrame({"x": [3] * 100, "y": range(100)})
+        with pytest.raises(ValueError, match="constant"):
+            hist_split_gains(rd.from_pandas(df), ["x"], "y", n_bins=4)
