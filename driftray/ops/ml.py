@@ -201,3 +201,139 @@ def hist_split_gains(ds: rd.Dataset, feature_cols: list[str], y_col: str,
                          "n_left": int(nl[b]), "n_right": nt - int(nl[b]),
                          "gain": gain})
     return pd.DataFrame(rows)
+
+
+def gbdt_stumps(ds: rd.Dataset, feature_cols: list[str], y_col: str,
+                n_rounds: int = 10, lr: float = 0.3,
+                n_bins: int = 32) -> dict:
+    """Gradient-boosted depth-1 trees (stumps) on squared error — the
+    histogram method end to end: boosting over
+    :func:`hist_split_gains`-style bin statistics.
+
+    Because a stump ensemble's prediction for a row depends only on
+    which side of each stump the row falls, residuals are recomputable
+    per batch from the broadcast model — NO per-row state is ever
+    stored, and each boosting round is exactly ONE streaming
+    ``map_batches`` pass emitting (feature, bin) partials (count,
+    sum_residual).  The driver holds the stump list (n_rounds × 4
+    floats) and picks the best (feature, bin, left/right leaf values)
+    per round.  Leaf value = mean residual × lr (standard shrinkage).
+
+    Returns ``{"stumps": [{feature, threshold, left, right}...],
+    "base": float, "edges": {feature: (vmin, w)}, "train_mse":
+    [per-round]}``.  Deterministic: fixed bins, full-batch statistics,
+    ties break by (gain DESC, feature name, bin).
+    """
+    from ray.data.aggregate import Max, Mean, Min, Sum
+    import ray
+
+    aggs = [Mean(y_col)]
+    for f in feature_cols:
+        aggs += [Min(f), Max(f)]
+    mm = ds.aggregate(*aggs)
+    base = float(mm[f"mean({y_col})"])
+    edges = {}
+    for f in feature_cols:
+        vmin, vmax = float(mm[f"min({f})"]), float(mm[f"max({f})"])
+        if vmax <= vmin:
+            raise ValueError(f"feature {f!r} is constant — no split exists")
+        edges[f] = (vmin, (vmax - vmin) / n_bins)
+
+    proj = ds.select_columns(list(feature_cols) + [y_col]).materialize()
+    stumps: list[dict] = []
+    mse: list[float] = []
+
+    def predict_np(x_cols: dict[str, np.ndarray], model: list[dict],
+                   b0: float) -> np.ndarray:
+        n = len(next(iter(x_cols.values())))
+        pred = np.full(n, b0)
+        for s in model:
+            go_left = x_cols[s["feature"]] < s["threshold"]
+            pred += np.where(go_left, s["left"], s["right"])
+        return pred
+
+    for _ in range(n_rounds):
+        model_ref = ray.put(list(stumps))
+
+        def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+            model = ray.get(model_ref)
+            xc = {f: df[f].to_numpy(dtype=np.float64)
+                  for f in feature_cols}
+            r = df[y_col].to_numpy(dtype=np.float64) \
+                - predict_np(xc, model, base)
+            rows = []
+            for f in feature_cols:
+                vmin, w = edges[f]
+                b = np.minimum(np.floor((xc[f] - vmin) / w).astype(np.int64),
+                               n_bins - 1)
+                cnt = np.bincount(b, minlength=n_bins)
+                sr = np.bincount(b, weights=r, minlength=n_bins)
+                sq = float((r * r).sum())  # same for every f; divide later
+                rows.append(pd.DataFrame({
+                    "feature": np.repeat(f, n_bins),
+                    "bin": np.arange(n_bins, dtype=np.int64),
+                    "n": cnt.astype(np.int64), "s": sr,
+                    "sq": np.where(np.arange(n_bins) == 0,
+                                   sq / len(feature_cols), 0.0)}))
+            return pd.concat(rows, ignore_index=True)
+
+        hist = (proj.map_batches(hist_partial, batch_format="pandas")
+                .groupby(["feature", "bin"])
+                .aggregate(Sum("n", alias_name="n"),
+                           Sum("s", alias_name="s"),
+                           Sum("sq", alias_name="sq"))
+                .to_pandas())
+
+        best = None
+        for f in feature_cols:
+            h = hist[hist["feature"] == f].sort_values("bin",
+                                                       ignore_index=True)
+            n = np.zeros(n_bins, np.int64)
+            s = np.zeros(n_bins, np.float64)
+            n[h["bin"].to_numpy()] = h["n"].to_numpy()
+            s[h["bin"].to_numpy()] = h["s"].to_numpy()
+            nl, sl = np.cumsum(n), np.cumsum(s)
+            nt, st = int(nl[-1]), float(sl[-1])
+            for b in range(n_bins - 1):
+                if nl[b] == 0 or nt - nl[b] == 0:
+                    continue
+                slb = float(sl[b])
+                gain = (slb * slb / int(nl[b])
+                        + (st - slb) ** 2 / (nt - int(nl[b])) - st * st / nt)
+                key = (-gain, f, b)
+                if best is None or key < best[0]:
+                    vmin, w = edges[f]
+                    best = (key, {
+                        "feature": f, "threshold": vmin + w * (b + 1),
+                        "left": lr * slb / int(nl[b]),
+                        "right": lr * (st - slb) / (nt - int(nl[b]))})
+        mse.append(float(hist["sq"].sum())
+                   / int(hist.groupby("feature")["n"].sum().iloc[0]))
+        if best is None:
+            break
+        stumps.append(best[1])
+
+    return {"stumps": stumps, "base": base, "edges": edges,
+            "train_mse": mse}
+
+
+def gbdt_score(ds: rd.Dataset, model: dict, feature_cols: list[str],
+               out_col: str = "pred") -> rd.Dataset:
+    """Score with a :func:`gbdt_stumps` model — broadcast once,
+    vectorized per batch."""
+    import ray
+
+    ref = ray.put({"stumps": model["stumps"], "base": model["base"]})
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        pred = np.full(len(df), m["base"])
+        for s in m["stumps"]:
+            go_left = df[s["feature"]].to_numpy(dtype=np.float64) \
+                < s["threshold"]
+            pred += np.where(go_left, s["left"], s["right"])
+        df = df.copy()
+        df[out_col] = pred
+        return df
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -3145,6 +3145,30 @@ def q144_tree_split(sf_dir: str):
 
 
 
+def nq_gbdt_price(sf_dir: str):
+    """Gradient-boosted stumps (`ops/ml.gbdt_stumps`, the histogram GBDT
+    method): predict line price from quantity+discount.  One streaming
+    pass per boosting round — residuals recompute per batch from the
+    broadcast stump list, so no per-row state exists anywhere.  Output:
+    the learned stump table + the (monotone) train-MSE trajectory,
+    deterministic; exactness vs a local numpy boosting replica is
+    asserted in tests/test_ml.py."""
+    from ..ops.ml import gbdt_stumps
+
+    li = _t(sf_dir, "lineitem",
+            ["l_quantity", "l_discount", "l_extendedprice"])
+    model = gbdt_stumps(li, ["l_quantity", "l_discount"],
+                        "l_extendedprice", n_rounds=5, lr=0.5, n_bins=16)
+    out = pd.DataFrame(model["stumps"])
+    out["round"] = np.arange(len(out), dtype=np.int64)
+    out["train_mse"] = np.round(model["train_mse"][:len(out)], 3)
+    for c in ("threshold", "left", "right"):
+        out[c] = out[c].round(ROUND_F)
+    return out[["round", "feature", "threshold", "left", "right",
+                "train_mse"]]
+
+
+
 def nq_pq_ann(sf_dir: str):
     """Product-quantization ANN (`ops/ann.pq_train/pq_encode/pq_topk`):
     vectors compress 32x (64 float32 dims -> 8 bytes) and queries score
@@ -5383,6 +5407,7 @@ NONSQL_QUERIES = {
     "nq_cusum_changepoint": nq_cusum_changepoint,
     "nq_bpe_tokenizer": nq_bpe_tokenizer,
     "nq_pq_ann": nq_pq_ann,
+    "nq_gbdt_price": nq_gbdt_price,
 }
 
 # The correctness driver snapshots only the FIRST 50 entries of

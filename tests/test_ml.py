@@ -110,3 +110,77 @@ class TestHistSplitGains:
         df = pd.DataFrame({"x": [3] * 100, "y": range(100)})
         with pytest.raises(ValueError, match="constant"):
             hist_split_gains(rd.from_pandas(df), ["x"], "y", n_bins=4)
+
+
+class TestGbdtStumps:
+    def _reference(self, df, feats, y, n_rounds, lr, n_bins):
+        """Local numpy replica of the exact boosting recurrence."""
+        edges = {}
+        for f in feats:
+            x = df[f].to_numpy(dtype=np.float64)
+            vmin, vmax = x.min(), x.max()
+            edges[f] = (vmin, (vmax - vmin) / n_bins)
+        base = df[y].to_numpy(dtype=np.float64).mean()
+        pred = np.full(len(df), base)
+        stumps = []
+        for _ in range(n_rounds):
+            r = df[y].to_numpy(dtype=np.float64) - pred
+            best = None
+            for f in feats:
+                vmin, w = edges[f]
+                x = df[f].to_numpy(dtype=np.float64)
+                b = np.minimum(np.floor((x - vmin) / w).astype(int),
+                               n_bins - 1)
+                cnt = np.bincount(b, minlength=n_bins)
+                s = np.bincount(b, weights=r, minlength=n_bins)
+                nl, sl = np.cumsum(cnt), np.cumsum(s)
+                nt, st = nl[-1], sl[-1]
+                for k in range(n_bins - 1):
+                    if nl[k] == 0 or nt - nl[k] == 0:
+                        continue
+                    gain = (sl[k] ** 2 / nl[k]
+                            + (st - sl[k]) ** 2 / (nt - nl[k])
+                            - st ** 2 / nt)
+                    key = (-gain, f, k)
+                    if best is None or key < best[0]:
+                        best = (key, f, vmin + w * (k + 1),
+                                lr * sl[k] / nl[k],
+                                lr * (st - sl[k]) / (nt - nl[k]))
+            _, f, thr, lv, rv = best
+            stumps.append((f, thr, lv, rv))
+            go_left = df[f].to_numpy(dtype=np.float64) < thr
+            pred += np.where(go_left, lv, rv)
+        return base, stumps, pred
+
+    def test_matches_numpy_boosting(self, ray_session):
+        import ray.data as rd
+
+        from driftray.ops.ml import gbdt_score, gbdt_stumps
+
+        rng = np.random.default_rng(5)
+        n = 4000
+        df = pd.DataFrame({
+            "a": rng.integers(0, 100, n).astype(float),
+            "b": rng.integers(0, 100, n).astype(float)})
+        df["y"] = (np.where(df["a"] > 70, 50.0, 0.0)
+                   + np.where(df["b"] > 30, 20.0, 0.0)
+                   + rng.normal(0, 1, n))
+
+        model = gbdt_stumps(rd.from_pandas(df).repartition(4),
+                            ["a", "b"], "y", n_rounds=6, lr=0.5, n_bins=16)
+        base, stumps, pred = self._reference(df, ["a", "b"], "y",
+                                             6, 0.5, 16)
+        assert abs(model["base"] - base) < 1e-9
+        assert len(model["stumps"]) == 6
+        for got, (f, thr, lv, rv) in zip(model["stumps"], stumps):
+            assert got["feature"] == f
+            assert abs(got["threshold"] - thr) < 1e-9
+            assert abs(got["left"] - lv) < 1e-6
+            assert abs(got["right"] - rv) < 1e-6
+
+        scored = gbdt_score(rd.from_pandas(df), model,
+                            ["a", "b"]).to_pandas()
+        assert np.allclose(scored["pred"].to_numpy(), pred, atol=1e-6)
+
+        # boosting must actually reduce training MSE
+        assert model["train_mse"][-1] < model["train_mse"][0] * 0.2
