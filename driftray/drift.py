@@ -316,6 +316,23 @@ def windowed_drift_series(ds, ts_col: str, value_col: str,
     return pd.DataFrame(rows)
 
 
+def ks_from_hist(ref: "Histogram", cur: "Histogram") -> float:
+    """QUANTIZED-EXACT KS statistic between two SAME-EDGE histograms:
+    max |CDF_ref − CDF_cur| evaluated at the shared bin edges.
+
+    This removes the tolerance band of :func:`ks_from_digests` at the
+    100 TB scale path: for the bin-quantized distributions the statistic
+    is EXACT (a deterministic function of the mergeable integer counts),
+    and it lower-bounds the raw-value KS with error at most the larger
+    bin mass.  Same partial-aggregation shape as PSI/JS/W1 — histograms
+    travel as per-batch partials, the driver sees counts only."""
+    if not np.allclose(ref.edges, cur.edges):
+        raise ValueError("ks_from_hist needs identical bin edges")
+    p = ref.counts / max(ref.counts.sum(), 1)
+    q = cur.counts / max(cur.counts.sum(), 1)
+    return float(np.abs(np.cumsum(p) - np.cumsum(q)).max())
+
+
 def wasserstein_from_hist(ref: "Histogram", cur: "Histogram") -> float:
     """Wasserstein-1 (earth-mover) distance between two SAME-EDGE
     histograms, in the value column's own units — the drift metric that

@@ -3145,6 +3145,69 @@ def q144_tree_split(sf_dir: str):
 
 
 
+def q145_daily_psi_js(sf_dir: str):
+    """The drift-scoring kernels hash-checked end to end: day-over-day
+    PSI and Jensen-Shannon divergence of events.value
+    (`drift.windowed_drift_series` — ONE pass of per-(day, bin) bincount
+    partials over fixed shared edges, tiny groupby, driver scores
+    consecutive day pairs from counts alone).  The SQL twin recomputes
+    the clip-eps-renormalize probability algebra with window functions,
+    so the exact PSI/JS math the validation engine alerts on is
+    driver-attested, not just unit-tested."""
+    from ..drift import windowed_drift_series
+
+    ev = _t(sf_dir, "events", ["ts", "value"])
+    edges = np.linspace(0.0, 500.0, 21)          # fixed 25-unit bins
+    out = windowed_drift_series(ev, "ts", "value", edges, unit="day")
+    out = out.dropna(subset=["psi"]).reset_index(drop=True)  # first day
+    out["n"] = out["n"].astype("int64")
+    out["n_nan"] = out["n_nan"].astype("int64")
+    return _round_cols(out, {"psi": ROUND_F, "js": ROUND_F})
+
+
+
+def q146_value_drift_ks(sf_dir: str):
+    """Quantized-exact KS statistic between the first and second half of
+    the events stream (`drift.ks_from_hist` over shared-edge histogram
+    partials) — the tolerance-free scale path for the A5 two-sample
+    test: max |CDF gap| at the shared bin edges is a deterministic
+    function of the mergeable integer counts, so the driver hash checks
+    the sketch math exactly (q139's split + binning)."""
+    from ray.data.aggregate import Max, Min
+
+    from .. import sketches
+    from ..drift import ks_from_hist
+    from ..sketches import Histogram
+
+    ev = _t(sf_dir, "events", ["event_id", "value"])
+    mm = ev.aggregate(Min("event_id"), Max("event_id"))
+    split = (int(mm["min(event_id)"]) + int(mm["max(event_id)"])) // 2
+    edges = np.linspace(0.0, 500.0, 21)           # fixed 25-unit bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        blobs, halves = [], []
+        for name, mask in (("a", ids <= split), ("b", ids > split)):
+            h = Histogram.from_edges(edges).update(
+                np.asarray(v[mask], dtype=np.float64))
+            blobs.append(sketches.dumps(h))
+            halves.append(name)
+        return pa.table({"half": pa.array(halves),
+                         "blob": pa.array(blobs, pa.binary())})
+
+    parts = (ev.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    merged = {h: sketches.merge_all(sketches.loads(b)
+                                    for b in parts[parts.half == h]["blob"])
+              for h in ("a", "b")}
+    ks = ks_from_hist(merged["a"], merged["b"])
+    return pd.DataFrame({"n_a": [int(merged["a"].counts.sum())],
+                         "n_b": [int(merged["b"].counts.sum())],
+                         "ks": [round(ks, ROUND_F)]})
+
+
+
 def nq_gbdt_price(sf_dir: str):
     """Gradient-boosted stumps (`ops/ml.gbdt_stumps`, the histogram GBDT
     method): predict line price from quantity+discount.  One streaming
@@ -4648,6 +4711,68 @@ ORACLE_SQL["q144_tree_split"] = """
     FROM p CROSS JOIN mm
     WHERE bin < 15 AND nl > 0 AND nt - nl > 0"""
 
+ORACLE_SQL["q146_value_drift_ks"] = """
+    WITH mm AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS split
+                FROM events),
+    b AS (SELECT CASE WHEN event_id <= split THEN 'a' ELSE 'b' END AS half,
+                 LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bin
+          FROM events CROSS JOIN mm
+          WHERE value >= 0 AND value <= 500),
+    c AS (SELECT half, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    tot AS (SELECT half, SUM(n) AS t FROM c GROUP BY 1),
+    grid AS (SELECT h.half, g.bin
+             FROM (SELECT DISTINCT half FROM c) h
+             CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) g),
+    f AS (SELECT grid.half, grid.bin, COALESCE(c.n, 0) AS n
+          FROM grid LEFT JOIN c ON c.half = grid.half AND c.bin = grid.bin),
+    cdf AS (SELECT f.half, f.bin,
+                   SUM(f.n) OVER (PARTITION BY f.half ORDER BY f.bin) * 1.0
+                   / (SELECT t FROM tot WHERE tot.half = f.half) AS p
+            FROM f),
+    gap AS (SELECT a.bin, ABS(a.p - b.p) AS g
+            FROM cdf a JOIN cdf b ON a.bin = b.bin
+            WHERE a.half = 'a' AND b.half = 'b')
+    SELECT CAST((SELECT t FROM tot WHERE half = 'a') AS BIGINT) AS n_a,
+           CAST((SELECT t FROM tot WHERE half = 'b') AS BIGINT) AS n_b,
+           ROUND(MAX(g), 6) AS ks
+    FROM gap"""
+
+# searchsorted(edges, v, right) over edges = 0,25,...,500 == the
+# clamped FLOOR(v/25)+1; eps-clip + renormalize mirrors
+# drift.psi_from_counts / the JS mixture exactly.
+ORACLE_SQL["q145_daily_psi_js"] = """
+    WITH b AS (SELECT date_trunc('day', ts) AS w,
+                      GREATEST(0, LEAST(21,
+                          CAST(FLOOR(value / 25.0) AS BIGINT) + 1)) AS bin
+               FROM events WHERE value IS NOT NULL),
+    c AS (SELECT w, bin, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY w, bin),
+    days AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS rk
+             FROM (SELECT DISTINCT w FROM c)),
+    grid AS (SELECT d.w, d.rk, g.bin
+             FROM days d CROSS JOIN
+                  (SELECT CAST(unnest(range(0, 22)) AS BIGINT) AS bin) g),
+    f AS (SELECT grid.w, grid.rk, grid.bin, COALESCE(c.n, 0) AS n
+          FROM grid LEFT JOIN c ON c.w = grid.w AND c.bin = grid.bin),
+    p1 AS (SELECT w, rk, bin, n,
+                  GREATEST(CAST(n AS DOUBLE)
+                           / GREATEST(SUM(n) OVER (PARTITION BY w), 1),
+                           1e-6) AS pc
+           FROM f),
+    p2 AS (SELECT w, rk, bin, n,
+                  pc / SUM(pc) OVER (PARTITION BY w) AS p
+           FROM p1),
+    pair AS (SELECT cur.w, cur.bin, cur.n, cur.p AS q, prv.p AS p
+             FROM p2 cur JOIN p2 prv
+               ON prv.rk = cur.rk - 1 AND prv.bin = cur.bin)
+    SELECT w AS "window",
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS n_nan,
+           ROUND(SUM((q - p) * LN(q / p)), 6) AS psi,
+           ROUND(SUM(0.5 * p * LN(p / (0.5 * (p + q)))
+                     + 0.5 * q * LN(q / (0.5 * (p + q)))), 6) AS js
+    FROM pair GROUP BY w"""
+
 ORACLE_SQL["q127_accepted_values"] = """
     SELECT 'accepted|event_type' AS rule,
            CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
@@ -4840,6 +4965,8 @@ SQL_QUERIES = {
     "q142_bpe_pair_counts": q142_bpe_pair_counts,
     "q143_median_digest_band": q143_median_digest_band,
     "q144_tree_split": q144_tree_split,
+    "q145_daily_psi_js": q145_daily_psi_js,
+    "q146_value_drift_ks": q146_value_drift_ks,
 }
 
 

@@ -226,3 +226,48 @@ class TestWasserstein:
         from driftray.sketches import Histogram
         with pytest.raises(ValueError):
             wasserstein_from_hist(Histogram(0, 1, 4), Histogram(0, 2, 4))
+
+
+class TestKsFromHist:
+    def test_matches_numpy_on_shared_edges(self):
+        import numpy as np
+
+        from driftray.drift import ks_from_hist
+        from driftray.sketches import Histogram
+
+        rng = np.random.default_rng(3)
+        edges = np.linspace(0.0, 10.0, 11)
+        a = rng.uniform(0, 10, 5000)
+        b = rng.uniform(2, 10, 4000)          # shifted → real gap
+        ha = Histogram.from_edges(edges).update(a)
+        hb = Histogram.from_edges(edges).update(b)
+        got = ks_from_hist(ha, hb)
+
+        pa_ = np.histogram(a, bins=edges)[0] / len(a)
+        pb_ = np.histogram(b, bins=edges)[0] / len(b)
+        ref = np.abs(np.cumsum(pa_) - np.cumsum(pb_)).max()
+        assert abs(got - ref) < 1e-12
+        assert got > 0.15                      # the shift is visible
+
+    def test_identical_histograms_zero(self):
+        import numpy as np
+
+        from driftray.drift import ks_from_hist
+        from driftray.sketches import Histogram
+
+        edges = np.linspace(0.0, 1.0, 5)
+        h = Histogram.from_edges(edges).update(
+            np.array([0.1, 0.4, 0.9]))
+        assert ks_from_hist(h, h) == 0.0
+
+    def test_mismatched_edges_raise(self):
+        import numpy as np
+        import pytest
+
+        from driftray.drift import ks_from_hist
+        from driftray.sketches import Histogram
+
+        h1 = Histogram.from_edges(np.linspace(0, 1, 5))
+        h2 = Histogram.from_edges(np.linspace(0, 2, 5))
+        with pytest.raises(ValueError, match="identical bin edges"):
+            ks_from_hist(h1, h2)
