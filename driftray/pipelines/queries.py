@@ -3208,6 +3208,25 @@ def q146_value_drift_ks(sf_dir: str):
 
 
 
+def q147_mg_exact_regime(sf_dir: str):
+    """Misra-Gries heavy hitters in the exact regime (`ops/text
+    .heavy_hitters`, `sketches.MisraGries`): with k above the domain
+    cardinality the summary NEVER decrements, so the sketch path —
+    per-batch k-counter folds + the mergeable-summaries driver merge —
+    must reproduce the exact groupby counts bit-for-bit.  The shrinking
+    regime's ±n/(k+1) guarantee stays pytest-asserted
+    (tests/test_sketches.py); this query hash-attests the merge algebra
+    itself."""
+    from ..ops.text import heavy_hitters
+
+    out = heavy_hitters(_t(sf_dir, "events", ["user_id"]),
+                        "user_id", k=256, top_n=256)
+    out["user_id"] = out["user_id"].astype("int64")
+    out["count_lb"] = out["count_lb"].astype("int64")
+    return out.sort_values("user_id", ignore_index=True)
+
+
+
 def nq_gbdt_price(sf_dir: str):
     """Gradient-boosted stumps (`ops/ml.gbdt_stumps`, the histogram GBDT
     method): predict line price from quantity+discount.  One streaming
@@ -4711,6 +4730,10 @@ ORACLE_SQL["q144_tree_split"] = """
     FROM p CROSS JOIN mm
     WHERE bin < 15 AND nl > 0 AND nt - nl > 0"""
 
+ORACLE_SQL["q147_mg_exact_regime"] = """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS count_lb
+    FROM events GROUP BY user_id"""
+
 ORACLE_SQL["q146_value_drift_ks"] = """
     WITH mm AS (SELECT (MIN(event_id) + MAX(event_id)) // 2 AS split
                 FROM events),
@@ -4967,6 +4990,7 @@ SQL_QUERIES = {
     "q144_tree_split": q144_tree_split,
     "q145_daily_psi_js": q145_daily_psi_js,
     "q146_value_drift_ks": q146_value_drift_ks,
+    "q147_mg_exact_regime": q147_mg_exact_regime,
 }
 
 

@@ -17,7 +17,9 @@ FAST = ["q01_pricing_summary", "q03_topk_orders", "q07_customers_with_orders",
         "q09_windowed_events", "q13_sha256_documents", "q15_ann_topk",
         "q17_lang_profiles", "q21_per_source_latest",
         "q140_documents_expectations", "q141_cusum_daily",
-        "q142_bpe_pair_counts", "q143_median_digest_band"]
+        "q142_bpe_pair_counts", "q143_median_digest_band",
+        "q144_tree_split", "q145_daily_psi_js", "q146_value_drift_ks",
+        "q147_mg_exact_regime"]
 
 
 @pytest.fixture(scope="module")
