@@ -473,3 +473,108 @@ def temperature_weights(counts: dict, alpha: float,
     z = sum(pw.values())
     tgt = tot if target_total is None else target_total
     return {g: pw[g] / z * tgt / counts[g] for g in counts}
+
+
+def dsir_weights(ds: rd.Dataset, target_col: str, id_col: str = "doc_id",
+                 text_col: str = "text", alpha: float = 0.5,
+                 n_buckets: int | None = None) -> rd.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how target-like its unigram distribution is —
+    ``w(doc) = Σ_tokens [ ln p̂_target(t) − ln p̂_corpus(t) ]`` with
+    add-``alpha`` smoothing over the shared feature space.  Selecting
+    top-weight (or Gumbel-resampled) docs upsamples data that looks like
+    the target domain.
+
+    ``target_col`` is a boolean/int column marking the target subset
+    (e.g. ``lang == 'en'`` or "is curated wiki").  Feature space:
+
+    * ``n_buckets=None`` — raw tokens; the count table and broadcast
+      log-ratio model are VOCABULARY-sized.  Exactly SQL-expressible
+      (the oracle path).
+    * ``n_buckets=B`` — DSIR's hashed n-gram trick: features are
+      ``hash64(token) mod B``, so the model is a fixed-size float array
+      (B entries, the paper uses 10⁴) no matter the corpus vocabulary —
+      the 100 TB path.
+
+    Distributed shape: ONE tagged-count pass (per-batch partial
+    ``(feat, n_target, n_all)`` → ``groupby.sum`` exchange, shuffle ∝
+    per-batch vocabulary), model built driver-side from the vocab/B-sized
+    table and broadcast via ``ray.put`` once, then one streaming scoring
+    pass (vectorized searchsorted / direct indexing).  Output: ``id_col``,
+    ``n_tokens``, ``dsir_weight`` — docs with 0 tokens are omitted (no
+    feature evidence either way)."""
+    from ..sketches import hash64
+    from .text import _explode_tokens
+
+    def partial(batch: pd.DataFrame) -> pa.Table:
+        ids, toks = _explode_tokens(batch, id_col, text_col)
+        if len(toks) == 0:
+            return pa.table({"feat": pa.array([], pa.string()),
+                             "ct": pa.array([], pa.int64()),
+                             "ca": pa.array([], pa.int64())})
+        flag = (pd.Series(batch[target_col].to_numpy(),
+                          index=batch[id_col].to_numpy())
+                .astype(bool).loc[ids].to_numpy())
+        if n_buckets is not None:
+            feat = (hash64(toks).view(np.int64) % n_buckets).astype("U")
+        else:
+            feat = toks
+        df = pd.DataFrame({"f": feat, "t": flag})
+        g = df.groupby("f", sort=False)["t"].agg(["sum", "count"])
+        return pa.table({
+            "feat": pa.array(g.index.to_numpy(dtype=object), pa.string()),
+            "ct": pa.array(g["sum"].to_numpy(np.int64)),
+            "ca": pa.array(g["count"].to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    cdf = (ds.map_batches(partial, batch_format="pandas")
+           .groupby("feat")
+           .aggregate(Sum("ct", alias_name="ct"),
+                      Sum("ca", alias_name="ca")).to_pandas())
+    feats = np.sort(cdf["feat"].to_numpy(dtype=object))
+    order = cdf.set_index("feat").loc[feats]
+    ct = order["ct"].to_numpy(np.float64)
+    ca = order["ca"].to_numpy(np.float64)
+    nv = len(feats)
+    tt, ta = float(ct.sum()), float(ca.sum())
+    lr = (np.log((ct + alpha) / (tt + alpha * nv))
+          - np.log((ca + alpha) / (ta + alpha * nv)))
+    ref = ray.put((feats, lr))
+
+    class Scorer:
+        def __init__(self):
+            self.feats, self.lr = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "dsir_weight": pd.Series([], dtype="float64")})
+            ids, toks = _explode_tokens(batch, id_col, text_col)
+            if len(toks) == 0:
+                return empty
+            if n_buckets is not None:
+                feat = (hash64(toks).view(np.int64)
+                        % n_buckets).astype("U")
+            else:
+                feat = toks
+            pos = np.searchsorted(self.feats, feat)
+            pos_c = np.clip(pos, 0, len(self.feats) - 1)
+            hit = self.feats[pos_c] == feat
+            # every scored token was counted in the training pass, so a
+            # miss is impossible when scoring the same corpus; scoring a
+            # NEW corpus against this model gets the smoothing-only ratio
+            miss_lr = float(np.log((alpha / (tt + alpha * nv)))
+                            - np.log((alpha / (ta + alpha * nv))))
+            val = np.where(hit, self.lr[pos_c], miss_lr)
+            g = (pd.DataFrame({"d": ids, "v": val})
+                 .groupby("d", sort=False)["v"].agg(["count", "sum"]))
+            return pd.DataFrame({
+                id_col: g.index.to_numpy(),
+                "n_tokens": g["count"].to_numpy(np.int64),
+                "dsir_weight": g["sum"].to_numpy(np.float64)})
+
+    return ds.map_batches(Scorer, batch_format="pandas",
+                          concurrency=actor_pool())

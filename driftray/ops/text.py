@@ -649,23 +649,11 @@ def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         score, batch_format="pandas")
 
 
-def bm25_topk(ds, query: str, id_col: str = "doc_id",
-              text_col: str = "text", k: int = 20, k1: float = 1.2,
-              b: float = 0.75) -> pd.DataFrame:
-    """BM25 top-k retrieval against ONE broadcast query string.
-
-    Global stats pass: N, avgdl (mean token count, one tiny aggregate)
-    and df for the QUERY terms only (the (token, df) Dataset filtered to
-    the handful of query tokens — nothing vocabulary-sized ships
-    anywhere).  Scoring pass: per batch, vectorized term-frequency of
-    query terms (np.isin + groupby), BM25 with idf =
-    ln((N - df + .5)/(df + .5) + 1), local top-k, tiny driver merge.
-    Returns a pandas DataFrame (id, score) of ≤ k rows, score DESC,
-    id ASC tie-break."""
-    q_terms = sorted({t for t in query.split(" ") if t})
-    if not q_terms:
-        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                             "score": pd.Series([], dtype="float64")})
+def _bm25_stats(ds, q_terms: list[str], id_col: str, text_col: str):
+    """Shared BM25 global-stats pass: corpus size N, avgdl (mean token
+    count over ALL docs, one tiny aggregate) and idf for the QUERY terms
+    only (the (token, df) Dataset filtered to the handful of query
+    tokens — nothing vocabulary-sized ships anywhere)."""
     n_docs = ds.count()
 
     def doclen(batch: pd.DataFrame) -> pd.DataFrame:
@@ -688,6 +676,24 @@ def bm25_topk(ds, query: str, id_col: str = "doc_id",
     idf = {t: float(np.log((n_docs - df_map.get(t, 0) + 0.5)
                            / (df_map.get(t, 0) + 0.5) + 1.0))
            for t in q_terms}
+    return n_docs, avgdl, idf
+
+
+def bm25_topk(ds, query: str, id_col: str = "doc_id",
+              text_col: str = "text", k: int = 20, k1: float = 1.2,
+              b: float = 0.75) -> pd.DataFrame:
+    """BM25 top-k retrieval against ONE broadcast query string.
+
+    Global stats pass (``_bm25_stats``), then a scoring pass: per batch,
+    vectorized term-frequency of query terms (np.isin + groupby), BM25
+    with idf = ln((N - df + .5)/(df + .5) + 1), local top-k, tiny driver
+    merge.  Returns a pandas DataFrame (id, score) of ≤ k rows, score
+    DESC, id ASC tie-break."""
+    q_terms = sorted({t for t in query.split(" ") if t})
+    if not q_terms:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    _, avgdl, idf = _bm25_stats(ds, q_terms, id_col, text_col)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
@@ -721,6 +727,159 @@ def bm25_topk(ds, query: str, id_col: str = "doc_id",
     cand = cand.sort_values(["score", id_col], ascending=[False, True],
                             kind="mergesort").head(k)
     return cand.reset_index(drop=True)
+
+
+def bm25_scores(ds, query: str, id_col: str = "doc_id",
+                text_col: str = "text", k1: float = 1.2,
+                b: float = 0.75):
+    """BM25 score for EVERY document containing ≥ 1 query term — the
+    full-score companion of ``bm25_topk`` (no ranking cutoff, so the
+    result is hash-comparable against a SQL recomputation of the same
+    tf/df/dl algebra).  Same global-stats pass (``_bm25_stats``), one
+    streaming scoring pass, output stays a Dataset: ``(id, score)``.
+    Docs matching no query term are omitted (their score is 0)."""
+    q_terms = sorted({t for t in query.split(" ") if t})
+    if not q_terms:
+        raise ValueError("bm25_scores: empty query")
+    _, avgdl, idf = _bm25_stats(ds, q_terms, id_col, text_col)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if len(batch) == 0:
+            return empty
+        doc_ids, toks = _explode_tokens(batch, id_col, text_col)
+        if len(toks) == 0:
+            return empty
+        dl = (pd.Series(1, index=doc_ids).groupby(level=0).sum())
+        mask = np.isin(toks, q_terms)
+        if not mask.any():
+            return empty
+        tf = (pd.DataFrame({"d": doc_ids[mask], "t": toks[mask]})
+              .groupby(["d", "t"], sort=False).size().reset_index(name="f"))
+        tf["dl"] = tf["d"].map(dl).to_numpy(dtype=np.float64)
+        f = tf["f"].to_numpy(dtype=np.float64)
+        denom = f + k1 * (1.0 - b + b * tf["dl"].to_numpy() / avgdl)
+        tf["s"] = tf["t"].map(idf).to_numpy() * f * (k1 + 1.0) / denom
+        per_doc = tf.groupby("d", sort=False)["s"].sum().reset_index()
+        return pd.DataFrame({id_col: per_doc["d"].to_numpy(),
+                             "score": per_doc["s"].to_numpy()})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas")
+
+
+_BG_SEP = "\x00"  # never appears in whitespace-split tokens
+
+
+def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
+                     alpha: float = 0.5, max_bigrams: int | None = None):
+    """Bigram-LM (add-``alpha``) per-document scoring — the second-order
+    companion of ``perplexity_scores``: each within-document adjacent
+    token pair (w1, w2) scores ``ln((c2(w1,w2)+α) / (c1(w1)+α·V))``
+    where c2/c1 are corpus bigram/unigram counts and V the distinct
+    unigram vocabulary.  Captures word-ORDER fluency the unigram model
+    cannot (scrambled text keeps its unigram logprob but craters here).
+
+    Distributed shape (two streaming passes, one exchange):
+
+    1. TRAIN — one ``map_batches`` pass emits TAGGED partial counts
+       (kind 0 = unigram token, kind 1 = ``w1\\x00w2`` bigram key) into a
+       single ``groupby.sum`` exchange; the model table that reaches the
+       driver is vocab+observed-bigram sized, orders below the corpus.
+       ``max_bigrams`` caps the broadcast bigram table to the most
+       frequent M pairs (count DESC, key ASC — deterministic); pairs
+       beyond the cap score as unseen (α-mass numerator), the same
+       deliberate tail penalty as ``perplexity_scores``' vocab cap.
+    2. SCORE — the model broadcasts via ``ray.put`` once; per batch,
+       tokens explode vectorized, bigram adjacency is masked to
+       within-document positions, counts look up via ``np.searchsorted``.
+
+    Output rows: ``id_col``, ``n_bigrams``, ``lp_per_bigram`` (mean log
+    probability; docs with < 2 tokens emit n_bigrams = 0, lp 0.0)."""
+    import pyarrow as pa
+
+    import ray
+
+    def partial_counts(batch: pd.DataFrame) -> pa.Table:
+        ids, toks = _explode_tokens(batch, id_col, text_col)
+        if len(toks) == 0:
+            return pa.table({"kind": pa.array([], pa.int8()),
+                             "key": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        adj = ids[:-1] == ids[1:]
+        w1, w2 = toks[:-1][adj], toks[1:][adj]
+        keys, counts, kinds = [], [], []
+        uu, uc = np.unique(toks, return_counts=True)
+        keys.append(uu); counts.append(uc)
+        kinds.append(np.zeros(len(uu), np.int8))
+        if len(w1):
+            bg = np.array([a + _BG_SEP + b for a, b in zip(w1, w2)],
+                          dtype=object)
+            bu, bc = np.unique(bg, return_counts=True)
+            keys.append(bu); counts.append(bc)
+            kinds.append(np.ones(len(bu), np.int8))
+        return pa.table({
+            "kind": pa.array(np.concatenate(kinds)),
+            "key": pa.array(np.concatenate(keys), pa.string()),
+            "n": pa.array(np.concatenate(counts).astype(np.int64))})
+
+    counts = (ds.map_batches(partial_counts, batch_format="pandas")
+              .groupby(["kind", "key"]).sum("n").to_pandas())
+    counts = counts.rename(columns={"sum(n)": "n"})
+    uni = counts[counts["kind"] == 0]
+    big = counts[counts["kind"] == 1]
+    if max_bigrams is not None and len(big) > max_bigrams:
+        big = big.sort_values(["n", "key"], ascending=[False, True],
+                              kind="mergesort").head(max_bigrams)
+    vocab = np.sort(uni["key"].to_numpy(dtype=object))
+    vcnt = (uni.set_index("key").loc[vocab, "n"]
+            .to_numpy(dtype=np.float64))
+    bkeys = np.sort(big["key"].to_numpy(dtype=object))
+    bcnt = (big.set_index("key").loc[bkeys, "n"]
+            .to_numpy(dtype=np.float64)) if len(bkeys) else \
+        np.array([], dtype=np.float64)
+    n_vocab = len(vocab)
+    ref = ray.put((vocab, vcnt, bkeys, bcnt))
+
+    class Scorer:
+        def __init__(self):
+            self.vocab, self.vcnt, self.bkeys, self.bcnt = ray.get(ref)
+
+        def _lookup(self, keys, sorted_keys, cnts):
+            if len(sorted_keys) == 0:
+                return np.zeros(len(keys), dtype=np.float64)
+            pos = np.searchsorted(sorted_keys, keys)
+            pos_c = np.clip(pos, 0, len(sorted_keys) - 1)
+            hit = sorted_keys[pos_c] == keys
+            return np.where(hit, cnts[pos_c], 0.0)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_ids = batch[id_col].to_numpy()
+            n_bg = np.zeros(len(batch), np.int64)
+            lp = np.zeros(len(batch), np.float64)
+            ids, toks = _explode_tokens(batch, id_col, text_col)
+            if len(toks):
+                adj = ids[:-1] == ids[1:]
+                w1, w2 = toks[:-1][adj], toks[1:][adj]
+                if len(w1):
+                    d = ids[:-1][adj]
+                    bg = np.array([a + _BG_SEP + b
+                                   for a, b in zip(w1, w2)], dtype=object)
+                    c2 = self._lookup(bg, self.bkeys, self.bcnt)
+                    c1 = self._lookup(w1, self.vocab, self.vcnt)
+                    l = np.log((c2 + alpha) / (c1 + alpha * n_vocab))
+                    g = pd.DataFrame({"d": d, "l": l}).groupby(
+                        "d", sort=False)["l"].agg(["count", "mean"])
+                    m = pd.Series(np.arange(len(batch)),
+                                  index=out_ids).loc[g.index].to_numpy()
+                    n_bg[m] = g["count"].to_numpy(np.int64)
+                    lp[m] = g["mean"].to_numpy()
+            return pd.DataFrame({id_col: out_ids, "n_bigrams": n_bg,
+                                 "lp_per_bigram": lp})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        Scorer, batch_format="pandas", concurrency=actor_pool())
 
 
 # --- PII redaction -----------------------------------------------------

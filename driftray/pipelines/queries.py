@@ -3226,6 +3226,62 @@ def q147_mg_exact_regime(sf_dir: str):
     return out.sort_values("user_id", ignore_index=True)
 
 
+BM25_QUERY = "hash join merge"
+
+
+def q148_bm25_scores(sf_dir: str):
+    """Full-corpus BM25 scoring (`ops/text.bm25_scores`) — the oracle
+    twin of nq_bm25_search's ranking path: every document containing ≥ 1
+    query term gets its BM25 score (k1=1.2, b=0.75), no top-k cutoff, so
+    the whole tf/idf/dl algebra — N, avgdl over ALL docs (empty ones
+    included), per-term df, the saturation quotient — is hash-checked
+    against the SQL recomputation instead of only pytest-asserted."""
+    from ..ops.text import bm25_scores
+
+    out = bm25_scores(_t(sf_dir, "documents", ["doc_id", "text"]),
+                      query=BM25_QUERY).to_pandas()
+    out = _round_cols(out, {"score": 4})
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def q149_dsir_weights(sf_dir: str):
+    """DSIR importance weights (`ops/curation.dsir_weights`, Xie et al.
+    2023): score every document by Σ_tokens [ln p̂_target − ln p̂_corpus]
+    with add-0.5 smoothing, target = the English subset.  Raw-token
+    feature space here (exactly SQL-expressible); the hashed-bucket
+    fixed-size model (the paper's 10⁴-bucket 100 TB path) is
+    pytest-asserted against a local replica in tests/test_round5_ops.py."""
+    import pyarrow.compute as _pc
+
+    from ..ops.curation import dsir_weights
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("is_tgt", _pc.equal(t["lang"], "en"))
+
+    out = dsir_weights(docs.map_batches(tag, batch_format="pyarrow"),
+                       "is_tgt").to_pandas()
+    out = _round_cols(out, {"dsir_weight": ROUND_F})
+    return (out[["doc_id", "n_tokens", "dsir_weight"]]
+            .sort_values("doc_id", ignore_index=True))
+
+
+def q150_bigram_lm(sf_dir: str):
+    """Bigram-LM fluency scoring (`ops/text.bigram_lm_scores`) — the
+    word-ORDER companion of q56's unigram perplexity: per within-doc
+    adjacent pair, ln((c2+α)/(c1(w1)+α·V)) from corpus counts trained in
+    one tagged groupby exchange.  Docs with < 2 tokens carry no bigram
+    evidence and are dropped, matching the oracle's pair join."""
+    from ..ops.text import bigram_lm_scores
+
+    out = bigram_lm_scores(_t(sf_dir, "documents", ["doc_id", "text"]),
+                           alpha=PPL_ALPHA).to_pandas()
+    out = out[out["n_bigrams"] > 0]
+    out = _round_cols(out, {"lp_per_bigram": ROUND_F})
+    return (out[["doc_id", "n_bigrams", "lp_per_bigram"]]
+            .sort_values("doc_id", ignore_index=True))
+
 
 def nq_gbdt_price(sf_dir: str):
     """Gradient-boosted stumps (`ops/ml.gbdt_stumps`, the histogram GBDT
@@ -4796,6 +4852,80 @@ ORACLE_SQL["q145_daily_psi_js"] = """
                      + 0.5 * q * LN(q / (0.5 * (p + q)))), 6) AS js
     FROM pair GROUP BY w"""
 
+ORACLE_SQL["q148_bm25_scores"] = f"""
+    WITH tok AS (SELECT doc_id, t AS tok
+                 FROM (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS t
+                       FROM documents)
+                 WHERE t <> ''),
+    dl AS (SELECT d.doc_id, CAST(COUNT(tok.tok) AS DOUBLE) AS dl
+           FROM documents d LEFT JOIN tok ON d.doc_id = tok.doc_id
+           GROUP BY d.doc_id),
+    st AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+                  (SELECT AVG(dl) FROM dl) AS avgdl),
+    dfq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+            FROM tok WHERE tok IN ('hash', 'join', 'merge')
+            GROUP BY tok),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS f
+           FROM tok WHERE tok IN ('hash', 'join', 'merge')
+           GROUP BY doc_id, tok)
+    SELECT tf.doc_id,
+           ROUND(SUM(LN((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                     * tf.f * (1.2 + 1)
+                     / (tf.f + 1.2 * (1 - 0.75
+                                      + 0.75 * dl.dl / st.avgdl))),
+                 4) AS score
+    FROM tf JOIN dl USING (doc_id) JOIN dfq USING (tok) CROSS JOIN st
+    GROUP BY tf.doc_id"""
+
+ORACLE_SQL["q149_dsir_weights"] = f"""
+    WITH tok AS (SELECT doc_id, lang, t AS tok
+                 FROM (SELECT doc_id, lang,
+                              unnest(string_split(text, ' ')) AS t
+                       FROM documents)
+                 WHERE t <> ''),
+    c AS (SELECT tok,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS ct,
+                 CAST(COUNT(*) AS DOUBLE) AS ca
+          FROM tok GROUP BY tok),
+    g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv,
+                 SUM(ct) AS tt, SUM(ca) AS ta FROM c),
+    lr AS (SELECT tok, LN((ct + 0.5) / (tt + 0.5 * nv))
+                       - LN((ca + 0.5) / (ta + 0.5 * nv)) AS lr
+           FROM c CROSS JOIN g)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lr.lr), {ROUND_F}) AS dsir_weight
+    FROM tok t JOIN lr ON t.tok = lr.tok
+    GROUP BY t.doc_id"""
+
+ORACLE_SQL["q150_bigram_lm"] = f"""
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    pos AS (SELECT doc_id, toks,
+                   CAST(unnest(range(len(toks) - 1)) AS BIGINT) AS i
+            FROM d WHERE len(toks) >= 2),
+    bg AS (SELECT doc_id,
+                  toks[CAST(i + 1 AS INT)] AS w1,
+                  toks[CAST(i + 2 AS INT)] AS w2
+           FROM pos),
+    c1 AS (SELECT t AS w, CAST(COUNT(*) AS DOUBLE) AS n1
+           FROM (SELECT unnest(string_split(text, ' ')) AS t
+                 FROM documents)
+           WHERE t <> '' GROUP BY t),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n2
+           FROM bg GROUP BY w1, w2),
+    v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM c1),
+    lp AS (SELECT bg.doc_id,
+                  LN((c2.n2 + 0.5) / (c1.n1 + 0.5 * v.nv)) AS l
+           FROM bg JOIN c2 USING (w1, w2)
+                JOIN c1 ON c1.w = bg.w1 CROSS JOIN v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(l), {ROUND_F}) AS lp_per_bigram
+    FROM lp GROUP BY doc_id"""
+
 ORACLE_SQL["q127_accepted_values"] = """
     SELECT 'accepted|event_type' AS rule,
            CAST(COALESCE(SUM(CASE WHEN event_type IS NOT NULL
@@ -4991,6 +5121,9 @@ SQL_QUERIES = {
     "q145_daily_psi_js": q145_daily_psi_js,
     "q146_value_drift_ks": q146_value_drift_ks,
     "q147_mg_exact_regime": q147_mg_exact_regime,
+    "q148_bm25_scores": q148_bm25_scores,
+    "q149_dsir_weights": q149_dsir_weights,
+    "q150_bigram_lm": q150_bigram_lm,
 }
 
 

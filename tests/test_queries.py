@@ -19,7 +19,8 @@ FAST = ["q01_pricing_summary", "q03_topk_orders", "q07_customers_with_orders",
         "q140_documents_expectations", "q141_cusum_daily",
         "q142_bpe_pair_counts", "q143_median_digest_band",
         "q144_tree_split", "q145_daily_psi_js", "q146_value_drift_ks",
-        "q147_mg_exact_regime"]
+        "q147_mg_exact_regime", "q148_bm25_scores", "q149_dsir_weights",
+        "q150_bigram_lm"]
 
 
 @pytest.fixture(scope="module")
