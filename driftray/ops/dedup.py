@@ -1630,3 +1630,83 @@ def fuzzy_dedup_pairs(ds: rd.Dataset, id_col: str = "doc_id",
     # Min is just "pick the one value"
     return (pairs.groupby(["id_a", "id_b"])
             .aggregate(Min("dist", alias_name="dist")))
+
+
+def semdedup(ds: rd.Dataset, id_col: str = "vec_id",
+             vec_col: str = "embedding", n_clusters: int = 16,
+             threshold: float = 0.95, iters: int = 10, seed: int = 42,
+             num_partitions: int = 64) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): k-means cluster the
+    embedding space, then WITHIN each cluster drop semantic
+    near-duplicates — rows whose cosine similarity to another cluster
+    member is ≥ ``threshold`` — keeping each near-dup group's lowest id.
+    The paper's key scale observation carries over verbatim: clustering
+    first makes the pairwise step O(Σ c_i²) instead of O(N²), and
+    clusters are independent so the quadratic work distributes.
+
+    Distributed shape: ``kmeans_fit`` (streaming Lloyd passes, k×(d+1)
+    partials) → broadcast centroids → ``kmeans_assign`` → ONE hash
+    exchange by cluster id (``partitioned_group_apply``): each partition
+    normalizes its clusters' vectors, runs a per-cluster Gram matmul and
+    a vectorized keep-first scan (a row is kept iff no LOWER-id row in
+    the same cluster is ≥ threshold similar — the paper keeps one point
+    per ε-ball; lowest-id is the deterministic choice).
+
+    For cluster sizes where c² blocks matter (≫10⁵ rows per cluster at
+    100 TB) raise ``n_clusters`` so E[c] stays bounded — the knob the
+    paper itself scales with (50 k clusters for LAION).  Returns
+    ``(id_col, cluster, keep)`` for every input row."""
+    from .grouped import partitioned_group_apply
+    from .embedding import kmeans_assign, kmeans_fit
+
+    centers, _, _ = kmeans_fit(ds, n_clusters, vec_col=vec_col,
+                               iters=iters, seed=seed)
+    assigned = kmeans_assign(ds.select_columns([id_col, vec_col]),
+                             centers, vec_col=vec_col)
+
+    def pack(batch: pd.DataFrame) -> pa.Table:
+        # Ship vectors as explicit binary through the exchange: tensor-
+        # extension columns do not survive map_groups' pandas conversion
+        # on some block layouts (ROUND_NOTES r4 gotcha).
+        vb = [np.asarray(v, dtype=np.float64).tobytes()
+              for v in batch[vec_col].to_numpy()]
+        return pa.table({
+            id_col: pa.array(batch[id_col].to_numpy(np.int64)),
+            "cluster": pa.array(batch["cluster"].to_numpy(np.int64)),
+            "__vb": pa.array(vb, pa.binary())})
+
+    assigned = assigned.map_batches(pack, batch_format="pandas")
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "keep": pd.Series([], dtype="int64")})
+        outs = []
+        for cid, g in df.groupby("cluster", sort=False):
+            ids = g[id_col].to_numpy()
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            X = np.stack([np.frombuffer(b, dtype=np.float64)
+                          for b in g["__vb"].to_numpy()[order]])
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            Xn = X / norms[:, None]
+            sim = Xn @ Xn.T
+            # keep iff no kept lower-id row is >= threshold similar;
+            # transitive chains collapse to their minimum-id member via
+            # a single lower-triangular pass (paper's ε-ball keep-one)
+            n = len(ids)
+            keep = np.ones(n, dtype=bool)
+            for i in range(1, n):
+                if (sim[i, :i][keep[:i]] >= threshold).any():
+                    keep[i] = False
+            outs.append(pd.DataFrame({
+                id_col: ids,
+                "cluster": np.full(n, cid, dtype=np.int64),
+                "keep": keep.astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    return partitioned_group_apply(assigned, ["cluster"], per_cluster,
+                                   num_partitions=num_partitions)

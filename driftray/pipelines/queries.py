@@ -3283,6 +3283,38 @@ def q150_bigram_lm(sf_dir: str):
             .sort_values("doc_id", ignore_index=True))
 
 
+def q151_dup_ngram_stats(sf_dir: str):
+    """Per-document duplicate-trigram fraction
+    (`ops/curation.dup_ngram_stats`, Lee et al. 2022 §4 corpus
+    SELF-overlap): for every doc, how many of its 3-token windows carry
+    a trigram found in ≥ 2 distinct documents.  Integer outputs only
+    (counts); the float fraction is pytest-asserted in
+    tests/test_corpus_overlap.py.  64-bit gram hashes stand in for the
+    raw strings — the q76 decontamination convention."""
+    from ..ops.curation import dup_ngram_stats
+
+    out = dup_ngram_stats(_t(sf_dir, "documents", ["doc_id", "text"]),
+                          n=3, min_docs=2).to_pandas()
+    return (out[["doc_id", "n_windows", "n_dup_windows"]]
+            .astype("int64").sort_values("doc_id", ignore_index=True))
+
+
+def q152_source_overlap(sf_dir: str):
+    """Pairwise between-source trigram overlap
+    (`ops/curation.source_ngram_overlap`) — the corpus-composition
+    diagnostic: distinct-trigram intersection and per-source set sizes
+    for every unordered source pair (integer counts; Jaccard is derived
+    and pytest-asserted)."""
+    from ..ops.curation import source_ngram_overlap
+
+    out = source_ngram_overlap(
+        _t(sf_dir, "documents", ["source", "text"]), n=3)
+    out = out[["group_a", "group_b", "n_common", "n_a", "n_b"]].copy()
+    for c in ("n_common", "n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["group_a", "group_b"], ignore_index=True)
+
+
 def nq_gbdt_price(sf_dir: str):
     """Gradient-boosted stumps (`ops/ml.gbdt_stumps`, the histogram GBDT
     method): predict line price from quantity+discount.  One streaming
@@ -3335,6 +3367,26 @@ def nq_pq_ann(sf_dir: str):
                      "n_overlap_coarse": len(e & a),
                      "n_overlap_rerank": len(e & r)})
     return pd.DataFrame(rows)
+
+
+def nq_semdedup(sf_dir: str):
+    """SemDeDup (`ops/dedup.semdedup`, Abbas et al. 2023): k-means the
+    embedding space, then within each cluster drop rows whose cosine
+    similarity to a kept lower-id member is >= threshold.  Deterministic
+    (seeded init, lowest-id keep); iterative k-means is not
+    SQL-expressible, so the exactness oracle is the in-process replica
+    in tests/test_corpus_overlap.py.  Output: per-cluster kept/dropped
+    counts (stable integers)."""
+    from ..ops.dedup import semdedup
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semdedup(emb, n_clusters=8, threshold=0.9, iters=8).to_pandas()
+    g = (out.groupby("cluster", sort=True)
+         .agg(n_rows=("keep", "size"), n_kept=("keep", "sum"))
+         .reset_index())
+    g["n_rows"] = g["n_rows"].astype("int64")
+    g["n_kept"] = g["n_kept"].astype("int64")
+    return g
 
 
 def nq_compression_ratio(sf_dir: str):
@@ -4958,6 +5010,54 @@ ORACLE_SQL["q129_conditional_rules"] = """
                      THEN 1 END), 0) AS BIGINT)
     FROM documents"""
 
+ORACLE_SQL["q151_dup_ngram_stats"] = """
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    pos AS (SELECT doc_id, toks,
+                   CAST(unnest(range(len(toks) - 2)) AS BIGINT) AS i
+            FROM d WHERE len(toks) >= 3),
+    g AS (SELECT doc_id,
+                 toks[CAST(i + 1 AS INT)] || ' ' ||
+                 toks[CAST(i + 2 AS INT)] || ' ' ||
+                 toks[CAST(i + 3 AS INT)] AS gram
+          FROM pos),
+    dup AS (SELECT gram FROM g
+            GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(dup.gram) AS BIGINT) AS n_dup_windows
+    FROM g LEFT JOIN dup ON g.gram = dup.gram
+    GROUP BY g.doc_id"""
+
+ORACLE_SQL["q152_source_overlap"] = """
+    WITH d AS (SELECT source,
+                      list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    pos AS (SELECT source, toks,
+                   CAST(unnest(range(len(toks) - 2)) AS BIGINT) AS i
+            FROM d WHERE len(toks) >= 3),
+    gs AS (SELECT DISTINCT source AS grp,
+                  toks[CAST(i + 1 AS INT)] || ' ' ||
+                  toks[CAST(i + 2 AS INT)] || ' ' ||
+                  toks[CAST(i + 3 AS INT)] AS gram
+           FROM pos),
+    sizes AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n
+              FROM gs GROUP BY grp),
+    pairs AS (SELECT a.grp AS group_a, b.grp AS group_b,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM gs a JOIN gs b ON a.gram = b.gram AND a.grp < b.grp
+              GROUP BY 1, 2)
+    SELECT sa.grp AS group_a, sb.grp AS group_b,
+           CAST(COALESCE(p.c, 0) AS BIGINT) AS n_common,
+           sa.n AS n_a, sb.n AS n_b
+    FROM sizes sa
+    JOIN sizes sb ON sa.grp < sb.grp
+    LEFT JOIN pairs p ON p.group_a = sa.grp AND p.group_b = sb.grp
+    ORDER BY group_a, group_b"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -5124,6 +5224,8 @@ SQL_QUERIES = {
     "q148_bm25_scores": q148_bm25_scores,
     "q149_dsir_weights": q149_dsir_weights,
     "q150_bigram_lm": q150_bigram_lm,
+    "q151_dup_ngram_stats": q151_dup_ngram_stats,
+    "q152_source_overlap": q152_source_overlap,
 }
 
 
@@ -5692,6 +5794,7 @@ NONSQL_QUERIES = {
     "nq_bpe_tokenizer": nq_bpe_tokenizer,
     "nq_pq_ann": nq_pq_ann,
     "nq_gbdt_price": nq_gbdt_price,
+    "nq_semdedup": nq_semdedup,
 }
 
 # The correctness driver snapshots only the FIRST 50 entries of
