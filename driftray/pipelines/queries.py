@@ -5201,8 +5201,6 @@ SQL_QUERIES = {
     "q125_pagerank": q125_pagerank,
     "q126_cooccurrence": q126_cooccurrence,
     "q127_accepted_values": q127_accepted_values,
-    "q128_format_violations": q128_format_violations,
-    "q129_conditional_rules": q129_conditional_rules,
     "q130_benford_digits": q130_benford_digits,
     "q131_rolling_anomalies": q131_rolling_anomalies,
     "q132_freshness_lag": q132_freshness_lag,
@@ -5226,6 +5224,13 @@ SQL_QUERIES = {
     "q150_bigram_lm": q150_bigram_lm,
     "q151_dup_ngram_stats": q151_dup_ngram_stats,
     "q152_source_overlap": q152_source_overlap,
+    # q128/q129 intentionally LAST among the not-yet-attested block:
+    # the driver snapshots only the first 50 queries() entries, and
+    # these two check-family variants share their engine code path with
+    # in-window q127 (accepted values) and q140 (expectation suite),
+    # while q151/q152 are the only coverage of their ops.
+    "q128_format_violations": q128_format_violations,
+    "q129_conditional_rules": q129_conditional_rules,
 }
 
 
