@@ -722,3 +722,56 @@ def source_ngram_overlap(ds: rd.Dataset, group_col: str = "source",
                         ncommon / (na + nb - ncommon)))
     return pd.DataFrame(out, columns=["group_a", "group_b", "n_common",
                                       "n_a", "n_b", "jaccard"])
+
+
+def semantic_decontaminate(ds: rd.Dataset, eval_ds: rd.Dataset,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.8,
+                           round_decimals: int = 4) -> rd.Dataset:
+    """Embedding-space test-set decontamination — the semantic companion
+    of :func:`decontaminate`'s n-gram overlap: flag every training row
+    whose embedding is cosine-similar (``>= threshold``) to ANY
+    evaluation-set embedding.  Catches paraphrased / translated /
+    reformatted benchmark leakage that exact n-grams miss.
+
+    Scale shape: eval sets are small (10^4–10^5 rows even for large
+    suites), so the L2-normalized eval matrix is collected once,
+    ``ray.put`` once, and every ``map_batches`` task streams train
+    batches through ONE ``X @ E.T`` matmul — no shuffle, no join, output
+    one row per train row.  At 100 TB the cost is a single read-through
+    of the train embeddings; the eval matrix (d × |eval| floats) rides
+    the object store to each task.
+
+    ``max_sim`` is rounded to ``round_decimals`` BEFORE the threshold
+    compare so the flag is reproducible against a DuckDB
+    ``list_cosine_similarity`` oracle (the q15 convention: engine and
+    SQL agree at 4 decimals).  Returns ``(id_col, max_sim,
+    contaminated)`` for every train row; an empty eval set yields
+    ``max_sim = -1.0`` and no flags."""
+    ev = eval_ds.select_columns([vec_col]).to_pandas()
+    if len(ev):
+        E = np.stack(ev[vec_col].to_numpy()).astype(np.float64)
+        E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    else:
+        E = None
+    ref = ray.put(E)
+
+    def score(batch: pd.DataFrame) -> pa.Table:
+        En = ray.get(ref)
+        ids = batch[id_col].to_numpy(np.int64)
+        if En is None or len(batch) == 0:
+            ms = np.full(len(batch), -1.0)
+        else:
+            X = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-12)
+            ms = (Xn @ En.T).max(axis=1)
+        ms = np.round(ms, round_decimals)
+        return pa.table({
+            id_col: pa.array(ids),
+            "max_sim": pa.array(ms, pa.float64()),
+            "contaminated": pa.array((ms >= threshold).astype(np.int64))})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        score, batch_format="pandas")

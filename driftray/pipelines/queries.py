@@ -3315,6 +3315,23 @@ def q152_source_overlap(sf_dir: str):
     return out.sort_values(["group_a", "group_b"], ignore_index=True)
 
 
+def q153_semantic_decontam(sf_dir: str):
+    """Embedding-space test-set decontamination
+    (`ops/curation.semantic_decontaminate`): eval = vec_id < 25 (a
+    broadcast-once normalized matrix), train = the rest; per train row
+    the max cosine to any eval vector (rounded, the q15 list-cosine
+    convention) and the >= 0.35 contamination flag."""
+    from ..ops.curation import semantic_decontaminate
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ev = _t(sf_dir, "embeddings", ["vec_id", "embedding"],
+            filter=pc.field("vec_id") < 25)
+    tr = emb.filter(expr="vec_id >= 25")
+    out = semantic_decontaminate(tr, ev, threshold=0.35).to_pandas()
+    out["contaminated"] = out["contaminated"].astype("int64")
+    return out.sort_values("vec_id", ignore_index=True)
+
+
 def nq_gbdt_price(sf_dir: str):
     """Gradient-boosted stumps (`ops/ml.gbdt_stumps`, the histogram GBDT
     method): predict line price from quantity+discount.  One streaming
@@ -5058,6 +5075,19 @@ ORACLE_SQL["q152_source_overlap"] = """
     LEFT JOIN pairs p ON p.group_a = sa.grp AND p.group_b = sb.grp
     ORDER BY group_a, group_b"""
 
+ORACLE_SQL["q153_semantic_decontam"] = """
+    WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id < 25),
+    tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 25),
+    s AS (SELECT tr.vec_id,
+                 MAX(list_cosine_similarity(tr.embedding, ev.embedding))
+                     AS ms
+          FROM tr CROSS JOIN ev GROUP BY tr.vec_id)
+    SELECT vec_id,
+           ROUND(CAST(ms AS DOUBLE), 4) AS max_sim,
+           CAST(CASE WHEN ROUND(CAST(ms AS DOUBLE), 4) >= 0.35
+                THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM s"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -5224,6 +5254,7 @@ SQL_QUERIES = {
     "q150_bigram_lm": q150_bigram_lm,
     "q151_dup_ngram_stats": q151_dup_ngram_stats,
     "q152_source_overlap": q152_source_overlap,
+    "q153_semantic_decontam": q153_semantic_decontam,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with

@@ -218,3 +218,48 @@ def test_semdedup_threshold_one_keeps_distinct(ray_session):
     got = semdedup(rd.from_pandas(df), n_clusters=4, threshold=1.0 + 1e-9,
                    num_partitions=4).to_pandas()
     assert int(got["keep"].sum()) == 40
+
+
+# --- semantic decontamination -------------------------------------------
+
+def test_semantic_decontaminate_matches_brute(ray_session):
+    from driftray.ops.curation import semantic_decontaminate
+
+    rng = np.random.default_rng(21)
+    E = rng.normal(size=(10, 12))
+    # train: 30 random rows + 5 near-copies of eval rows (planted leaks)
+    T = rng.normal(size=(30, 12))
+    leaks = E[:5] + rng.normal(size=(5, 12)) * 1e-3
+    X = np.vstack([T, leaks])
+    tr = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(35), "embedding": list(X)}))
+    ev = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(10), "embedding": list(E)}))
+    got = (semantic_decontaminate(tr, ev, threshold=0.95)
+           .to_pandas().sort_values("vec_id", ignore_index=True))
+
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ms = np.round((Xn @ En.T).max(axis=1), 4)
+    assert np.allclose(got["max_sim"].to_numpy(), ms)
+    assert (got["contaminated"].to_numpy() ==
+            (ms >= 0.95).astype(np.int64)).all()
+    # all 5 planted leaks flagged, and only them (random 12-d vectors
+    # essentially never reach cosine 0.95)
+    assert got["contaminated"].sum() == 5
+    assert (got[got["vec_id"] >= 30]["contaminated"] == 1).all()
+
+
+def test_semantic_decontaminate_empty_eval(ray_session):
+    from driftray.ops.curation import semantic_decontaminate
+
+    rng = np.random.default_rng(2)
+    tr = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(8),
+         "embedding": list(rng.normal(size=(8, 4)))}))
+    ev = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.array([], dtype=np.int64),
+         "embedding": pd.Series([], dtype=object)}))
+    got = semantic_decontaminate(tr, ev).to_pandas()
+    assert (got["max_sim"] == -1.0).all()
+    assert got["contaminated"].sum() == 0
