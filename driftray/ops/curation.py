@@ -596,9 +596,10 @@ def dup_ngram_stats(ds: rd.Dataset, id_col: str = "doc_id",
     the driver and no broadcast (dup-gram vocabulary may itself be huge
     at 100 TB, so unlike ``decontaminate`` there is no small side):
 
-    1. one ``map_batches`` pass explodes every window into
-       ``(doc, ngh)`` rows (vectorized ``_ngram_hash_frame``, 64-bit
-       siphash, multiplicity KEPT — each window counts once);
+    1. one ``map_batches`` pass explodes windows into counted
+       ``(doc, ngh, cnt)`` rows (vectorized ``_ngram_hash_frame``,
+       64-bit siphash; per-batch multiplicity pre-aggregated so each
+       window still counts once but repeats ship as one row);
     2. hash-partition by ``ngh`` (``partitioned_group_apply``): within a
        partition each gram's global distinct-doc count is computable
        exactly (all rows of a gram co-locate); rows are flagged
@@ -616,9 +617,19 @@ def dup_ngram_stats(ds: rd.Dataset, id_col: str = "doc_id",
 
     from .grouped import partitioned_group_apply
 
-    def window_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    def window_rows(batch: pd.DataFrame) -> pa.Table:
+        # arrow out: pandas blocks into the downstream shuffle are ~14x
+        # slower through Ray's sort-based exchange (ROUND_NOTES r4).
+        # Per-batch (doc, gram) multiplicity pre-aggregation: templated /
+        # boilerplate corpora repeat grams within a doc, so the exchange
+        # ships one counted row per distinct (doc, gram) instead of one
+        # row per window.
         ids, h = _ngram_hash_frame(batch, id_col, text_col, n)
-        return pd.DataFrame({"doc": ids, "ngh": h})
+        g = (pd.DataFrame({"doc": ids, "ngh": h})
+             .groupby(["doc", "ngh"], sort=False).size().reset_index())
+        return pa.table({"doc": pa.array(g["doc"].to_numpy(np.int64)),
+                         "ngh": pa.array(g["ngh"].to_numpy(np.int64)),
+                         "cnt": pa.array(g[0].to_numpy(np.int64))})
 
     rows = ds.select_columns([id_col, text_col]).map_batches(
         window_rows, batch_format="pandas")
@@ -628,13 +639,16 @@ def dup_ngram_stats(ds: rd.Dataset, id_col: str = "doc_id",
             return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                                  "nw": pd.Series([], dtype="int64"),
                                  "ndup": pd.Series([], dtype="int64")})
+        # rows are (doc, ngh, cnt) with (doc, ngh) possibly split across
+        # source batches — nunique over doc stays exact regardless
         ndocs = df.groupby("ngh", sort=False)["doc"].transform("nunique")
-        dup = (ndocs.to_numpy() >= min_docs).astype(np.int64)
-        g = (pd.DataFrame({"d": df["doc"].to_numpy(), "x": dup})
-             .groupby("d", sort=False)["x"].agg(["count", "sum"]))
+        cnt = df["cnt"].to_numpy(np.int64)
+        dup = np.where(ndocs.to_numpy() >= min_docs, cnt, 0)
+        g = (pd.DataFrame({"d": df["doc"].to_numpy(), "w": cnt, "x": dup})
+             .groupby("d", sort=False)[["w", "x"]].sum())
         return pd.DataFrame({id_col: g.index.to_numpy(),
-                             "nw": g["count"].to_numpy(np.int64),
-                             "ndup": g["sum"].to_numpy(np.int64)})
+                             "nw": g["w"].to_numpy(np.int64),
+                             "ndup": g["x"].to_numpy(np.int64)})
 
     partials = partitioned_group_apply(rows, ["ngh"], per_gram,
                                        num_partitions=num_partitions)
@@ -677,11 +691,13 @@ def source_ngram_overlap(ds: rd.Dataset, group_col: str = "source",
         b = batch.assign(__rid=np.arange(len(batch), dtype=np.int64))
         ids, h = _ngram_hash_frame(b, "__rid", text_col, n)
         if len(h) == 0:
-            return pd.DataFrame({"ngh": pd.Series([], dtype="int64"),
-                                 "grp": pd.Series([], dtype="str")})
+            return pa.table({"ngh": pa.array([], pa.int64()),
+                             "grp": pa.array([], pa.string())})
         grp = batch[group_col].to_numpy(dtype=object)[ids]
-        df = pd.DataFrame({"ngh": h, "grp": grp.astype(str)})
-        return df.drop_duplicates(ignore_index=True)
+        df = (pd.DataFrame({"ngh": h, "grp": grp.astype(str)})
+              .drop_duplicates(ignore_index=True))
+        return pa.table({"ngh": pa.array(df["ngh"].to_numpy()),
+                         "grp": pa.array(df["grp"], pa.string())})
 
     rows = ds.select_columns([group_col, text_col]).map_batches(
         gram_rows, batch_format="pandas")
