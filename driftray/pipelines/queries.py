@@ -3332,6 +3332,33 @@ def q153_semantic_decontam(sf_dir: str):
     return out.sort_values("vec_id", ignore_index=True)
 
 
+def q154_jsonl_roundtrip(sf_dir: str):
+    """JSONL source end-to-end (`sources.read_any` / `register_source`
+    §2.10): documents export to line-delimited JSON, read back through
+    the format registry, and must answer the same per-lang aggregate as
+    the parquet original — format ingestion never changes answers."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources import read_any
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="driftray_jsonl_")
+    try:
+        docs.write_json(tmp)
+        out = (read_any(tmp, fmt="json")
+               .groupby("lang")
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("n_chars", alias_name="total_chars"))
+               .to_pandas().sort_values("lang", ignore_index=True))
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def nq_gbdt_price(sf_dir: str):
     """Gradient-boosted stumps (`ops/ml.gbdt_stumps`, the histogram GBDT
     method): predict line price from quantity+discount.  One streaming
@@ -5088,6 +5115,11 @@ ORACLE_SQL["q153_semantic_decontam"] = """
                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
     FROM s"""
 
+ORACLE_SQL["q154_jsonl_roundtrip"] = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -5255,6 +5287,7 @@ SQL_QUERIES = {
     "q151_dup_ngram_stats": q151_dup_ngram_stats,
     "q152_source_overlap": q152_source_overlap,
     "q153_semantic_decontam": q153_semantic_decontam,
+    "q154_jsonl_roundtrip": q154_jsonl_roundtrip,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
