@@ -3359,6 +3359,34 @@ def q154_jsonl_roundtrip(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q155_csv_roundtrip(sf_dir: str):
+    """CSV source end-to-end (`sources.read_any`, the q154 twin for the
+    second text format): numeric columns must survive CSV type
+    inference and reproduce the parquet aggregate.  Text is excluded
+    (CSV quoting of free text is a serialization concern, not a reader
+    one)."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources import read_any
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="driftray_csv_")
+    try:
+        docs.write_csv(tmp)
+        out = (read_any(tmp, fmt="csv")
+               .groupby("lang")
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("n_chars", alias_name="total_chars"))
+               .to_pandas().sort_values("lang", ignore_index=True))
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def nq_gbdt_price(sf_dir: str):
     """Gradient-boosted stumps (`ops/ml.gbdt_stumps`, the histogram GBDT
     method): predict line price from quantity+discount.  One streaming
@@ -5120,6 +5148,8 @@ ORACLE_SQL["q154_jsonl_roundtrip"] = """
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang ORDER BY lang"""
 
+ORACLE_SQL["q155_csv_roundtrip"] = ORACLE_SQL["q154_jsonl_roundtrip"]
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -5288,6 +5318,7 @@ SQL_QUERIES = {
     "q152_source_overlap": q152_source_overlap,
     "q153_semantic_decontam": q153_semantic_decontam,
     "q154_jsonl_roundtrip": q154_jsonl_roundtrip,
+    "q155_csv_roundtrip": q155_csv_roundtrip,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
