@@ -37,11 +37,13 @@ nothing row-scale materializes on the driver.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -1710,3 +1712,109 @@ def semdedup(ds: rd.Dataset, id_col: str = "vec_id",
 
     return partitioned_group_apply(assigned, ["cluster"], per_cluster,
                                    num_partitions=num_partitions)
+
+
+def incremental_minhash_dedup(ds: rd.Dataset, state_dir: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              num_perm: int = 128, num_bands: int = 16,
+                              num_partitions: int = 64) -> rd.Dataset:
+    """Cross-scan near-dup detection: the MinHash-LSH analogue of the
+    exact ``SeenKeysStore`` (T2/D4) — a persisted seen-BUCKET store so a
+    continuously-crawled corpus can flag each new scan's near-duplicates
+    against everything previously scanned without ever re-reading old
+    text.
+
+    Per scan, two key-hash exchanges and one state append:
+
+    1. signatures + band bucket keys in one actor-pool map chain
+       (``MinHasher`` → ``_BandExploder``, the ``minhash_lsh_dedup``
+       kernels — signatures never cross an exchange);
+    2. old state (``state_dir/buckets_*.parquet``, bucket keys only,
+       8 B/row) unions with the scan's ``(bh, id)`` rows tagged
+       ``id = -1``; ONE hash exchange by ``bh`` co-locates each bucket,
+       where a scan row is flagged ``dup_of_state`` if its bucket holds
+       a state row and ``dup_in_scan`` if a LOWER-id scan row shares the
+       bucket (first-wins, the ``minhash_lsh_dedup`` convention);
+    3. per-doc OR across bands = one ``groupby(id).max`` exchange;
+    4. the scan's bucket keys append as a NEW state part file
+       (per-batch-distinct, duplicates across batches tolerated — the
+       state is a membership multiset, so parts stay append-only and
+       crash-safe; compaction can dedupe offline).
+
+    Bucket collision (not verified Jaccard) is the flag criterion — the
+    standard streaming-dedup approximation; run ``minhash_lsh_dedup``
+    within a scan when exact-verified pairs are needed.  State grows
+    ∝ scanned docs × num_bands × 8 B.  Returns ``(id_col,
+    dup_of_state, dup_in_scan, is_dup)`` for every scan row."""
+    import glob as _glob
+
+    from ray.data.aggregate import Max
+
+    from .grouped import partitioned_group_apply
+
+    _require_int_ids(ds, id_col)
+    old_parts = sorted(_glob.glob(os.path.join(state_dir, "buckets_*.parquet")))
+
+    band = (ds.select_columns([id_col, text_col])
+            .map_batches(MinHasher, fn_constructor_args=(id_col, text_col),
+                         fn_constructor_kwargs={"num_perm": num_perm},
+                         batch_format="pandas", concurrency=actor_pool())
+            .map_batches(_BandExploder,
+                         fn_constructor_args=(id_col, num_bands),
+                         batch_format="pandas", concurrency=actor_pool())
+            .map_batches(lambda b: pa.table(
+                {"bh": pa.array(b["bh"].to_numpy(np.int64)),
+                 "doc": pa.array(b[id_col].to_numpy(np.int64))}),
+                batch_format="pandas")
+            .materialize())
+
+    # append the scan's buckets as a new immutable state part — written
+    # AFTER the old-part list is resolved, so this scan never sees them
+    os.makedirs(state_dir, exist_ok=True)
+    new_part = os.path.join(state_dir, f"buckets_{len(old_parts):05d}.parquet")
+    bucket_tbl = pa.table({"bh": pa.concat_arrays(
+        [pa.array(np.unique(t["bh"].to_numpy()))
+         for t in band.select_columns(["bh"]).iter_batches(
+             batch_format="pyarrow", batch_size=1 << 20)] or
+        [pa.array([], pa.int64())])})
+    pq.write_table(bucket_tbl, new_part)
+
+    tagged = band
+    if old_parts:
+        state = rd.read_parquet(old_parts).map_batches(
+            lambda t: pa.table({
+                "bh": pc.cast(t["bh"], pa.int64()),
+                "doc": pa.array(np.full(len(t), -1, dtype=np.int64))}),
+            batch_format="pyarrow")
+        tagged = band.union(state)
+
+    big = np.iinfo(np.int64).max
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "s_state": pd.Series([], dtype="int64"),
+                                 "s_scan": pd.Series([], dtype="int64")})
+        doc = df["doc"].to_numpy(np.int64)
+        mn_all = df.groupby("bh", sort=False)["doc"].transform("min").to_numpy()
+        scan_doc = np.where(doc >= 0, doc, big)
+        mn_scan = (pd.Series(scan_doc).groupby(df["bh"].to_numpy(), sort=False)
+                   .transform("min").to_numpy())
+        m = doc >= 0
+        return pd.DataFrame({
+            id_col: doc[m],
+            "s_state": (mn_all[m] == -1).astype(np.int64),
+            "s_scan": (doc[m] > mn_scan[m]).astype(np.int64)})
+
+    flags = partitioned_group_apply(tagged, ["bh"], per_bucket,
+                                    num_partitions=num_partitions)
+    out = flags.groupby(id_col).aggregate(
+        Max("s_state", alias_name="dup_of_state"),
+        Max("s_scan", alias_name="dup_in_scan"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column("is_dup", pc.max_element_wise(
+            t["dup_of_state"], t["dup_in_scan"]))
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -3461,6 +3461,45 @@ def nq_semdedup(sf_dir: str):
     return g
 
 
+def nq_incremental_minhash(sf_dir: str):
+    """Cross-scan near-dup detection (`ops/dedup.incremental_minhash_dedup`,
+    the LSH seen-bucket store): documents split into two scans by doc_id
+    parity-of-half; scan 2 re-submits a slice of scan 1 verbatim, which
+    must flag as dup_of_state without re-reading scan 1's text.  Output:
+    per-scan flag totals (deterministic seeded MinHash)."""
+    import shutil
+    import tempfile
+
+    from ..ops.dedup import incremental_minhash_dedup
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    half = docs.max("doc_id") // 2
+    state = tempfile.mkdtemp(prefix="driftray_lshstate_")
+    try:
+        rows = []
+        scan1 = docs.filter(expr=f"doc_id <= {half}")
+        # scan 2 = the other half + a re-crawl of 50 scan-1 docs
+        # (re-keyed upward so ids stay unique across scans)
+        recrawl = (docs.filter(expr="doc_id < 50")
+                   .map_batches(lambda t: t.set_column(
+                       t.schema.get_field_index("doc_id"), "doc_id",
+                       pc.add(t["doc_id"], 1_000_000)),
+                       batch_format="pyarrow"))
+        scan2 = docs.filter(expr=f"doc_id > {half}").union(recrawl)
+        for i, scan in enumerate((scan1, scan2), 1):
+            out = incremental_minhash_dedup(scan, state).to_pandas()
+            rows.append({"scan": i, "n_docs": len(out),
+                         "n_dup_of_state": int(out["dup_of_state"].sum()),
+                         "n_dup_in_scan": int(out["dup_in_scan"].sum())})
+        res = pd.DataFrame(rows)
+        # every verbatim re-crawl row must collide with scan-1 state
+        if int(res.loc[1, "n_dup_of_state"]) < 50:
+            raise RuntimeError(f"re-crawled docs not flagged: {rows}")
+        return res
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def nq_compression_ratio(sf_dir: str):
     """Per-document zlib compression ratio
     (`ops/text.compression_ratios`) — the cheap redundancy signal
@@ -5895,6 +5934,7 @@ NONSQL_QUERIES = {
     "nq_pq_ann": nq_pq_ann,
     "nq_gbdt_price": nq_gbdt_price,
     "nq_semdedup": nq_semdedup,
+    "nq_incremental_minhash": nq_incremental_minhash,
 }
 
 # The correctness driver snapshots only the FIRST 50 entries of

@@ -263,3 +263,52 @@ def test_semantic_decontaminate_empty_eval(ray_session):
     got = semantic_decontaminate(tr, ev).to_pandas()
     assert (got["max_sim"] == -1.0).all()
     assert got["contaminated"].sum() == 0
+
+
+# --- incremental (cross-scan) MinHash dedup ------------------------------
+
+def _inc_texts():
+    rng = np.random.default_rng(17)
+    vocab = [f"tok{i}" for i in range(50)]
+    mk = lambda: " ".join(rng.choice(vocab, size=40))
+    scan1 = {0: mk(), 1: mk(), 2: mk()}
+    # scan2: a near-copy of scan1 doc 1, an internal near-dup pair, a fresh doc
+    base = mk()
+    scan2 = {10: scan1[1] + " extra", 11: base, 12: base + " tail", 13: mk()}
+    return scan1, scan2
+
+
+def test_incremental_minhash_across_scans(ray_session, tmp_path):
+    from driftray.ops.dedup import incremental_minhash_dedup
+
+    state = str(tmp_path / "lsh_state")
+    scan1, scan2 = _inc_texts()
+
+    def run(texts):
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}))
+        return (incremental_minhash_dedup(ds, state, num_partitions=8)
+                .to_pandas().sort_values("doc_id", ignore_index=True)
+                .set_index("doc_id"))
+
+    r1 = run(scan1)
+    assert r1["dup_of_state"].sum() == 0       # empty state: nothing flagged
+    assert r1["dup_in_scan"].sum() == 0        # all distinct random docs
+
+    r2 = run(scan2)
+    assert r2.loc[10, "dup_of_state"] == 1     # near-copy of scan1 doc 1
+    assert r2.loc[12, "dup_in_scan"] == 1      # near-dup of lower-id 11
+    assert r2.loc[11, "dup_in_scan"] == 0      # first-wins keeps the min id
+    assert r2.loc[13, "is_dup"] == 0           # fresh doc clean
+    assert (r2["is_dup"] == (r2["dup_of_state"] | r2["dup_in_scan"])).all()
+
+    # state accumulated one part per scan and only bucket keys
+    import glob
+    parts = sorted(glob.glob(state + "/buckets_*.parquet"))
+    assert len(parts) == 2
+    import pyarrow.parquet as pq
+    assert pq.read_schema(parts[0]).names == ["bh"]
+
+    # a third scan re-submitting scan1 doc 0 verbatim must flag it
+    r3 = run({20: scan1[0]})
+    assert r3.loc[20, "dup_of_state"] == 1
