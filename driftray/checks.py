@@ -314,7 +314,8 @@ class RangeCheck(BatchCheck):
                 viol = pc.or_kleene(viol, pc.greater(col, cs.max_value))
             viol = pc.fill_null(viol, False)  # nulls are completeness's business
             mask = np.asarray(viol.to_pandas(), dtype=bool)
-            wm = _when_mask(batch, cs.when, ctx.n_rows, ctx, _rule_label(cs))
+            wm = _when_mask(batch, cs.when, ctx.n_rows, ctx,
+                            _rule_label(cs), owner=self)
             if wm is not None:
                 mask &= wm
             ctx.emit_violations(mask, "range", _rule_label(cs),
@@ -323,24 +324,35 @@ class RangeCheck(BatchCheck):
 
 def _when_mask(batch: pa.Table, when: tuple | None,
                n_rows: int, ctx: "CheckContext | None" = None,
-               rule_label: str = "") -> np.ndarray | None:
+               rule_label: str = "",
+               owner: "BatchCheck | None" = None) -> np.ndarray | None:
     """Row-condition mask for conditional (cross-column) rules; None when
     the rule is unconditional.
 
     When the gate column is ABSENT from the batch the rule cannot fire,
     but a silent all-False mask would make a misspelled gate column look
     like a permanently-passing rule — so a distinct ``config`` finding is
-    emitted (once per batch per rule) before masking everything out."""
+    emitted before masking everything out.  The finding is emitted ONCE
+    per rule per check actor (tracked on ``owner``), not per batch: a
+    misconfiguration is a per-rule fact, and per-batch emission would
+    make the counter batch-count-dependent and flood the findings table
+    past the violation budget on large tables."""
     if when is None:
         return None
     col, val = when
     if col not in batch.column_names:
         if ctx is not None:
-            ctx.append("counter", "config", column=rule_label, n=1)
-            ctx.append("violation", "config", column=rule_label,
-                       row_ref="*",
-                       detail=f"when-column {col!r} missing from batch; "
-                              "conditional rule disabled")
+            warned = (owner.__dict__.setdefault("_cfg_warned", set())
+                      if owner is not None else set())
+            if rule_label not in warned:
+                warned.add(rule_label)
+                ctx.append("counter", "config", column=rule_label, n=1)
+                if ctx._budget > 0:
+                    ctx._budget -= 1
+                    ctx.append("violation", "config", column=rule_label,
+                               row_ref="*",
+                               detail=f"when-column {col!r} missing from "
+                                      "batch; conditional rule disabled")
         return np.zeros(n_rows, dtype=bool)
     eq = pc.fill_null(pc.equal(batch[col], val), False)
     return np.asarray(eq.to_pandas(), dtype=bool)
@@ -374,7 +386,8 @@ class AcceptedValuesCheck(BatchCheck):
             ok = pc.is_in(col, value_set=vset)
             viol = pc.and_kleene(pc.invert(ok), pc.is_valid(col))
             mask = np.asarray(pc.fill_null(viol, False).to_pandas(), dtype=bool)
-            wm = _when_mask(batch, cs.when, ctx.n_rows, ctx, _rule_label(cs))
+            wm = _when_mask(batch, cs.when, ctx.n_rows, ctx,
+                            _rule_label(cs), owner=self)
             if wm is not None:
                 mask &= wm
             ctx.emit_violations(mask, "accepted", _rule_label(cs),
@@ -400,7 +413,8 @@ class FormatCheck(BatchCheck):
             ok = pc.match_substring_regex(col, rx)
             viol = pc.and_kleene(pc.invert(ok), pc.is_valid(col))
             mask = np.asarray(pc.fill_null(viol, False).to_pandas(), dtype=bool)
-            wm = _when_mask(batch, cs.when, ctx.n_rows, ctx, _rule_label(cs))
+            wm = _when_mask(batch, cs.when, ctx.n_rows, ctx,
+                            _rule_label(cs), owner=self)
             if wm is not None:
                 mask &= wm
             ctx.emit_violations(mask, "format", _rule_label(cs),

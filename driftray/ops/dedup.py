@@ -1651,9 +1651,11 @@ def semdedup(ds: rd.Dataset, id_col: str = "vec_id",
     partials) → broadcast centroids → ``kmeans_assign`` → ONE hash
     exchange by cluster id (``partitioned_group_apply``): each partition
     normalizes its clusters' vectors, runs a per-cluster Gram matmul and
-    a vectorized keep-first scan (a row is kept iff no LOWER-id row in
-    the same cluster is ≥ threshold similar — the paper keeps one point
-    per ε-ball; lowest-id is the deterministic choice).
+    a greedy keep-first scan in id order — a row is kept iff no KEPT
+    lower-id row in the same cluster is ≥ threshold similar (lowest-id
+    is the deterministic representative).  Greedy, not transitive
+    closure: in a chain a~b, b~c with a≁c, b drops but c survives
+    (c is only compared against the kept set {a}).
 
     For cluster sizes where c² blocks matter (≫10⁵ rows per cluster at
     100 TB) raise ``n_clusters`` so E[c] stays bounded — the knob the
@@ -1697,8 +1699,9 @@ def semdedup(ds: rd.Dataset, id_col: str = "vec_id",
             Xn = X / norms[:, None]
             sim = Xn @ Xn.T
             # keep iff no kept lower-id row is >= threshold similar;
-            # transitive chains collapse to their minimum-id member via
-            # a single lower-triangular pass (paper's ε-ball keep-one)
+            # greedy lower-triangular scan: row i drops iff some KEPT
+            # lower-id row is >= threshold similar (dropped rows do not
+            # themselves suppress later rows)
             n = len(ids)
             keep = np.ones(n, dtype=bool)
             for i in range(1, n):
@@ -1740,7 +1743,11 @@ def incremental_minhash_dedup(ds: rd.Dataset, state_dir: str,
     4. the scan's bucket keys append as a NEW state part file
        (per-batch-distinct, duplicates across batches tolerated — the
        state is a membership multiset, so parts stay append-only and
-       crash-safe; compaction can dedupe offline).
+       crash-safe; compaction can dedupe offline).  The part is written
+       only AFTER the flag computation has fully executed (the returned
+       Dataset is materialized first), so a crashed or retried scan
+       never finds its own buckets already in state and mis-flags the
+       whole rerun as duplicate.
 
     Bucket collision (not verified Jaccard) is the flag criterion — the
     standard streaming-dedup approximation; run ``minhash_lsh_dedup``
@@ -1756,6 +1763,18 @@ def incremental_minhash_dedup(ds: rd.Dataset, state_dir: str,
     _require_int_ids(ds, id_col)
     old_parts = sorted(_glob.glob(os.path.join(state_dir, "buckets_*.parquet")))
 
+    def to_bh_doc(b: pd.DataFrame) -> pa.Table:
+        doc = b[id_col].to_numpy(np.int64)
+        if (doc < 0).any():
+            # -1 tags state rows in the bucket exchange below; a negative
+            # scan id would silently vanish from the output and poison
+            # every bucket it touches as "seen in state"
+            raise ValueError(
+                f"incremental_minhash_dedup: {id_col} must be >= 0 "
+                f"(got min {int(doc.min())})")
+        return pa.table({"bh": pa.array(b["bh"].to_numpy(np.int64)),
+                         "doc": pa.array(doc)})
+
     band = (ds.select_columns([id_col, text_col])
             .map_batches(MinHasher, fn_constructor_args=(id_col, text_col),
                          fn_constructor_kwargs={"num_perm": num_perm},
@@ -1763,22 +1782,8 @@ def incremental_minhash_dedup(ds: rd.Dataset, state_dir: str,
             .map_batches(_BandExploder,
                          fn_constructor_args=(id_col, num_bands),
                          batch_format="pandas", concurrency=actor_pool())
-            .map_batches(lambda b: pa.table(
-                {"bh": pa.array(b["bh"].to_numpy(np.int64)),
-                 "doc": pa.array(b[id_col].to_numpy(np.int64))}),
-                batch_format="pandas")
+            .map_batches(to_bh_doc, batch_format="pandas")
             .materialize())
-
-    # append the scan's buckets as a new immutable state part — written
-    # AFTER the old-part list is resolved, so this scan never sees them
-    os.makedirs(state_dir, exist_ok=True)
-    new_part = os.path.join(state_dir, f"buckets_{len(old_parts):05d}.parquet")
-    bucket_tbl = pa.table({"bh": pa.concat_arrays(
-        [pa.array(np.unique(t["bh"].to_numpy()))
-         for t in band.select_columns(["bh"]).iter_batches(
-             batch_format="pyarrow", batch_size=1 << 20)] or
-        [pa.array([], pa.int64())])})
-    pq.write_table(bucket_tbl, new_part)
 
     tagged = band
     if old_parts:
@@ -1817,4 +1822,18 @@ def incremental_minhash_dedup(ds: rd.Dataset, state_dir: str,
         return t.append_column("is_dup", pc.max_element_wise(
             t["dup_of_state"], t["dup_in_scan"]))
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    # execute the flag computation BEFORE committing this scan's buckets
+    # to state: state advances iff the flags exist, so a failed scan can
+    # simply re-run (an eager append here would make the rerun see its
+    # own buckets and flag the entire scan dup_of_state)
+    result = out.map_batches(finish, batch_format="pyarrow").materialize()
+
+    os.makedirs(state_dir, exist_ok=True)
+    new_part = os.path.join(state_dir, f"buckets_{len(old_parts):05d}.parquet")
+    bucket_tbl = pa.table({"bh": pa.concat_arrays(
+        [pa.array(np.unique(t["bh"].to_numpy()))
+         for t in band.select_columns(["bh"]).iter_batches(
+             batch_format="pyarrow", batch_size=1 << 20)] or
+        [pa.array([], pa.int64())])})
+    pq.write_table(bucket_tbl, new_part)
+    return result

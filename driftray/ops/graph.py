@@ -233,21 +233,25 @@ def cooccurrence_pairs(ds: rd.Dataset, context_col: str, item_col: str,
     counts = partitioned_group_apply(pairs_in, [context_col], gen_pairs,
                                      num_partitions=num_partitions)
 
-    # Final combine WITHOUT a keyed exchange: every gen partition already
-    # pre-aggregated its pairs, so the combine input is bounded by
-    # num_partitions × |distinct item pairs| — the SAME pair-space bound
-    # gen_pairs itself assumes fits a worker (any partition can emit the
-    # full pair space).  A sort-based groupby here ran at ~85 k rows/s
-    # (45 s for 3.8 M pre-aggregated rows); one coalesce + one vectorized
-    # pandas groupby does it in under a second at that volume.
+    # Final combine as a pair-keyed hash partition (partitioned_group_apply
+    # again, NOT a direct groupby over the raw pair space): every gen
+    # partition already pre-aggregated its pairs, so the exchange moves at
+    # most num_partitions × |distinct pairs| pre-aggregated rows, and each
+    # combine partition holds ~|distinct pairs| / num_partitions of them —
+    # the per-worker bound stays the pair-space slice, unlike a
+    # repartition(1) coalesce whose single block grows with num_partitions
+    # × pair space.  (A direct sort-based groupby over the two raw item
+    # columns ran at ~85 k rows/s — 45 s for 3.8 M rows; the bounded-block
+    # PART_COL exchange plus one vectorized pandas groupby per partition is
+    # the fast shape used everywhere else.)
     a, b = f"{item_col}_a", f"{item_col}_b"
 
-    def combine(df: pd.DataFrame) -> pa.Table:
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
         out = (df.groupby([a, b], sort=False)["n_shared"].sum()
                .reset_index())
         out = out[out["n_shared"] >= min_count]
         out["n_shared"] = out["n_shared"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return out
 
-    return counts.repartition(1).map_batches(combine, batch_format="pandas",
-                                             batch_size=None)
+    return partitioned_group_apply(counts, [a, b], combine,
+                                   num_partitions=num_partitions)

@@ -345,14 +345,21 @@ def grouped_winsorize_stats(ds: rd.Dataset, key_cols: list[str],
         out["n_above"] = np.add.reduceat(above.astype(np.int64), run_start)
         # exactness guard (same contract as anomaly.rolling_zscore): the
         # per-group Σ|clipped| must fit int64 or reduceat wraps SILENTLY
-        # where the SQL BIGINT oracle would raise — reject loudly instead
-        cmax = int(np.abs(clipped).max()) if m else 0
-        nmax = int(n.max()) if len(n) else 0
-        if cmax and cmax * nmax >= 2**63:
-            raise OverflowError(
-                f"grouped_winsorize_stats: group of {nmax} values with "
-                f"magnitude up to {cmax} can overflow the exact int64 "
-                "wins_sum — rescale the value column upstream")
+        # where the SQL BIGINT oracle would raise — reject loudly.  The
+        # bound is PER GROUP (that group's max magnitude × that group's
+        # size): a partition-wide cmax×nmax cross product would reject a
+        # small group of huge values coexisting with a huge group of
+        # small values, both of which sum fine.
+        if m:
+            gmax = np.maximum.reduceat(np.abs(clipped), run_start)
+            over = gmax.astype(object) * n.astype(object) >= 2**63
+            if over.any():
+                j = int(np.flatnonzero(over)[0])
+                raise OverflowError(
+                    f"grouped_winsorize_stats: group of {int(n[j])} values "
+                    f"with magnitude up to {int(gmax[j])} can overflow the "
+                    "exact int64 wins_sum — rescale the value column "
+                    "upstream")
         out["wins_sum"] = np.add.reduceat(clipped, run_start)
         return pa.Table.from_pandas(out, preserve_index=False)
 

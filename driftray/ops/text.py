@@ -769,7 +769,19 @@ def bm25_scores(ds, query: str, id_col: str = "doc_id",
         score, batch_format="pandas")
 
 
-_BG_SEP = "\x00"  # never appears in whitespace-split tokens
+_BG_SEP = "\x00"
+
+
+def _bigram_key(a: str, b: str) -> str:
+    """Injective (w1, w2) → string key: ``"<len(w1)>\\x00<w1><w2>"``.
+
+    A bare ``w1 + sep + w2`` join is ambiguous for ANY separator because
+    single-space-split tokens can contain arbitrary bytes (including the
+    separator itself — e.g. NUL): tokens ``('a\\x00b', 'c')`` and
+    ``('a', 'b\\x00c')`` would share a key and merge their corpus counts.
+    The decimal length prefix ends at the key's FIRST NUL (digits contain
+    none), so the decomposition — and therefore the key — is unique."""
+    return f"{len(a)}{_BG_SEP}{a}{b}"
 
 
 def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -784,7 +796,7 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
     Distributed shape (two streaming passes, one exchange):
 
     1. TRAIN — one ``map_batches`` pass emits TAGGED partial counts
-       (kind 0 = unigram token, kind 1 = ``w1\\x00w2`` bigram key) into a
+       (kind 0 = unigram token, kind 1 = the injective ``_bigram_key``) into a
        single ``groupby.sum`` exchange; the model table that reaches the
        driver is vocab+observed-bigram sized, orders below the corpus.
        ``max_bigrams`` caps the broadcast bigram table to the most
@@ -814,7 +826,7 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
         keys.append(uu); counts.append(uc)
         kinds.append(np.zeros(len(uu), np.int8))
         if len(w1):
-            bg = np.array([a + _BG_SEP + b for a, b in zip(w1, w2)],
+            bg = np.array([_bigram_key(a, b) for a, b in zip(w1, w2)],
                           dtype=object)
             bu, bc = np.unique(bg, return_counts=True)
             keys.append(bu); counts.append(bc)
@@ -864,7 +876,7 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
                 w1, w2 = toks[:-1][adj], toks[1:][adj]
                 if len(w1):
                     d = ids[:-1][adj]
-                    bg = np.array([a + _BG_SEP + b
+                    bg = np.array([_bigram_key(a, b)
                                    for a, b in zip(w1, w2)], dtype=object)
                     c2 = self._lookup(bg, self.bkeys, self.bcnt)
                     c1 = self._lookup(w1, self.vocab, self.vcnt)

@@ -707,17 +707,19 @@ def run_validation(
     # completes — so a crashed run's retry still reports the drift.
     t0 = time.perf_counter()
     from .schema_drift import persist_snapshot, record_and_diff
+    from .sources import footer_schema_groups, read_parquet_evolving
 
+    # ONE footer walk per run: the grouping feeds the schema snapshot,
+    # the drift diff AND every evolving read below (a 50k-file directory
+    # on object storage pays the serial footer-open loop exactly once)
+    _fgroups = footer_schema_groups(input_path)
     schema_report = record_and_diff(out_dir, input_path, spec,
-                                    strict=strict_schema, persist=False)
+                                    strict=strict_schema, persist=False,
+                                    groups=_fgroups)
     # mixed footer schemas ⇒ the table evolved mid-directory: route every
     # data read through the schema-group union reader (typed null padding
     # per version) instead of a naive read that binds the first
-    # fragment's schema.  Footer walk only — costs nothing extra beyond
-    # the snapshot above.
-    from .sources import footer_schema_groups, read_parquet_evolving
-
-    _fgroups = footer_schema_groups(input_path)
+    # fragment's schema.
     n_schema_groups = len(_fgroups)
 
     def _common(columns) -> bool:
@@ -732,7 +734,8 @@ def run_validation(
 
     def _read(columns=None, **kw) -> rd.Dataset:
         if n_schema_groups > 1 and not (columns and _common(columns)):
-            return read_parquet_evolving(input_path, columns=columns, **kw)
+            return read_parquet_evolving(input_path, columns=columns,
+                                         groups=_fgroups, **kw)
         return rd.read_parquet(input_path, columns=columns, **kw)
 
     _mark("schema_preflight", t0)

@@ -5015,6 +5015,9 @@ ORACLE_SQL["q145_daily_psi_js"] = """
                      + 0.5 * q * LN(q / (0.5 * (p + q)))), 6) AS js
     FROM pair GROUP BY w"""
 
+# the oracle filters on the SAME query constant the engine scores with —
+# a hardcoded token list here would silently diverge if BM25_QUERY changes
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY.split())
 ORACLE_SQL["q148_bm25_scores"] = f"""
     WITH tok AS (SELECT doc_id, t AS tok
                  FROM (SELECT doc_id,
@@ -5027,10 +5030,10 @@ ORACLE_SQL["q148_bm25_scores"] = f"""
     st AS (SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
                   (SELECT AVG(dl) FROM dl) AS avgdl),
     dfq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
-            FROM tok WHERE tok IN ('hash', 'join', 'merge')
+            FROM tok WHERE tok IN ({_BM25_IN})
             GROUP BY tok),
     tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS f
-           FROM tok WHERE tok IN ('hash', 'join', 'merge')
+           FROM tok WHERE tok IN ({_BM25_IN})
            GROUP BY doc_id, tok)
     SELECT tf.doc_id,
            ROUND(SUM(LN((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)

@@ -32,17 +32,24 @@ class SchemaError(RuntimeError):
     """Raised in strict mode when the file schema cannot satisfy the spec."""
 
 
-def snapshot_schema(input_path: str) -> dict[str, str]:
+def snapshot_schema(input_path: str, groups: dict | None = None) -> dict[str, str]:
     """``{column: type}`` from Parquet metadata only — the UNION across
     every file footer.  A directory written across schema versions must
     surface its added/removed columns here, not hide them behind the
     first fragment's schema (pyarrow dataset discovery does exactly
     that); a column whose type differs across files reports the sorted
-    ``'a|b'`` type set, so a retype diffs as a change."""
+    ``'a|b'`` type set, so a retype diffs as a change.
+
+    ``groups`` accepts a precomputed :func:`sources.footer_schema_groups`
+    result so callers that already walked the footers (run_validation
+    walks once and threads it everywhere) don't pay the serial
+    footer-open loop again on large directories."""
     from .sources import footer_schema_groups
 
+    if groups is None:
+        groups = footer_schema_groups(input_path)
     types: dict[str, set] = {}
-    for sch, _files in footer_schema_groups(input_path).values():
+    for sch, _files in groups.values():
         for name in sch.names:
             types.setdefault(name, set()).add(str(sch.field(name).type))
     return {name: "|".join(sorted(ts)) for name, ts in types.items()}
@@ -84,7 +91,8 @@ def spec_findings(schema: dict[str, str], spec: TableSpec) -> list[dict]:
 
 
 def record_and_diff(out_dir: str, input_path: str, spec: TableSpec,
-                    strict: bool = False, persist: bool = True) -> dict:
+                    strict: bool = False, persist: bool = True,
+                    groups: dict | None = None) -> dict:
     """Snapshot the input schema, diff vs the previous run's snapshot
     (``out_dir/schema.json``), and return
     ``{"schema", "drift", "spec_violations"}``.  ``strict=True`` raises
@@ -95,8 +103,10 @@ def record_and_diff(out_dir: str, input_path: str, spec: TableSpec,
     looking at drift never consumes the drift evidence.  Callers that
     do persist should do so only after the run SUCCEEDS (see
     :func:`persist_snapshot` and ``pipeline.run_validation``), so a
-    crashed run's retry still reports the drift in its lineage."""
-    schema = snapshot_schema(input_path)
+    crashed run's retry still reports the drift in its lineage.
+    ``groups`` forwards a precomputed footer grouping to
+    :func:`snapshot_schema` (one footer walk per run, not three)."""
+    schema = snapshot_schema(input_path, groups=groups)
     findings = spec_findings(schema, spec)
     if strict and findings:
         raise SchemaError(

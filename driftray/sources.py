@@ -104,7 +104,8 @@ def footer_schema_groups(path: str) -> dict[str, tuple[object, list[str]]]:
     return out
 
 
-def read_parquet_evolving(path: str, columns=None, **kw) -> rd.Dataset:
+def read_parquet_evolving(path: str, columns=None, groups=None,
+                          **kw) -> rd.Dataset:
     """Read a directory whose parquet files were written across SCHEMA
     VERSIONS (columns added/removed over time) — the case a naive
     ``read_parquet`` breaks on or silently mis-aligns.
@@ -114,11 +115,14 @@ def read_parquet_evolving(path: str, columns=None, **kw) -> rd.Dataset:
     ``relational.union_by_name`` (typed null padding for columns a
     version lacks; conflicting types for the SAME column name raise
     loudly rather than coerce).  Optional ``columns`` prunes each group
-    to the requested subset it actually has.
+    to the requested subset it actually has.  ``groups`` accepts a
+    precomputed :func:`footer_schema_groups` result so a caller issuing
+    many reads over the same directory (run_validation's chunked window
+    passes) walks the footers once, not once per read.
     """
     from .ops.relational import union_by_name
 
-    grouped = footer_schema_groups(path)
+    grouped = footer_schema_groups(path) if groups is None else groups
     groups = {k: fs for k, (_, fs) in grouped.items()}
     schemas = {k: sch for k, (sch, _) in grouped.items()}
     parts = []
