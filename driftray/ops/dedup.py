@@ -860,19 +860,24 @@ class SimHasher:
         })
 
 
-def _simhash_band_rows(batch: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """(id, simhash) → 4 × (bh, id, simhash) rows: 16-bit bands mixed with
-    the band index (pigeonhole: Hamming ≤ 3 ⇒ ≥1 shared band)."""
+def _simhash_band_rows(batch: pd.DataFrame, id_col: str,
+                       num_bands: int = 4) -> pd.DataFrame:
+    """(id, simhash) → num_bands × (bh, id, simhash) rows: (64/num_bands)-bit
+    bands mixed with the band index into disjoint key ranges (pigeonhole:
+    Hamming < num_bands ⇒ ≥1 shared band).  4×16-bit covers the SimHash
+    default (Hamming ≤ 3); 8×8-bit covers pHash-style thresholds ≤ 7."""
+    width = 64 // num_bands
+    mask = np.uint64((1 << width) - 1)
     hashes = batch["simhash"].to_numpy().astype(np.uint64)
     n = len(hashes)
-    out_bh = np.empty(4 * n, dtype=np.int64)
-    for band in range(4):
-        keys = (hashes >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+    out_bh = np.empty(num_bands * n, dtype=np.int64)
+    for band in range(num_bands):
+        keys = (hashes >> np.uint64(band * width)) & mask
         out_bh[band * n:(band + 1) * n] = (
-            keys + np.uint64(band + 1) * np.uint64(1 << 16)).astype(np.int64)
+            keys + np.uint64(band + 1) * np.uint64(1 << width)).astype(np.int64)
     return pd.DataFrame({"bh": out_bh,
-                         id_col: np.tile(batch[id_col].to_numpy(), 4),
-                         "simhash": np.tile(hashes.astype(np.int64), 4)})
+                         id_col: np.tile(batch[id_col].to_numpy(), num_bands),
+                         "simhash": np.tile(hashes.astype(np.int64), num_bands)})
 
 
 def _simhash_verified_pairs_fn(id_col: str, max_bucket: int,
@@ -900,23 +905,22 @@ def _simhash_verified_pairs_fn(id_col: str, max_bucket: int,
     return verified_pairs
 
 
-def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3, batch_size: int = 2048,
-                  max_bucket: int = 4096,
-                  spill_threshold: int | None = None,
-                  spill_partitions: int = 64) -> rd.Dataset:
-    """SimHash near-dup clustering, distributed like ``minhash_lsh_dedup``:
-    band rows carry the 8-byte fingerprint, so the (small) duplicate-bucket
+def _hamming_band_cluster(sim_ds: rd.Dataset, id_col: str,
+                          max_hamming: int, num_bands: int,
+                          max_bucket: int,
+                          spill_threshold: int | None,
+                          spill_partitions: int) -> rd.Dataset:
+    """Shared tail of the 64-bit-fingerprint dedup family (``simhash_dedup``,
+    ``hamming64_dedup``/pHash): ``sim_ds`` is (id, simhash:int64); band
+    rows carry the 8-byte fingerprint, so the (small) duplicate-bucket
     fetch already contains everything needed for exact popcount
     verification — no second corpus pass.  Past ``spill_threshold``
     candidate rows, pair generation + verification run per hash partition
     and clustering escalates to ``connected_components`` (driver holds
     only scalars)."""
-    sim_ds = ds.select_columns([id_col, text_col]).map_batches(
-        SimHasher(id_col, text_col),
-        batch_format="pandas", batch_size=batch_size).materialize()
-    band_ds = sim_ds.map_batches(lambda b: _simhash_band_rows(b, id_col),
-                                 batch_format="pandas")
+    band_ds = sim_ds.map_batches(
+        lambda b: _simhash_band_rows(b, id_col, num_bands),
+        batch_format="pandas")
     dup_bh = _dup_bucket_keys(band_ds)
     if not dup_bh:
         return _cluster_output(sim_ds, id_col, {}, {})
@@ -947,6 +951,54 @@ def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
                 if bin(int(hmap[a]) ^ int(hmap[b])).count("1") <= max_hamming}
     clusters, sizes = _union_find_clusters(verified)
     return _cluster_output(sim_ds, id_col, clusters, sizes)
+
+
+def simhash_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
+                  max_hamming: int = 3, batch_size: int = 2048,
+                  max_bucket: int = 4096,
+                  spill_threshold: int | None = None,
+                  spill_partitions: int = 64) -> rd.Dataset:
+    """SimHash near-dup clustering, distributed like ``minhash_lsh_dedup``
+    (see ``_hamming_band_cluster`` for the banding/verify/spill shape)."""
+    sim_ds = ds.select_columns([id_col, text_col]).map_batches(
+        SimHasher(id_col, text_col),
+        batch_format="pandas", batch_size=batch_size).materialize()
+    return _hamming_band_cluster(sim_ds, id_col, max_hamming, 4, max_bucket,
+                                 spill_threshold, spill_partitions)
+
+
+def hamming64_dedup(ds: rd.Dataset, id_col: str, hash_col: str,
+                    max_hamming: int = 6, num_bands: int = 8,
+                    max_bucket: int = 4096,
+                    spill_threshold: int | None = None,
+                    spill_partitions: int = 64) -> rd.Dataset:
+    """Near-dup clustering over a PRECOMPUTED 64-bit fingerprint column
+    (pHash, audio fingerprint, any locality-preserving 64-bit code):
+    Hamming ≤ ``max_hamming`` pairs cluster via the same banded-pigeonhole
+    machinery as ``simhash_dedup``.
+
+    Completeness requires ``max_hamming < num_bands`` (a pair differing in
+    h bits shares ≥1 of the 64/num_bands-bit bands only when h < num_bands)
+    — violating it silently misses pairs, so it raises.  Returns the usual
+    (id, cluster_id, is_duplicate) lazy Dataset."""
+    if 64 % num_bands:
+        raise ValueError(f"num_bands must divide 64, got {num_bands}")
+    if max_hamming >= num_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs num_bands > max_hamming "
+            f"(got {num_bands}): the pigeonhole guarantee breaks and pairs "
+            "would be silently missed")
+
+    def to_sim(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "simhash": b[hash_col].to_numpy().astype(np.int64)})
+
+    sim_ds = ds.select_columns([id_col, hash_col]).map_batches(
+        to_sim, batch_format="pandas").materialize()
+    return _hamming_band_cluster(sim_ds, id_col, max_hamming, num_bands,
+                                 max_bucket, spill_threshold,
+                                 spill_partitions)
 
 
 def ngram_jaccard_dedup(ds: rd.Dataset, id_col: str = "doc_id",

@@ -78,51 +78,57 @@ def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
     return rng.integers(0, 256, size=(max(h, 1), max(w, 1), 3), dtype=np.uint8)
 
 
+def make_image_decoder(decoder: str):
+    """Codec selection shared by every image stage (``ImageDecoder``,
+    ``PHasher``): returns ``(payload, h, w) -> HxWx3 uint8``.  Selection
+    happens once per ACTOR (callers invoke this in ``__init__``), so the
+    per-payload path is a bound callable with no dispatch."""
+    if decoder == "fake":
+        return _fake_decode
+    if decoder == "png":
+        # REAL codec, zero external deps: baseline-PNG via stdlib zlib
+        # (ops/png.py) — decodes actual image bytes in this container
+        from .png import decode_png
+
+        return lambda payload, h, w: _as_rgb(decode_png(payload))
+    if decoder == "jpeg":
+        # REAL codec, zero external deps: baseline-sequential JPEG
+        # (ops/jpeg.py) — honors the stream's own DQT/DHT, chroma
+        # subsampling, and restart intervals
+        from .jpeg import decode_jpeg
+
+        return lambda payload, h, w: _as_rgb(decode_jpeg(payload))
+    if decoder == "gif":
+        # REAL codec, zero external deps (ops/gif.py) — first frame
+        from .gif import decode_gif
+
+        return lambda payload, h, w: _as_rgb(decode_gif(payload)[0][0])
+    if decoder == "pillow":
+        try:
+            import PIL.Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "decoder='pillow' needs PIL, which is not importable "
+                "here; decoder='png' is the dependency-free real-codec "
+                "path, decoder='fake' the deterministic stub") from e
+        import io
+
+        def _pil_decode(payload: bytes, h: int, w: int) -> np.ndarray:
+            img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
+
+        return _pil_decode
+    raise ValueError(f"unknown decoder {decoder!r} "
+                     "(expected fake|png|jpeg|gif|pillow)")
+
+
 class ImageDecoder:
     """Actor-pool stage: binary payload → decoded pixels → mean-channel
     features + optional thumbnail.  Real plumbing, stubbed codec."""
 
     def __init__(self, decoder: str = "fake", thumb: int = 8):
         self.thumb = thumb
-        if decoder == "fake":
-            self.decode = _fake_decode
-        elif decoder == "png":
-            # REAL codec, zero external deps: baseline-PNG via stdlib zlib
-            # (ops/png.py) — decodes actual image bytes in this container
-            from .png import decode_png
-
-            self.decode = lambda payload, h, w: _as_rgb(decode_png(payload))
-        elif decoder == "jpeg":
-            # REAL codec, zero external deps: baseline-sequential JPEG
-            # (ops/jpeg.py) — honors the stream's own DQT/DHT, chroma
-            # subsampling, and restart intervals
-            from .jpeg import decode_jpeg
-
-            self.decode = lambda payload, h, w: _as_rgb(decode_jpeg(payload))
-        elif decoder == "gif":
-            # REAL codec, zero external deps (ops/gif.py) — first frame
-            from .gif import decode_gif
-
-            self.decode = \
-                lambda payload, h, w: _as_rgb(decode_gif(payload)[0][0])
-        elif decoder == "pillow":
-            try:
-                import PIL.Image
-            except ImportError as e:
-                raise NotImplementedError(
-                    "decoder='pillow' needs PIL, which is not importable "
-                    "here; decoder='png' is the dependency-free real-codec "
-                    "path, decoder='fake' the deterministic stub") from e
-            import io
-
-            def _pil_decode(payload: bytes, h: int, w: int) -> np.ndarray:
-                img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
-                return np.asarray(img, dtype=np.uint8)
-
-            self.decode = _pil_decode
-        else:
-            raise ValueError(f"unknown decoder {decoder!r} "
-                             "(expected fake|png|jpeg|gif|pillow)")
+        self.decode = make_image_decoder(decoder)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         feats, thumbs = [], []
@@ -137,6 +143,106 @@ class ImageDecoder:
         out["mean_rgb"] = feats
         out["thumbnail"] = thumbs
         return out
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (n×n): row k = sqrt(2/n)·cos(π(2j+1)k/2n),
+    row 0 scaled to sqrt(1/n).  ``D @ g @ D.T`` is the 2-D DCT."""
+    j = np.arange(n)
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * j[None, :] + 1)
+                                  * j[:, None] / (2 * n))
+    d[0] = np.sqrt(1.0 / n)
+    return d
+
+
+def _area_resize_gray(img: np.ndarray, n: int = 32) -> np.ndarray:
+    """HxWx3 (or HxW) → n×n float grayscale by AREA AVERAGING (integral
+    image), the anti-aliased reduction pHash needs — nearest-neighbour
+    sampling would alias high-frequency content straight into the DCT's
+    low bins and break near-dup invariance.  Images smaller than n×n are
+    first pixel-replicated up (replication adds no frequency content)."""
+    g = (img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+         if img.ndim == 3 else img.astype(np.float64))
+    if g.shape[0] < n:
+        g = np.repeat(g, -(-n // g.shape[0]), axis=0)
+    if g.shape[1] < n:
+        g = np.repeat(g, -(-n // g.shape[1]), axis=1)
+    h, w = g.shape
+    integ = np.zeros((h + 1, w + 1))
+    integ[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+    # bin edges strictly increase because the linspace step is >= 1 here
+    ye = np.round(np.linspace(0, h, n + 1)).astype(np.int64)
+    xe = np.round(np.linspace(0, w, n + 1)).astype(np.int64)
+    sums = (integ[ye[1:], :][:, xe[1:]] - integ[ye[:-1], :][:, xe[1:]]
+            - integ[ye[1:], :][:, xe[:-1]] + integ[ye[:-1], :][:, xe[:-1]])
+    areas = np.outer(ye[1:] - ye[:-1], xe[1:] - xe[:-1])
+    return sums / areas
+
+
+_PHASH_DCT = _dct_matrix(32)
+_PHASH_BITS = np.arange(64, dtype=np.uint64)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (standard pHash construction): area-resize
+    to 32×32 grayscale, 2-D DCT, keep the top-left 8×8 low-frequency block,
+    threshold each coefficient against the block's median.  Robust to
+    re-encoding, mild noise, brightness shifts and resizing; Hamming
+    distance ≤ ~6-10 of 64 flags a near-duplicate."""
+    low = (_PHASH_DCT @ _area_resize_gray(img, 32) @ _PHASH_DCT.T)[:8, :8]
+    bits = (low > np.median(low)).ravel()
+    return int((bits.astype(np.uint64) << _PHASH_BITS).sum())
+
+
+class PHasher:
+    """Actor-pool stage: binary image payload → 64-bit perceptual hash.
+    Codec bound once per actor; emits (id, phash:int64) — 8 bytes/row into
+    any downstream exchange, the image bytes never leave this stage."""
+
+    def __init__(self, decoder: str = "png", id_col: str = "media_id"):
+        self.decode = make_image_decoder(decoder)
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        hashes = np.empty(len(batch), dtype=np.uint64)
+        for i, (payload, h, w) in enumerate(zip(
+                batch["payload"], batch["height"], batch["width"])):
+            hashes[i] = phash64(self.decode(payload, int(h), int(w)))
+        return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(),
+                             "phash": hashes.astype(np.int64)})
+
+
+def phash_images(ds: rd.Dataset, decoder: str = "png",
+                 id_col: str = "media_id", batch_size: int = 128,
+                 concurrency: int = 4) -> rd.Dataset:
+    """Perceptual-hash pipeline: small batches (binary payloads are wide),
+    actor pool so the codec initializes once per actor."""
+    return ds.select_columns([id_col, "payload", "width", "height"]) \
+        .map_batches(PHasher, fn_constructor_args=(decoder, id_col),
+                     batch_format="pandas", batch_size=batch_size,
+                     concurrency=concurrency)
+
+
+def phash_image_dedup(ds: rd.Dataset, decoder: str = "png",
+                      id_col: str = "media_id", max_hamming: int = 6,
+                      num_bands: int = 8, batch_size: int = 128,
+                      concurrency: int = 4,
+                      spill_threshold: int | None = None,
+                      spill_partitions: int = 64) -> rd.Dataset:
+    """Image near-duplicate clustering: decode + pHash per actor batch,
+    then the banded-pigeonhole Hamming dedup (``dedup.hamming64_dedup``,
+    8×8-bit bands cover Hamming ≤ 7).  The only cross-stage data is the
+    8-byte hash per image — decode stays where the bytes are, the
+    exchange is fingerprint-sized, and clustering spills to distributed
+    connected components exactly like the text dedup family."""
+    from .dedup import hamming64_dedup
+
+    hashes = phash_images(ds, decoder=decoder, id_col=id_col,
+                          batch_size=batch_size, concurrency=concurrency)
+    return hamming64_dedup(hashes, id_col, "phash", max_hamming=max_hamming,
+                           num_bands=num_bands,
+                           spill_threshold=spill_threshold,
+                           spill_partitions=spill_partitions)
 
 
 class FrameSampler:
@@ -237,6 +343,108 @@ def sample_frames(ds: rd.Dataset, n_frames: int = 4, decoder: str = "fake",
                           fn_constructor_args=(n_frames, decoder),
                           batch_format="pandas", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+_FP_DCT64 = _dct_matrix(64)
+_FP_DCT32 = _dct_matrix(32)
+
+
+def _resize1d(v: np.ndarray, n: int) -> np.ndarray:
+    """1-D area-average resample to n bins (cumsum form of the integral
+    image used by ``_area_resize_gray``); shorter-than-n inputs are
+    replicated up first."""
+    m = len(v)
+    if m < n:
+        v = np.repeat(v, -(-n // m))
+        m = len(v)
+    cs = np.concatenate([[0.0], np.cumsum(v)])
+    e = np.round(np.linspace(0, m, n + 1)).astype(np.int64)
+    return (cs[e[1:]] - cs[e[:-1]]) / (e[1:] - e[:-1])
+
+
+def audio_fingerprint64(samples: np.ndarray, nwin: int = 256,
+                        hop: int = 128, floor_db: float = -30.0,
+                        deadband: float = 0.02) -> int:
+    """64-bit spectral fingerprint of a clip: 48 bits from the DCT of the
+    time-averaged dB spectrum + 16 bits from the DCT of the per-frame
+    energy envelope, each thresholded at median + ``deadband``·spread.
+
+    Design notes (each knob earns its keep):
+    * dB relative to the clip's PEAK bin → gain-invariant;
+    * ``floor_db`` clamp → a near-dup's added noise floor lands below the
+      clamp on both sides instead of reshaping every spectral valley;
+    * the freq/time SPLIT (not a 2-D DCT of the spectrogram) → a
+      stationary clip (constant spectrogram rows) still yields 48
+      informative frequency bits, where a square 8×8 2-D block collapses
+      to ~7 sign-of-epsilon bits;
+    * ``deadband`` → coefficients near the median (pure numeric noise on
+      quiet content) emit a stable 0 instead of a coin flip.
+
+    Hamming ≤ ~7 of 64 flags a re-encoded / re-gained / mildly noisy copy;
+    distinct content measures ≥ ~20 (tested over tone-mixture corpora)."""
+    x = np.asarray(samples, np.float64)
+    if len(x) < nwin:
+        x = np.pad(x, (0, nwin - len(x)))
+    nf = 1 + (len(x) - nwin) // hop
+    idx = np.arange(nwin)[None, :] + hop * np.arange(nf)[:, None]
+    frames = x[idx] * np.hanning(nwin)
+    p = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    ref = p.max() or 1.0
+    g = np.maximum(10 * np.log10(np.maximum(p / ref, 1e-12)), floor_db)
+
+    def bits_of(coefs: np.ndarray, k: int) -> np.ndarray:
+        med = np.median(coefs)
+        spread = np.ptp(coefs) or 1.0
+        return (coefs > med + deadband * spread)[:k]
+
+    fb = bits_of((_FP_DCT64 @ _resize1d(g.mean(axis=0), 64))[1:], 48)
+    tb = bits_of((_FP_DCT32 @ _resize1d(g.mean(axis=1), 32))[1:], 16)
+    bits = np.concatenate([fb, tb]).astype(np.uint64)
+    return int((bits << _PHASH_BITS).sum())
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: WAV payload → 64-bit spectral fingerprint.
+    Real stdlib decode (``AudioDecoder._decode``); emits (id, afp:int64) —
+    8 bytes/row downstream, audio bytes never leave the stage."""
+
+    def __init__(self, id_col: str = "media_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fps = np.empty(len(batch), dtype=np.uint64)
+        for i, payload in enumerate(batch["payload"]):
+            x, _rate = AudioDecoder._decode(payload)
+            fps[i] = audio_fingerprint64(x)
+        return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(),
+                             "afp": fps.astype(np.int64)})
+
+
+def audio_fingerprints(ds: rd.Dataset, id_col: str = "media_id",
+                       batch_size: int = 128,
+                       concurrency: int = 4) -> rd.Dataset:
+    return ds.select_columns([id_col, "payload"]).map_batches(
+        AudioFingerprinter, fn_constructor_args=(id_col,),
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def audio_dedup(ds: rd.Dataset, id_col: str = "media_id",
+                max_hamming: int = 7, num_bands: int = 8,
+                batch_size: int = 128, concurrency: int = 4,
+                spill_threshold: int | None = None,
+                spill_partitions: int = 64) -> rd.Dataset:
+    """Audio near-duplicate clustering: decode + fingerprint per actor
+    batch, then the shared banded-pigeonhole Hamming dedup — the same
+    fingerprint-sized-exchange shape as ``phash_image_dedup``."""
+    from .dedup import hamming64_dedup
+
+    fps = audio_fingerprints(ds, id_col=id_col, batch_size=batch_size,
+                             concurrency=concurrency)
+    return hamming64_dedup(fps, id_col, "afp", max_hamming=max_hamming,
+                           num_bands=num_bands,
+                           spill_threshold=spill_threshold,
+                           spill_partitions=spill_partitions)
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:

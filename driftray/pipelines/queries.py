@@ -5192,6 +5192,204 @@ ORACLE_SQL["q154_jsonl_roundtrip"] = """
 
 ORACLE_SQL["q155_csv_roundtrip"] = ORACLE_SQL["q154_jsonl_roundtrip"]
 
+def q156_phash_dedup(sf_dir: str):
+    """Perceptual-hash image near-dup clustering over REAL PNG bytes:
+    30 deterministic smooth base images, each with a noise+brightness
+    variant; decode → 64-bit DCT pHash → banded Hamming clustering
+    (``multimodal.phash_image_dedup``).  Every variant must land in its
+    base's cluster and no two bases may merge — the returned table makes
+    that a hash-stable fact (cluster_id == base id for both members)."""
+    from ..ops.multimodal import MEDIA_SCHEMA, phash_image_dedup
+    from ..ops.png import encode_png
+
+    def smooth(seed: int, h: int = 96, w: int = 128) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w))
+        for _ in range(5):
+            fy, fx = rng.uniform(0.5, 3, 2)
+            ph = rng.uniform(0, 2 * np.pi, 2)
+            img += (rng.uniform(20, 60)
+                    * np.sin(2 * np.pi * fy * y / h + ph[0])
+                    * np.sin(2 * np.pi * fx * x / w + ph[1]))
+        img = (img - img.min()) / (img.max() - img.min()) * 255
+        return np.repeat(img[:, :, None], 3, 2).astype(np.uint8)
+
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(30):
+        base = smooth(i)
+        rng = np.random.default_rng(1000 + i)
+        variant = np.clip(base.astype(np.int16) + 10
+                          + rng.integers(-4, 5, base.shape),
+                          0, 255).astype(np.uint8)
+        for j, img in enumerate([base, variant]):
+            rows["media_id"].append(2 * i + j)
+            rows["kind"].append("image")
+            rows["format"].append("png")
+            rows["payload"].append(encode_png(img))
+            rows["width"].append(img.shape[1])
+            rows["height"].append(img.shape[0])
+            rows["sample_rate"].append(0)
+            rows["duration_ms"].append(0)
+    media = rd.from_arrow(pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA))
+    out = phash_image_dedup(media, decoder="png").to_pandas()
+    out["cluster_id"] = out["cluster_id"].astype(np.int64)
+    # int 0/1, not bool: the driver hash is representation-sensitive and
+    # BIGINT is the one type both sides produce identically
+    out["is_duplicate"] = out["is_duplicate"].astype(np.int64)
+    return (out[["media_id", "cluster_id", "is_duplicate"]]
+            .sort_values("media_id").reset_index(drop=True))
+
+
+def _planted_text_corpus(n_base: int, per_group: int, n_tok: int = 80,
+                         vocab: int = 800, seed: int = 7) -> pd.DataFrame:
+    """Deterministic dedup fixture: group g = base doc (id per_group·g) +
+    exact copy (…+1) [+ 1-token-swap variant (…+2) when per_group == 3].
+    Random token draws make cross-group similarity ≈ 0, so the EXPECTED
+    clustering is closed-form: cluster_id = id - id % per_group."""
+    rng = np.random.default_rng(seed)
+    ids, texts = [], []
+    for g in range(n_base):
+        toks = [f"w{v:03d}" for v in rng.integers(0, vocab, n_tok)]
+        ids.append(per_group * g)
+        texts.append(" ".join(toks))
+        ids.append(per_group * g + 1)
+        texts.append(" ".join(toks))
+        if per_group == 3:
+            t2 = list(toks)
+            t2[n_tok // 2] = f"w{(int(toks[n_tok // 2][1:]) + 1) % vocab:03d}"
+            ids.append(per_group * g + 2)
+            texts.append(" ".join(t2))
+    return pd.DataFrame({"doc_id": np.array(ids, np.int64), "text": texts})
+
+
+def _planted_cluster_result(out: pd.DataFrame,
+                            id_col: str = "doc_id") -> pd.DataFrame:
+    out = out[[id_col, "cluster_id", "is_duplicate"]].copy()
+    out["cluster_id"] = out["cluster_id"].astype(np.int64)
+    out["is_duplicate"] = out["is_duplicate"].astype(np.int64)
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
+def q158_minhash_planted(sf_dir: str):
+    """MinHash-LSH dedup over a planted corpus whose expected clustering is
+    closed-form (base + exact copy + one-token-swap variant per group; the
+    swap keeps shingle Jaccard ≈ 0.93, far above the 0.8 threshold, while
+    cross-group Jaccard ≈ 0) — hash-attests shingle → signature → band →
+    bucket-sort → verify → union-find end to end."""
+    from ..ops.dedup import minhash_lsh_dedup
+
+    ds = rd.from_pandas(_planted_text_corpus(40, 3))
+    return _planted_cluster_result(minhash_lsh_dedup(ds).to_pandas())
+
+
+def q159_simhash_planted(sf_dir: str):
+    """SimHash dedup over planted exact-copy pairs (Hamming 0 — guaranteed
+    in-threshold; distinct random texts sit at Hamming ≈ 32, far outside
+    the ≤ 3 gate).  Near-dup TOLERANCE is a unit-test concern
+    (tests/test_dedup.py); this attests the banding/verify/cluster path."""
+    from ..ops.dedup import simhash_dedup
+
+    ds = rd.from_pandas(_planted_text_corpus(50, 2))
+    return _planted_cluster_result(simhash_dedup(ds).to_pandas())
+
+
+def q160_embedding_dedup_planted(sf_dir: str):
+    """Embedding-cosine dedup over planted exact-duplicate vectors (same
+    vector ⇒ same LSH bucket by construction, cosine 1 ≥ 0.95; distinct
+    64-dim Gaussian vectors have |cos| ≲ 0.5 ≪ threshold)."""
+    from ..ops.dedup import embedding_cosine_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 64))
+    vecs = np.repeat(base, 2, axis=0)
+    edf = pd.DataFrame({"vec_id": np.arange(80, dtype=np.int64),
+                        "embedding": [v.astype(np.float32) for v in vecs]})
+    out = embedding_cosine_dedup(rd.from_pandas(edf)).to_pandas()
+    return _planted_cluster_result(out, "vec_id")
+
+
+def q157_audio_dedup(sf_dir: str):
+    """Audio near-dup clustering over REAL WAV bytes: 25 deterministic
+    AM-tone-mixture clips, each with a re-gained + 1%-noise variant;
+    stdlib WAV decode → 64-bit spectral fingerprint → banded Hamming
+    clustering (``multimodal.audio_dedup``).  Same closed-form expected
+    clustering as q156: cluster_id == base id for both members."""
+    from ..ops.multimodal import MEDIA_SCHEMA, audio_dedup, encode_wav
+
+    def tone_clip(seed: int, n: int = 8000, sr: int = 16000) -> np.ndarray:
+        r = np.random.default_rng(seed)
+        t = np.arange(n) / sr
+        s = sum(r.uniform(500, 4000)
+                * np.sin(2 * np.pi * r.uniform(100, 6000) * t
+                         + r.uniform(0, 6))
+                * np.clip(np.sin(2 * np.pi * r.uniform(0.3, 2) * t
+                                 + r.uniform(0, 6)), 0, None)
+                for _ in range(6))
+        return (s / np.abs(s).max() * 20000).astype(np.int16)
+
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(25):
+        base = tone_clip(i)
+        rng = np.random.default_rng(2000 + i)
+        variant = (base * 0.7
+                   + rng.normal(0, 200, len(base))).astype(np.int16)
+        for j, x in enumerate([base, variant]):
+            rows["media_id"].append(2 * i + j)
+            rows["kind"].append("audio")
+            rows["format"].append("wav")
+            rows["payload"].append(encode_wav(x))
+            rows["width"].append(0)
+            rows["height"].append(0)
+            rows["sample_rate"].append(16000)
+            rows["duration_ms"].append(500)
+    media = rd.from_arrow(pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA))
+    out = audio_dedup(media).to_pandas()
+    out["cluster_id"] = out["cluster_id"].astype(np.int64)
+    out["is_duplicate"] = out["is_duplicate"].astype(np.int64)
+    return (out[["media_id", "cluster_id", "is_duplicate"]]
+            .sort_values("media_id").reset_index(drop=True))
+
+
+# q156's fixture is fully deterministic (base image 2i, perturbed variant
+# 2i+1, perturbation well inside the pHash Hamming threshold, distinct
+# bases far outside it), so the EXPECTED clustering is closed-form — the
+# oracle hash-attests the whole decode -> DCT-hash -> banded-cluster path
+# without DuckDB needing to see a pixel.
+ORACLE_SQL["q156_phash_dedup"] = """
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(i - (i % 2) AS BIGINT) AS cluster_id,
+           CAST(i % 2 AS BIGINT) AS is_duplicate
+    FROM range(60) t(i)"""
+
+# same closed-form construction as q156, over the audio path
+ORACLE_SQL["q157_audio_dedup"] = """
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(i - (i % 2) AS BIGINT) AS cluster_id,
+           CAST(i % 2 AS BIGINT) AS is_duplicate
+    FROM range(50) t(i)"""
+
+# planted-corpus dedup twins: expected clustering is closed-form
+# (cluster = id - id % per_group; see _planted_text_corpus)
+ORACLE_SQL["q158_minhash_planted"] = """
+    SELECT CAST(i AS BIGINT) AS doc_id,
+           CAST(i - (i % 3) AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN i % 3 > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_duplicate
+    FROM range(120) t(i)"""
+
+ORACLE_SQL["q159_simhash_planted"] = """
+    SELECT CAST(i AS BIGINT) AS doc_id,
+           CAST(i - (i % 2) AS BIGINT) AS cluster_id,
+           CAST(i % 2 AS BIGINT) AS is_duplicate
+    FROM range(100) t(i)"""
+
+ORACLE_SQL["q160_embedding_dedup_planted"] = """
+    SELECT CAST(i AS BIGINT) AS vec_id,
+           CAST(i - (i % 2) AS BIGINT) AS cluster_id,
+           CAST(i % 2 AS BIGINT) AS is_duplicate
+    FROM range(80) t(i)"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -5361,6 +5559,11 @@ SQL_QUERIES = {
     "q153_semantic_decontam": q153_semantic_decontam,
     "q154_jsonl_roundtrip": q154_jsonl_roundtrip,
     "q155_csv_roundtrip": q155_csv_roundtrip,
+    "q156_phash_dedup": q156_phash_dedup,
+    "q157_audio_dedup": q157_audio_dedup,
+    "q158_minhash_planted": q158_minhash_planted,
+    "q159_simhash_planted": q159_simhash_planted,
+    "q160_embedding_dedup_planted": q160_embedding_dedup_planted,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
