@@ -345,6 +345,74 @@ def sample_frames(ds: rd.Dataset, n_frames: int = 4, decoder: str = "fake",
                           concurrency=concurrency)
 
 
+def video_phash64(frames, n_sample: int = 8) -> int:
+    """64-bit video fingerprint: pHash of ``n_sample`` evenly-spaced frames,
+    combined per-bit by MAJORITY vote.  Majority (not concat/XOR) makes the
+    code robust to any single frame's perturbation while keeping the
+    8-byte footprint the Hamming-band clusterer expects; the cost is
+    insensitivity to frame ORDER, which content-level near-dup detection
+    wants anyway (a re-encode never reorders frames)."""
+    picks = np.linspace(0, len(frames) - 1, n_sample).round().astype(int)
+    hs = np.array([phash64(frames[i]) for i in picks], dtype=np.uint64)
+    bits = (hs[:, None] >> _PHASH_BITS[None, :]) & np.uint64(1)
+    maj = (bits.sum(axis=0) * 2 > len(hs)).astype(np.uint64)
+    return int((maj << _PHASH_BITS).sum())
+
+
+class VideoHasher:
+    """Actor-pool stage: video payload → 64-bit majority pHash.
+    ``decoder='gif'`` is the real in-container path (ops/gif.py decodes
+    every frame); ``'fake'`` hash-seeds deterministic frames for container
+    formats whose codec is absent."""
+
+    def __init__(self, decoder: str = "gif", id_col: str = "media_id",
+                 n_sample: int = 8):
+        self.mode = decoder
+        self.id_col = id_col
+        self.n = n_sample
+        if decoder == "gif":
+            from .gif import decode_gif
+
+            self._decode = decode_gif
+        elif decoder != "fake":
+            raise NotImplementedError(
+                "decoder must be 'gif' (real, dependency-free) or 'fake'")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fps = np.empty(len(batch), dtype=np.uint64)
+        for i, payload in enumerate(batch["payload"]):
+            if self.mode == "gif":
+                frames, _delays = self._decode(payload)
+                frames = list(frames)
+            else:
+                frames = [_fake_decode(payload + f.to_bytes(2, "little"),
+                                       16, 16) for f in range(self.n)]
+            fps[i] = video_phash64(frames, self.n)
+        return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(),
+                             "vfp": fps.astype(np.int64)})
+
+
+def video_dedup(ds: rd.Dataset, decoder: str = "gif",
+                id_col: str = "media_id", max_hamming: int = 7,
+                num_bands: int = 8, n_sample: int = 8,
+                batch_size: int = 64, concurrency: int = 4,
+                spill_threshold: int | None = None,
+                spill_partitions: int = 64) -> rd.Dataset:
+    """Video near-duplicate clustering: decode + majority pHash per actor
+    batch, then the shared banded-pigeonhole Hamming dedup — same
+    8-bytes-per-clip exchange shape as ``phash_image_dedup``."""
+    from .dedup import hamming64_dedup
+
+    fps = ds.select_columns([id_col, "payload"]).map_batches(
+        VideoHasher, fn_constructor_args=(decoder, id_col, n_sample),
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency)
+    return hamming64_dedup(fps, id_col, "vfp", max_hamming=max_hamming,
+                           num_bands=num_bands,
+                           spill_threshold=spill_threshold,
+                           spill_partitions=spill_partitions)
+
+
 _FP_DCT64 = _dct_matrix(64)
 _FP_DCT32 = _dct_matrix(32)
 

@@ -5309,6 +5309,56 @@ def q160_embedding_dedup_planted(sf_dir: str):
     return _planted_cluster_result(out, "vec_id")
 
 
+def q161_video_dedup(sf_dir: str):
+    """Video near-dup clustering over REAL GIF bytes (the in-container
+    video codec, ops/gif.py): 12 deterministic 6-frame smooth clips, each
+    with a brightness+noise re-encode; per-frame DCT pHash → per-bit
+    MAJORITY combine → banded Hamming clustering
+    (``multimodal.video_dedup``).  GIF palette quantization adds a few
+    bits of drift on top of the pixel perturbation (measured: near-dups
+    ≤ 9 bits, distinct clips ≥ 28), so the gate is 10 bits over 16×4-bit
+    bands.  Closed-form expected clustering as q156/q157."""
+    from ..ops.gif import encode_gif
+    from ..ops.multimodal import MEDIA_SCHEMA, video_dedup
+
+    def smooth(seed: int, h: int = 48, w: int = 48) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        y, x = np.mgrid[0:h, 0:w]
+        img = np.zeros((h, w))
+        for _ in range(5):
+            fy, fx = rng.uniform(0.5, 3, 2)
+            ph = rng.uniform(0, 2 * np.pi, 2)
+            img += (rng.uniform(20, 60)
+                    * np.sin(2 * np.pi * fy * y / h + ph[0])
+                    * np.sin(2 * np.pi * fx * x / w + ph[1]))
+        img = (img - img.min()) / (img.max() - img.min()) * 255
+        return np.repeat(img[:, :, None], 3, 2).astype(np.uint8)
+
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    for i in range(12):
+        base = [smooth(i * 1000 + f) for f in range(6)]
+        rng = np.random.default_rng(3000 + i)
+        variant = [np.clip(f.astype(np.int16) + 8
+                           + rng.integers(-3, 4, f.shape),
+                           0, 255).astype(np.uint8) for f in base]
+        for j, frames in enumerate([base, variant]):
+            rows["media_id"].append(2 * i + j)
+            rows["kind"].append("video")
+            rows["format"].append("gif")
+            rows["payload"].append(encode_gif(frames))
+            rows["width"].append(48)
+            rows["height"].append(48)
+            rows["sample_rate"].append(0)
+            rows["duration_ms"].append(240)
+    media = rd.from_arrow(pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA))
+    out = video_dedup(media, decoder="gif", max_hamming=10,
+                      num_bands=16).to_pandas()
+    out["cluster_id"] = out["cluster_id"].astype(np.int64)
+    out["is_duplicate"] = out["is_duplicate"].astype(np.int64)
+    return (out[["media_id", "cluster_id", "is_duplicate"]]
+            .sort_values("media_id").reset_index(drop=True))
+
+
 def q157_audio_dedup(sf_dir: str):
     """Audio near-dup clustering over REAL WAV bytes: 25 deterministic
     AM-tone-mixture clips, each with a re-gained + 1%-noise variant;
@@ -5389,6 +5439,13 @@ ORACLE_SQL["q160_embedding_dedup_planted"] = """
            CAST(i - (i % 2) AS BIGINT) AS cluster_id,
            CAST(i % 2 AS BIGINT) AS is_duplicate
     FROM range(80) t(i)"""
+
+# same closed-form construction as q156/q157, over the video (GIF) path
+ORACLE_SQL["q161_video_dedup"] = """
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(i - (i % 2) AS BIGINT) AS cluster_id,
+           CAST(i % 2 AS BIGINT) AS is_duplicate
+    FROM range(24) t(i)"""
 
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
@@ -5564,6 +5621,7 @@ SQL_QUERIES = {
     "q158_minhash_planted": q158_minhash_planted,
     "q159_simhash_planted": q159_simhash_planted,
     "q160_embedding_dedup_planted": q160_embedding_dedup_planted,
+    "q161_video_dedup": q161_video_dedup,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
