@@ -5359,6 +5359,118 @@ def q161_video_dedup(sf_dir: str):
             .sort_values("media_id").reset_index(drop=True))
 
 
+def q162_ivf_full_probe(sf_dir: str):
+    """IVF ANN in its EXACT regime: ``nprobe == n_clusters`` probes every
+    cluster, so the result must equal brute force (q15's oracle verbatim)
+    — hash-attesting the whole IVF machinery (centroid fit, assignment,
+    per-query probe mask, masked scoring, merge) with no approximation
+    slack.  The approximate regime's recall is a unit-test concern
+    (tests/test_ann.py); this locks the plumbing."""
+    from ..ops.ann import ivf_topk
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = _t(sf_dir, "embeddings", ["vec_id", "embedding"],
+            filter=pc.field("vec_id") == 0).to_pandas()
+    query = np.stack(q0["embedding"].to_numpy())
+    out = ivf_topk(emb, query, k=10, n_clusters=8, nprobe=8).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["query_id", "vec_id", "score"]]
+
+
+def q163_kmeans_planted(sf_dir: str):
+    """Distributed Lloyd k-means (``embedding.kmeans_fit`` streaming
+    passes + ``kmeans_assign``) over planted well-separated blobs whose
+    expected assignment is closed-form.  The first k rows ARE the blob
+    centers and ``init_sample=k`` makes the seeded init a permutation of
+    exactly those k rows — one center per blob — so Lloyd provably
+    converges to the blob means and every point's cluster is its blob.
+    Cluster indices are an arbitrary permutation; the output maps each
+    cluster to its minimum vec_id (= the blob's planted center row)."""
+    from ..ops.embedding import kmeans_assign, kmeans_fit
+
+    k, per_blob, d = 6, 15, 16
+    rng = np.random.default_rng(17)
+    centers = 8.0 * np.eye(k, d)
+    vecs = [centers[b] for b in range(k)]
+    for b in range(k):
+        vecs.extend(centers[b] + rng.normal(0, 0.1, d)
+                    for _ in range(per_blob))
+    edf = pd.DataFrame({
+        "vec_id": np.arange(k + k * per_blob, dtype=np.int64),
+        "embedding": [v.astype(np.float64) for v in vecs]})
+    ds = rd.from_pandas(edf)
+    C, _, _ = kmeans_fit(ds, k, init_sample=k, iters=10, seed=5)
+    out = kmeans_assign(ds, C).to_pandas()
+    rep = out.groupby("cluster")["vec_id"].min()
+    out["cluster_rep"] = out["cluster"].map(rep).astype(np.int64)
+    return (out[["vec_id", "cluster_rep"]]
+            .sort_values("vec_id").reset_index(drop=True))
+
+
+def q164_semdedup_planted(sf_dir: str):
+    """SemDeDup (``dedup.semdedup``) over planted exact-duplicate vector
+    pairs: identical vectors land in the same k-means cluster by
+    construction (identical distance rows ⇒ identical argmin) and sit at
+    cosine 1 ≥ the 0.95 gate, while distinct 64-dim Gaussians have
+    |cos| ≲ 0.5 — so ``keep`` is closed-form (each pair's lower id)
+    REGARDLESS of what clustering the seeded init converges to.  The
+    cluster column is deliberately dropped: only the keep decision is
+    deterministic across any init."""
+    from ..ops.dedup import semdedup
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 64))
+    vecs = np.repeat(base, 2, axis=0)
+    edf = pd.DataFrame({"vec_id": np.arange(80, dtype=np.int64),
+                        "embedding": [v.astype(np.float32) for v in vecs]})
+    out = semdedup(rd.from_pandas(edf), n_clusters=4,
+                   threshold=0.95).to_pandas()
+    out["keep"] = out["keep"].astype(np.int64)
+    return (out[["vec_id", "keep"]]
+            .sort_values("vec_id").reset_index(drop=True))
+
+
+def q165_incremental_minhash_planted(sf_dir: str):
+    """Cross-scan incremental MinHash dedup
+    (``dedup.incremental_minhash_dedup``) on a planted two-scan crawl:
+    scan 2's docs 100–109 are EXACT copies of scan-1 docs (identical
+    signatures ⇒ identical buckets ⇒ guaranteed ``dup_of_state``),
+    110–118 are fresh random-token docs, and 119 copies 118
+    (``dup_in_scan``, first-wins).  Hash-attests the persisted
+    seen-bucket store round trip: state write after scan 1, union +
+    bucket co-location + per-doc OR on scan 2."""
+    import shutil
+    import tempfile
+
+    from ..ops.dedup import incremental_minhash_dedup
+
+    rng = np.random.default_rng(31)
+
+    def doc(seed_row: np.ndarray) -> str:
+        return " ".join(f"w{v:03d}" for v in seed_row)
+
+    scan1_texts = [doc(rng.integers(0, 800, 80)) for _ in range(20)]
+    scan2_texts = ([scan1_texts[2 * i] for i in range(10)]
+                   + [doc(rng.integers(0, 800, 80)) for _ in range(9)])
+    scan2_texts.append(scan2_texts[-1])          # 119 copies 118
+    state = tempfile.mkdtemp(prefix="driftray_incmh_")
+    try:
+        s1 = rd.from_pandas(pd.DataFrame({
+            "doc_id": np.arange(20, dtype=np.int64),
+            "text": scan1_texts}))
+        incremental_minhash_dedup(s1, state).materialize()
+        s2 = rd.from_pandas(pd.DataFrame({
+            "doc_id": np.arange(100, 120, dtype=np.int64),
+            "text": scan2_texts}))
+        out = incremental_minhash_dedup(s2, state).to_pandas()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    for c in ("dup_of_state", "dup_in_scan", "is_dup"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["doc_id", "dup_of_state", "dup_in_scan", "is_dup"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def q157_audio_dedup(sf_dir: str):
     """Audio near-dup clustering over REAL WAV bytes: 25 deterministic
     AM-tone-mixture clips, each with a re-gained + 1%-noise variant;
@@ -5446,6 +5558,35 @@ ORACLE_SQL["q161_video_dedup"] = """
            CAST(i - (i % 2) AS BIGINT) AS cluster_id,
            CAST(i % 2 AS BIGINT) AS is_duplicate
     FROM range(24) t(i)"""
+
+# IVF with nprobe == n_clusters is exact: same oracle as brute force (q15)
+ORACLE_SQL["q162_ivf_full_probe"] = ORACLE_SQL["q15_ann_topk"]
+
+# planted blobs: first k rows are the centers (cluster_rep = own id),
+# then per_blob=15 noisy points per blob in blob order
+ORACLE_SQL["q163_kmeans_planted"] = """
+    SELECT CAST(i AS BIGINT) AS vec_id,
+           CAST(CASE WHEN i < 6 THEN i ELSE (i - 6) // 15 END AS BIGINT)
+               AS cluster_rep
+    FROM range(96) t(i)"""
+
+# planted exact-dup pairs: keep = each pair's lower id
+ORACLE_SQL["q164_semdedup_planted"] = """
+    SELECT CAST(i AS BIGINT) AS vec_id,
+           CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM range(80) t(i)"""
+
+# two-scan crawl: 100-109 copy scan-1 docs (dup_of_state), 110-118 fresh,
+# 119 copies 118 (dup_in_scan, first-wins)
+ORACLE_SQL["q165_incremental_minhash_planted"] = """
+    SELECT CAST(100 + i AS BIGINT) AS doc_id,
+           CAST(CASE WHEN i < 10 THEN 1 ELSE 0 END AS BIGINT)
+               AS dup_of_state,
+           CAST(CASE WHEN i = 19 THEN 1 ELSE 0 END AS BIGINT)
+               AS dup_in_scan,
+           CAST(CASE WHEN i < 10 OR i = 19 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_dup
+    FROM range(20) t(i)"""
 
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
@@ -5622,6 +5763,10 @@ SQL_QUERIES = {
     "q159_simhash_planted": q159_simhash_planted,
     "q160_embedding_dedup_planted": q160_embedding_dedup_planted,
     "q161_video_dedup": q161_video_dedup,
+    "q162_ivf_full_probe": q162_ivf_full_probe,
+    "q163_kmeans_planted": q163_kmeans_planted,
+    "q164_semdedup_planted": q164_semdedup_planted,
+    "q165_incremental_minhash_planted": q165_incremental_minhash_planted,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
