@@ -5471,6 +5471,40 @@ def q165_incremental_minhash_planted(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def q166_html_extract(sf_dir: str):
+    """HTML main-text extraction (``ops/html.extract_html``): every
+    document's text is wrapped in a deterministic crawled-page template
+    (script/style head, nav chrome, a link-only menu div, a footer), and
+    the extractor must recover EXACTLY the whitespace-normalized article
+    text — boilerplate subtrees skipped, the menu div dropped by link
+    density, entities round-tripped through ``html.escape``.  The oracle
+    recomputes the expected character count straight from the parquet
+    text, so any leak of boilerplate into the main text (or loss of
+    article text) shifts ``n_chars_main`` and breaks the hash."""
+    import html as html_mod
+
+    from ..ops.html import extract_html
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def wrap(batch: pd.DataFrame) -> pd.DataFrame:
+        pages = ["<html><head><title>t</title><script>var nav_x=1;"
+                 "</script><style>.m{color:red}</style></head><body>"
+                 "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+                 "<div class='menu'><a href='/1'>one</a> "
+                 "<a href='/2'>two</a> <a href='/3'>three</a></div>"
+                 f"<p>{html_mod.escape(t or '')}</p>"
+                 "<footer>&copy; 2026 corp</footer></body></html>"
+                 for t in batch["text"]]
+        return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
+                             "html": pages})
+
+    pages = docs.map_batches(wrap, batch_format="pandas")
+    out = (extract_html(pages).drop_columns(["text", "n_blocks_dropped"])
+           .to_pandas())
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q157_audio_dedup(sf_dir: str):
     """Audio near-dup clustering over REAL WAV bytes: 25 deterministic
     AM-tone-mixture clips, each with a re-gained + 1%-noise variant;
@@ -5587,6 +5621,20 @@ ORACLE_SQL["q165_incremental_minhash_planted"] = """
            CAST(CASE WHEN i < 10 OR i = 19 THEN 1 ELSE 0 END AS BIGINT)
                AS is_dup
     FROM range(20) t(i)"""
+
+# the article <p> is the only surviving block (nav/footer/script/style
+# skipped, the menu div dropped at link density 1.0 > 0.5, its 3 links
+# + the 0 prose links still counted); expected main-text length is the
+# whitespace-normalized parquet text
+ORACLE_SQL["q166_html_extract"] = r"""
+    SELECT doc_id,
+           CAST(CASE WHEN TRIM(COALESCE(text, '')) = '' THEN 0
+                ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
+           END AS BIGINT) AS n_chars_main,
+           CAST(CASE WHEN TRIM(COALESCE(text, '')) = '' THEN 0 ELSE 1
+           END AS BIGINT) AS n_blocks,
+           CAST(3 AS BIGINT) AS n_links
+    FROM documents"""
 
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
@@ -5767,6 +5815,7 @@ SQL_QUERIES = {
     "q163_kmeans_planted": q163_kmeans_planted,
     "q164_semdedup_planted": q164_semdedup_planted,
     "q165_incremental_minhash_planted": q165_incremental_minhash_planted,
+    "q166_html_extract": q166_html_extract,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
