@@ -5505,6 +5505,68 @@ def q166_html_extract(sf_dir: str):
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def _doc_urls(sf_dir: str) -> rd.Dataset:
+    """Deterministic crawled-URL column for the documents table: messy on
+    purpose (uppercase scheme/host, explicit default port, tracking param,
+    unsorted query, fragment) so normalization has real work to do.
+    host = www.<source>.example.com."""
+    docs = _t(sf_dir, "documents", ["doc_id", "source", "lang"])
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id", "source"]].copy()
+        out["url"] = [
+            f"HTTPS://WWW.{s.upper()}.Example.COM:443/{l}/{d}"
+            f"?utm_source=crawl&b=2&a=1#frag"
+            for d, s, l in zip(batch["doc_id"], batch["source"],
+                               batch["lang"])]
+        return out
+
+    return docs.map_batches(attach, batch_format="pandas")
+
+
+def q167_url_host_stats(sf_dir: str):
+    """URL normalization + per-host aggregation (``ops/url``): messy
+    synthetic crawl URLs (see ``_doc_urls``) normalize to a canonical
+    form the oracle can rebuild with string concatenation — per host,
+    the doc count AND the lexicographic min normalized URL are emitted,
+    so a wrong port strip, case fold, tracking-param drop, or query sort
+    anywhere shifts the hash."""
+    from ray.data.aggregate import Min, Sum
+
+    from ..ops.url import add_url_columns
+
+    urls = add_url_columns(_doc_urls(sf_dir))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("host", sort=False)
+        return pd.DataFrame({
+            "host": g.size().index.to_numpy(dtype=object),
+            "n_docs": g.size().to_numpy(dtype=np.int64),
+            "min_url": g["url_norm"].min().to_numpy(dtype=object)})
+
+    out = (urls.map_batches(partial, batch_format="pandas")
+           .groupby("host")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Min("min_url", alias_name="min_url"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("host", ignore_index=True)
+
+
+def q168_domain_cap(sf_dir: str):
+    """Per-domain document cap (``ops/url.domain_cap``, the C4/RefinedWeb
+    de-biasing step): keep the 20 lowest doc_ids per host.  Rides
+    ``grouped_top_k`` so no worker ever holds a hot domain whole; the
+    oracle is a ROW_NUMBER window over the same deterministic URL
+    derivation."""
+    from ..ops.url import domain_cap
+
+    out = domain_cap(_doc_urls(sf_dir), cap=20, order_col="doc_id",
+                     columns=["doc_id"])
+    return (out[["doc_id", "host"]]
+            .sort_values("doc_id", ignore_index=True))
+
+
 def q157_audio_dedup(sf_dir: str):
     """Audio near-dup clustering over REAL WAV bytes: 25 deterministic
     AM-tone-mixture clips, each with a re-gained + 1%-noise variant;
@@ -5635,6 +5697,23 @@ ORACLE_SQL["q166_html_extract"] = r"""
            END AS BIGINT) AS n_blocks,
            CAST(3 AS BIGINT) AS n_links
     FROM documents"""
+
+# normalized form of _doc_urls' messy URL: scheme/host lowercased,
+# default :443 stripped, fragment dropped, utm_* removed, params sorted
+ORACLE_SQL["q167_url_host_stats"] = """
+    SELECT 'www.' || lower(source) || '.example.com' AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN('https://www.' || lower(source) || '.example.com/'
+               || lang || '/' || doc_id || '?a=1&b=2') AS min_url
+    FROM documents GROUP BY source ORDER BY host"""
+
+ORACLE_SQL["q168_domain_cap"] = """
+    SELECT doc_id, 'www.' || lower(source) || '.example.com' AS host
+    FROM (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 20 ORDER BY doc_id"""
 
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
@@ -5816,6 +5895,8 @@ SQL_QUERIES = {
     "q164_semdedup_planted": q164_semdedup_planted,
     "q165_incremental_minhash_planted": q165_incremental_minhash_planted,
     "q166_html_extract": q166_html_extract,
+    "q167_url_host_stats": q167_url_host_stats,
+    "q168_domain_cap": q168_domain_cap,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
