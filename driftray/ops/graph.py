@@ -48,7 +48,8 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
              damping: float = 0.85, iterations: int = 3,
              rank_col: str = "rank",
              num_partitions: int | None = None,
-             assume_distinct: bool = False) -> rd.Dataset:
+             assume_distinct: bool = False,
+             broadcast_threshold: int = 4_000_000) -> rd.Dataset:
     """PageRank over a directed edge list, exact power iteration:
     ``r_{t+1}(n) = (1-d)/N + d·(Σ_{(m,n)∈E} r_t(m)/deg(m) + dang_t/N)``
     where ``dang_t`` is the rank mass sitting on nodes with no out-edges
@@ -62,6 +63,23 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
     ``assume_distinct=True`` skips the upfront DISTINCT exchange when the
     caller already deduplicated (src, dst) — at 600 k edges that exchange
     is ~4 s of pure re-shuffle on this host, a full fifth of the query.
+
+    Two execution paths by node count:
+
+    * ``n_nodes <= broadcast_threshold`` — **broadcast-rank** (the
+      small-side-broadcast rule): the rank vector is O(nodes) while the
+      edge list is O(edges) ≫ nodes on real graphs, so the rank vector is
+      the small side.  Edges materialize ONCE and never move again; each
+      round ``ray.put``s the (node→rank/deg) lookup, one ``map_batches``
+      pass over the stationary edge blocks pre-aggregates contributions
+      by dst WITHIN each block, and one groupby folds the partials —
+      ONE exchange per round over pre-aggregated rows (≤ blocks × nodes,
+      not edges), vs three (contrib merge + dst-sum + laundering
+      repartition) on the dataset path.  The rank vector lives on the
+      driver between rounds (≤ 64 MB at the default threshold).
+    * larger graphs — **dataset-exchange**: ranks and edges stay Datasets
+      end to end (the original join-free tagged-union design), nothing
+      is ever collected; per round 2 key-hash exchanges + 1 repartition.
     """
     from ray.data.aggregate import Max, Sum
 
@@ -98,6 +116,10 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
                 # shuffle partition receives only empties (r4 gotcha)
                 .repartition(P).materialize())
     n_nodes = node_deg.count()
+
+    if n_nodes <= broadcast_threshold:
+        return _pagerank_broadcast(e, node_deg, n_nodes, src_col, dst_col,
+                                   damping, iterations, rank_col)
 
     def init(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -193,6 +215,52 @@ def pagerank(edges: rd.Dataset, src_col: str, dst_col: str,
         return pa.table({"node": t[src_col], rank_col: t[rank_col]})
 
     return ranks.map_batches(out, batch_format="pyarrow")
+
+
+def _pagerank_broadcast(e: rd.Dataset, node_deg: rd.Dataset, n_nodes: int,
+                        src_col: str, dst_col: str, damping: float,
+                        iterations: int, rank_col: str) -> rd.Dataset:
+    """Broadcast-rank power iteration: the rank vector (the SMALL side,
+    O(nodes)) ships to the stationary edge blocks via ``ray.put`` each
+    round; contributions pre-aggregate by dst inside every block, so the
+    round's single exchange moves ≤ blocks × distinct-dst pre-aggregated
+    rows, never the edge list.  Driver holds only the O(nodes) vector —
+    bounded by the caller's ``broadcast_threshold``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nd = node_deg.to_pandas()                  # ≤ threshold rows by guard
+    idx = pd.Index(nd[src_col].to_numpy())     # node id → dense position
+    deg = nd["__deg"].to_numpy().astype(np.float64)
+    r = np.full(n_nodes, 1.0 / n_nodes)
+    dangling = deg == 0
+
+    for _ in range(iterations):
+        dang = float(r[dangling].sum())
+        vals = np.divide(r, deg, out=np.zeros_like(r), where=deg > 0)
+        ref = ray.put((idx, vals))
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            ii, vv = ray.get(_ref)             # plasma-cached per worker
+            v = vv[ii.get_indexer(
+                t[src_col].to_numpy(zero_copy_only=False))]
+            codes, uniq = pd.factorize(
+                t[dst_col].to_numpy(zero_copy_only=False))
+            return pa.table({
+                dst_col: pa.array(uniq),
+                "__c": pa.array(np.bincount(codes, weights=v,
+                                            minlength=len(uniq)))})
+
+        agg = (e.map_batches(partial, batch_format="pyarrow")
+               .groupby(dst_col).aggregate(Sum("__c", alias_name="__c"))
+               .to_pandas())
+        c = np.zeros(n_nodes)
+        c[idx.get_indexer(agg[dst_col].to_numpy())] = \
+            agg["__c"].to_numpy()
+        r = (1.0 - damping) / n_nodes + damping * (dang / n_nodes + c)
+
+    return rd.from_arrow(pa.table({"node": pa.array(idx.to_numpy()),
+                                   rank_col: pa.array(r)}))
 
 
 def cooccurrence_pairs(ds: rd.Dataset, context_col: str, item_col: str,

@@ -2586,24 +2586,31 @@ def q122_zorder_scan(sf_dir: str):
 
     orders = _t(sf_dir, "orders",
                 ["o_orderkey", "o_custkey", "o_totalprice"])
+    import shutil
+
     outdir = tempfile.mkdtemp(prefix="driftray_zorder_")
-    zorder_sort(orders, ["o_custkey", "o_totalprice"]).write_parquet(
-        outdir)
-    lo, hi = 50_000.0, 120_000.0
-    ds = pruned_read(sorted(glob.glob(f"{outdir}/*.parquet")),
-                     "o_totalprice", lo, hi)
+    try:
+        zorder_sort(orders, ["o_custkey", "o_totalprice"]).write_parquet(
+            outdir)
+        lo, hi = 50_000.0, 120_000.0
+        ds = pruned_read(sorted(glob.glob(f"{outdir}/*.parquet")),
+                         "o_totalprice", lo, hi)
 
-    def custband(t: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.greater_equal(t["o_custkey"], 100),
-                       pc.less_equal(t["o_custkey"], 600))
-        return t.filter(keep)
+        def custband(t: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.greater_equal(t["o_custkey"], 100),
+                           pc.less_equal(t["o_custkey"], 600))
+            return t.filter(keep)
 
-    stats = (ds.map_batches(custband, batch_format="pyarrow")
-             .aggregate(Count(alias_name="n_rows"),
-                        Sum("o_totalprice", alias_name="revenue")))
-    return pd.DataFrame({
-        "n_rows": [int(stats["n_rows"] or 0)],
-        "revenue": [round(float(stats["revenue"] or 0.0), ROUND)]})
+        # aggregate() is eager, so the files are fully consumed before
+        # the finally removes them
+        stats = (ds.map_batches(custband, batch_format="pyarrow")
+                 .aggregate(Count(alias_name="n_rows"),
+                            Sum("o_totalprice", alias_name="revenue")))
+        return pd.DataFrame({
+            "n_rows": [int(stats["n_rows"] or 0)],
+            "revenue": [round(float(stats["revenue"] or 0.0), ROUND)]})
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
 
 
 def q123_grouped_ols(sf_dir: str):
@@ -2636,14 +2643,18 @@ def q124_mutual_information(sf_dir: str):
 
 def _customer_supplier_edges(sf_dir: str):
     """Directed customer→supplier edge list from the order graph (shared
-    by q125/q126): large-large hash join orders ⋈ lineitem, distinct
-    pairs."""
-    from ..ops.relational import distinct, hash_shuffle_join
+    by q125/q126): lineitem enriched with o_custkey via a BROADCAST join
+    (the orderkey→custkey map is 2 int64 columns — the small side by two
+    orders of magnitude vs the fact table; the shuffle-join twin of this
+    shape is exercised by q53/q88/q99), then distinct pairs — one
+    exchange total over locally-deduped pairs."""
+    from ..ops.relational import broadcast_join, distinct
 
-    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey"]).to_pandas()
+    orders = orders.rename(columns={"o_orderkey": "l_orderkey"})
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    j = hash_shuffle_join(li, orders, on=["l_orderkey"],
-                          right_on=["o_orderkey"])
+    j = broadcast_join(li, orders, on=["l_orderkey"])
 
     def disjoint_ids(t: pa.Table) -> pa.Table:
         # suppliers offset into their own id space — customer key 5 and
@@ -6478,11 +6489,25 @@ NONSQL_QUERIES = {
 
 # The correctness driver snapshots only the FIRST 50 entries of
 # ``queries()``.  q01–q50 have green hash-checked rows in
-# CORRECTNESS_r01–r03 and q51–q100 in CORRECTNESS_r04 (47 hash-green +
-# 3 value-equal rows whose oracle SQL carried a HUGEINT column, fixed
-# above).  Order the registry so not-yet-driver-attested oracled queries
-# (q101+) come first, then the remaining oracled ones, then the nq_*
-# (no-oracle) queries.
+# CORRECTNESS_r01–r03 and q51–q100 in CORRECTNESS_r04 — except
+# q51/q73/q79, whose oracle SQL carried a HUGEINT column until the casts
+# above; those three need a re-attest.  68 oracled queries (q101+) have
+# never been in a driver window, so the 50 slots are curated explicitly:
+# the 3 re-casts, then q101–q139 (the r4 additions the judge asked to
+# attest), then the highest-value q140+ (dedup/ML paths that graduated
+# from rows-only to hash-oracled late in r4).  Everything else follows:
+# remaining unattested oracled, attested oracled, then nq_* rows-only.
+_WINDOW_PRIORITY = (
+    ["q51_json_props_stats", "q73_lang_outliers", "q79_pack_sequences"]
+    + [k for k in SQL_QUERIES
+       if k[0] == "q" and k[1:4].isdigit() and 101 <= int(k[1:4]) <= 139]
+    + ["q141_cusum_daily", "q142_bpe_pair_counts", "q144_tree_split",
+       "q153_semantic_decontam", "q156_phash_dedup",
+       "q158_minhash_planted", "q160_embedding_dedup_planted",
+       "q164_semdedup_planted"]
+)
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+
 _ATTESTED = {
     f"q{i:02d}" for i in range(1, 101)
 }  # r1–r4 driver-attested prefix numbers
@@ -6493,7 +6518,10 @@ def _attested(name: str) -> bool:
 
 
 ALL_QUERIES = {
-    **{k: v for k, v in SQL_QUERIES.items() if not _attested(k)},
-    **{k: v for k, v in SQL_QUERIES.items() if _attested(k)},
+    **{k: SQL_QUERIES[k] for k in _WINDOW_PRIORITY},
+    **{k: v for k, v in SQL_QUERIES.items()
+       if k not in _WINDOW_PRIORITY and not _attested(k)},
+    **{k: v for k, v in SQL_QUERIES.items()
+       if k not in _WINDOW_PRIORITY and _attested(k)},
     **NONSQL_QUERIES,
 }
