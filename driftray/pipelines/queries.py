@@ -5578,6 +5578,109 @@ def q168_domain_cap(sf_dir: str):
             .sort_values("doc_id", ignore_index=True))
 
 
+def q169_winnow_planted(sf_dir: str):
+    """Cross-document duplicate-SPAN detection
+    (`ops/winnow.duplicate_span_stats`, the MOSS winnowing algorithm)
+    over a planted corpus: 20 doc pairs sharing a 25-token contiguous
+    span at DIFFERENT offsets — guaranteed flagged, 25 ≥ k + w - 1 = 15
+    (the winnowing theorem) — plus 20 singleton docs of fresh random
+    tokens with no shared 8-gram (seed-pinned), so the expected flags
+    are closed-form.  Exact/MinHash dedup both miss offset-shifted
+    partial overlap; this attests the one detector that can't."""
+    from ..ops.winnow import duplicate_span_stats
+
+    rng = np.random.default_rng(23)
+
+    def toks(n: int) -> list[str]:
+        return [f"w{v:03d}" for v in rng.integers(0, 800, n)]
+
+    ids, texts = [], []
+    for g in range(20):
+        a = toks(60)
+        b = toks(30) + a[20:45] + toks(15)   # the span, shifted by 10
+        ids += [2 * g, 2 * g + 1]
+        texts += [" ".join(a), " ".join(b)]
+    for s in range(20):
+        ids.append(40 + s)
+        texts.append(" ".join(toks(50)))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                                      "text": texts}))
+    out = duplicate_span_stats(ds).to_pandas()
+    out = out[["doc_id", "has_cross_dup"]].astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def q170_pq_exact_rerank(sf_dir: str):
+    """PQ-ANN in its EXACT regime (`ops/ann.pq_train/pq_encode/
+    pq_topk_rerank`): ``rerank`` = the whole table, so the ADC candidate
+    stage can drop nothing and the exact-rerank output must equal brute
+    force (q15's oracle verbatim) — hash-attests codebook fit, encode,
+    ADC table walk and the filtered rerank pass with zero approximation
+    slack (recall in the approximate regime stays a unit-test concern,
+    tests/test_pq.py)."""
+    from ..ops.ann import pq_encode, pq_topk_rerank, pq_train
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = emb.count()
+    q0 = _t(sf_dir, "embeddings", ["vec_id", "embedding"],
+            filter=pc.field("vec_id") == 0).to_pandas()
+    Q = np.stack(q0["embedding"].to_numpy()).astype(np.float64)
+    model = pq_train(emb, m=8, n_codes=32, sample_rows=4096)
+    codes = pq_encode(emb, model).materialize()
+    out = pq_topk_rerank(emb, codes, model, Q, k=10, rerank=n).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["query_id", "vec_id", "score"]]
+
+
+def q171_compression_band(sf_dir: str):
+    """zlib compression-ratio banding (`ops/text.compression_ratios`)
+    over a planted two-regime corpus: 30 pure-repetition docs (ratio
+    ≪ 0.25 — boilerplate) and 30 seeded hex-noise docs (ratio ≥ 0.4 —
+    high entropy), so the band flag is closed-form and the zlib path
+    gets a driver-hashed signal.  Exact ratios stay the pytest oracle's
+    job (stdlib-recomputed, tests/test_r4_text_curation.py)."""
+    from ..ops.text import compression_ratios
+
+    rng = np.random.default_rng(31)
+    texts = [f"boiler plate row {i % 7} " * 60 for i in range(30)]
+    texts += [rng.bytes(500).hex() for _ in range(30)]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64), "text": texts}))
+    out = compression_ratios(ds, "text", ["doc_id"]).to_pandas()
+    out["is_repetitive"] = (out["zlib_ratio"] < 0.25).astype(np.int64)
+    return (out[["doc_id", "is_repetitive"]]
+            .sort_values("doc_id", ignore_index=True))
+
+
+def q172_fingerprint_planted(sf_dir: str):
+    """Rolling-hash document fingerprints (`ops/text.Fingerprinter`)
+    over planted copy pairs: doc i (a seeded random text) and doc i+40
+    (its exact copy) must fingerprint EQUAL even when they land in
+    different blocks, and the 40 base fingerprints must be pairwise
+    DISTINCT (2⁻⁶¹-scale collision odds) — both closed-form.  The
+    vectorized kernel's parity vs the scalar recurrence is the unit
+    test; this attests the distributed plumbing."""
+    from ..ops.text import Fingerprinter
+
+    rng = np.random.default_rng(37)
+    base = ["".join(chr(97 + c) for c in rng.integers(0, 26, 120))
+            for _ in range(40)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(80, dtype=np.int64),
+        "text": base + base})
+    fp = (rd.from_pandas(df).repartition(8)
+          .map_batches(Fingerprinter, batch_format="pandas",
+                       concurrency=actor_pool())
+          .select_columns(["doc_id", "fingerprint"]).to_pandas()
+          .sort_values("doc_id", ignore_index=True))
+    f = fp["fingerprint"].to_numpy()
+    n_distinct = len(np.unique(f[:40]))
+    return pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "twin_match": (f[:40] == f[40:]).astype(np.int64),
+        "bases_distinct": np.full(40, int(n_distinct == 40), np.int64)})
+
+
 def q157_audio_dedup(sf_dir: str):
     """Audio near-dup clustering over REAL WAV bytes: 25 deterministic
     AM-tone-mixture clips, each with a re-gained + 1%-noise variant;
@@ -5725,6 +5828,30 @@ ORACLE_SQL["q168_domain_cap"] = """
                                     ORDER BY doc_id) AS rn
           FROM documents)
     WHERE rn <= 20 ORDER BY doc_id"""
+
+# planted span pairs: ids 0-39 share a 25-token span with their pair
+# twin (winnowing-guaranteed detection), 40-59 are fresh singletons
+ORACLE_SQL["q169_winnow_planted"] = """
+    SELECT CAST(i AS BIGINT) AS doc_id,
+           CAST(CASE WHEN i < 40 THEN 1 ELSE 0 END AS BIGINT)
+               AS has_cross_dup
+    FROM range(60) t(i)"""
+
+ORACLE_SQL["q170_pq_exact_rerank"] = ORACLE_SQL["q15_ann_topk"]
+
+# planted regimes: 0-29 repetitive boilerplate, 30-59 hex noise
+ORACLE_SQL["q171_compression_band"] = """
+    SELECT CAST(i AS BIGINT) AS doc_id,
+           CAST(CASE WHEN i < 30 THEN 1 ELSE 0 END AS BIGINT)
+               AS is_repetitive
+    FROM range(60) t(i)"""
+
+# copy pairs fingerprint equal; the 40 bases are pairwise distinct
+ORACLE_SQL["q172_fingerprint_planted"] = """
+    SELECT CAST(i AS BIGINT) AS doc_id,
+           CAST(1 AS BIGINT) AS twin_match,
+           CAST(1 AS BIGINT) AS bases_distinct
+    FROM range(40) t(i)"""
 
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
@@ -5908,6 +6035,10 @@ SQL_QUERIES = {
     "q166_html_extract": q166_html_extract,
     "q167_url_host_stats": q167_url_host_stats,
     "q168_domain_cap": q168_domain_cap,
+    "q169_winnow_planted": q169_winnow_planted,
+    "q170_pq_exact_rerank": q170_pq_exact_rerank,
+    "q171_compression_band": q171_compression_band,
+    "q172_fingerprint_planted": q172_fingerprint_planted,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
@@ -6504,7 +6635,7 @@ _WINDOW_PRIORITY = (
     + ["q141_cusum_daily", "q142_bpe_pair_counts", "q144_tree_split",
        "q153_semantic_decontam", "q156_phash_dedup",
        "q158_minhash_planted", "q160_embedding_dedup_planted",
-       "q164_semdedup_planted"]
+       "q169_winnow_planted"]
 )
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 
