@@ -5578,6 +5578,52 @@ def q168_domain_cap(sf_dir: str):
             .sort_values("doc_id", ignore_index=True))
 
 
+def q173_events_expectations(sf_dir: str):
+    """The flagship validation pass over EVENTS (q140's documents twin):
+    all declared expectation counters of EVENTS_SPEC (completeness x4 +
+    the value range) through the REAL ValidationKernel — integer
+    counters that sum exactly, hash-checkable against SQL counts, so
+    nq_validate_events' kernel path gets a driver-hashed signal."""
+    from ..spec import EVENTS_SPEC
+
+    ds = _t(sf_dir, "events",
+            ["event_id", "ts", "user_id", "event_type", "value"])
+    return _expectation_counters(ds, EVENTS_SPEC)
+
+
+def q174_logreg_planted(sf_dir: str):
+    """Distributed logistic regression (`ops/ml.logistic_fit` — one
+    gradient partial per block per epoch, driver holds only the weight
+    vector) over a planted linearly-separable corpus: class means at
+    x1 = ±3 with sub-unit jitter, so after 25 standardized full-batch
+    epochs every row's predicted probability lands on its class side
+    with margin (banded at 0.8/0.2 — measured min gap > 0.15).  The
+    band flags are closed-form; exact loss trajectories stay the pytest
+    oracle's job (tests/test_ml.py)."""
+    from ..ops.ml import logistic_fit, logistic_score
+
+    rng = np.random.default_rng(41)
+    n = 400
+    y = (np.arange(n) % 2).astype(np.float64)
+    sgn = 2.0 * y - 1.0
+    df = pd.DataFrame({
+        "row_id": np.arange(n, dtype=np.int64),
+        "x1": 3.0 * sgn + rng.normal(0, 0.5, n),
+        "x2": -2.0 * sgn + rng.normal(0, 0.5, n),
+        "x3": rng.normal(0, 1.0, n),
+        "y": y,
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    model = logistic_fit(ds, ["x1", "x2", "x3"], "y", epochs=25, lr=1.0)
+    scored = logistic_score(ds, model, ["x1", "x2", "x3"]).to_pandas()
+    scored = scored.sort_values("row_id", ignore_index=True)
+    band = np.where(scored["y"] == 1.0, scored["p"] > 0.8,
+                    scored["p"] < 0.2)
+    return pd.DataFrame({"row_id": scored["row_id"].astype(np.int64),
+                         "y": scored["y"].astype(np.int64),
+                         "in_band": band.astype(np.int64)})
+
+
 def q169_winnow_planted(sf_dir: str):
     """Cross-document duplicate-SPAN detection
     (`ops/winnow.duplicate_span_stats`, the MOSS winnowing algorithm)
@@ -5853,6 +5899,40 @@ ORACLE_SQL["q172_fingerprint_planted"] = """
            CAST(1 AS BIGINT) AS bases_distinct
     FROM range(40) t(i)"""
 
+ORACLE_SQL["q173_events_expectations"] = """
+    SELECT 'completeness|event_id' AS rule,
+           CAST(COALESCE(SUM(CASE WHEN event_id IS NULL THEN 1 END), 0)
+                AS BIGINT) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'completeness|event_type',
+           CAST(COALESCE(SUM(CASE WHEN event_type IS NULL
+                     OR event_type = '' THEN 1 END), 0) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'completeness|ts',
+           CAST(COALESCE(SUM(CASE WHEN ts IS NULL THEN 1 END), 0)
+                AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'completeness|user_id',
+           CAST(COALESCE(SUM(CASE WHEN user_id IS NULL THEN 1 END), 0)
+                AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'range|value',
+           CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL
+                     AND (value < -1e12 OR value > 1e12)
+                THEN 1 END), 0) AS BIGINT)
+    FROM events"""
+
+# planted separable classes: every row's probability lands in-band
+ORACLE_SQL["q174_logreg_planted"] = """
+    SELECT CAST(i AS BIGINT) AS row_id,
+           CAST(i % 2 AS BIGINT) AS y,
+           CAST(1 AS BIGINT) AS in_band
+    FROM range(400) t(i)"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -6039,6 +6119,8 @@ SQL_QUERIES = {
     "q170_pq_exact_rerank": q170_pq_exact_rerank,
     "q171_compression_band": q171_compression_band,
     "q172_fingerprint_planted": q172_fingerprint_planted,
+    "q173_events_expectations": q173_events_expectations,
+    "q174_logreg_planted": q174_logreg_planted,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
