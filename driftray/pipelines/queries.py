@@ -5624,6 +5624,114 @@ def q174_logreg_planted(sf_dir: str):
                          "in_band": band.astype(np.int64)})
 
 
+def q175_codec_roundtrip(sf_dir: str):
+    """Codec roundtrip attestation — the encoder and decoder are
+    independent code paths, so encode→decode equality is a closed-form
+    expectation, not a recorded output:
+
+    * PNG (lossless, `ops/png.py`): 8×8 images through
+      `multimodal.decode_images`; the 8×8 nearest-neighbour THUMBNAIL of
+      an 8×8 image is the identity, so decoded pixels must equal the
+      planted array bit-for-bit.
+    * WAV (lossless int16, stdlib `wave` via `multimodal.decode_audio`):
+      rms/peak/duration must equal the same formulas over the planted
+      samples.
+    * GIF (lossless at ≤256 colors, `ops/gif.py` via
+      `multimodal.sample_frames`): per-frame mean_rgb must equal the
+      planted frames' means.
+    * JPEG (lossy, `ops/jpeg.py`): constant-color blocks must land
+      within a DC-quantization band (|err| ≤ 12 at quality 85).
+
+    One (codec, media_id, ok) row per item, all ok=1 closed-form — this
+    is the driver-hashed twin of the rows-only nq_png/jpeg/gif/audio
+    decode entries."""
+    from ..ops.gif import encode_gif
+    from ..ops.jpeg import encode_jpeg
+    from ..ops.multimodal import (MEDIA_SCHEMA, decode_audio,
+                                  decode_images, encode_wav, sample_frames)
+    from ..ops.png import encode_png
+
+    rng = np.random.default_rng(43)
+
+    def media_rows(items):
+        rows = {k: [] for k in MEDIA_SCHEMA.names}
+        for (mid, kind, fmt, payload, w, h, sr, ms) in items:
+            rows["media_id"].append(mid)
+            rows["kind"].append(kind)
+            rows["format"].append(fmt)
+            rows["payload"].append(payload)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["sample_rate"].append(sr)
+            rows["duration_ms"].append(ms)
+        return rd.from_arrow(pa.Table.from_pydict(rows,
+                                                  schema=MEDIA_SCHEMA))
+
+    results = []
+
+    # -- PNG: exact pixel equality via the 8x8 thumbnail ------------------
+    imgs = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+            for _ in range(20)]
+    png = media_rows([(i, "image", "png", encode_png(im), 8, 8, 0, 0)
+                      for i, im in enumerate(imgs)])
+    dec = (decode_images(png, decoder="png").to_pandas()
+           .sort_values("media_id", ignore_index=True))
+    for i, im in enumerate(imgs):
+        ok = np.array_equal(np.asarray(dec["thumbnail"][i],
+                                       dtype=np.int64),
+                            im.ravel().astype(np.int64))
+        results.append(("png", i, int(ok)))
+
+    # -- JPEG: constant blocks inside the DC-quantization band ------------
+    jimgs = [np.full((8, 8, 3), 10 + 20 * i, dtype=np.uint8)
+             for i in range(10)]
+    jpg = media_rows([(i, "image", "jpeg", encode_jpeg(im), 8, 8, 0, 0)
+                      for i, im in enumerate(jimgs)])
+    jdec = (decode_images(jpg, decoder="jpeg").to_pandas()
+            .sort_values("media_id", ignore_index=True))
+    for i, im in enumerate(jimgs):
+        got = np.asarray(jdec["thumbnail"][i], dtype=np.float64)
+        mae = np.abs(got - im.ravel().astype(np.float64)).mean()
+        results.append(("jpeg", i, int(mae <= 12.0)))
+
+    # -- WAV: feature equality over the planted samples -------------------
+    clips = [(rng.normal(0, 4000, 1000)).astype(np.int16)
+             for _ in range(10)]
+    wav = media_rows([(i, "audio", "wav", encode_wav(c, 16000), 0, 0,
+                       16000, len(c) * 1000 // 16000)
+                      for i, c in enumerate(clips)])
+    adec = (decode_audio(wav).to_pandas()
+            .sort_values("media_id", ignore_index=True))
+    for i, c in enumerate(clips):
+        xf = c.astype(np.float64)
+        ok = (adec["peak"][i] == int(np.abs(c).max())
+              and adec["decoded_ms"][i] == len(c) * 1000 // 16000
+              and abs(adec["rms"][i] - float(np.sqrt(np.mean(xf ** 2))))
+              < 1e-9)
+        results.append(("wav", i, int(ok)))
+
+    # -- GIF: per-frame mean equality (≤256 colors ⇒ lossless) ------------
+    palette = np.array([0, 64, 128, 255], dtype=np.uint8)
+    gclips = [[palette[rng.integers(0, 4, size=(8, 8, 3))]
+               for _ in range(4)] for _ in range(5)]
+    gif = media_rows([(i, "video", "gif", encode_gif(fr, delay_ms=50),
+                       8, 8, 0, 200) for i, fr in enumerate(gclips)])
+    gdec = sample_frames(gif, n_frames=4, decoder="gif").to_pandas()
+    for i, fr in enumerate(gclips):
+        sub = (gdec[gdec["media_id"] == i]
+               .sort_values("frame_idx", ignore_index=True))
+        ok = len(sub) == 4 and all(
+            np.allclose(np.asarray(sub["mean_rgb"][j], dtype=np.float64),
+                        fr[j].mean(axis=(0, 1)), atol=1e-5)
+            for j in range(4))
+        results.append(("gif", i, int(ok)))
+
+    return pd.DataFrame({
+        "codec": [r[0] for r in results],
+        "media_id": np.array([r[1] for r in results], np.int64),
+        "ok": np.array([r[2] for r in results], np.int64)})
+
+
 def q169_winnow_planted(sf_dir: str):
     """Cross-document duplicate-SPAN detection
     (`ops/winnow.duplicate_span_stats`, the MOSS winnowing algorithm)
@@ -5933,6 +6041,15 @@ ORACLE_SQL["q174_logreg_planted"] = """
            CAST(1 AS BIGINT) AS in_band
     FROM range(400) t(i)"""
 
+# encode→decode roundtrips succeed for every planted item: 20 png,
+# 10 jpeg, 10 wav, 5 gif — in that emission order
+ORACLE_SQL["q175_codec_roundtrip"] = """
+    SELECT codec, CAST(i AS BIGINT) AS media_id, CAST(1 AS BIGINT) AS ok
+    FROM (SELECT 'png' AS codec, UNNEST(range(20)) AS i
+          UNION ALL SELECT 'jpeg', UNNEST(range(10))
+          UNION ALL SELECT 'wav', UNNEST(range(10))
+          UNION ALL SELECT 'gif', UNNEST(range(5)))"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -6121,6 +6238,7 @@ SQL_QUERIES = {
     "q172_fingerprint_planted": q172_fingerprint_planted,
     "q173_events_expectations": q173_events_expectations,
     "q174_logreg_planted": q174_logreg_planted,
+    "q175_codec_roundtrip": q175_codec_roundtrip,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
@@ -6715,9 +6833,9 @@ _WINDOW_PRIORITY = (
     + [k for k in SQL_QUERIES
        if k[0] == "q" and k[1:4].isdigit() and 101 <= int(k[1:4]) <= 139]
     + ["q141_cusum_daily", "q142_bpe_pair_counts", "q144_tree_split",
-       "q153_semantic_decontam", "q156_phash_dedup",
-       "q158_minhash_planted", "q160_embedding_dedup_planted",
-       "q169_winnow_planted"]
+       "q156_phash_dedup", "q158_minhash_planted",
+       "q160_embedding_dedup_planted", "q169_winnow_planted",
+       "q175_codec_roundtrip"]
 )
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
 
