@@ -85,23 +85,23 @@ def token_budget_select(ds: rd.Dataset, group_col: str, token_col: str,
     cut_ref = ray.put({g: cb for g, (cb, _) in cutoff.items()})
     below_ref = ray.put(full_below)
 
-    # exact boundary: fetch cutoff-bucket rows only, cumsum per group
+    # exact boundary: fetch cutoff-bucket rows only, cumsum per group.
+    # Plain task-pool functions, NOT actor pools: the only per-worker
+    # state is a ray.get of a broadcast ref (plasma-cached), so an actor
+    # pool would pay ~1 s of startup per planning pass for nothing.
     boundary: dict = {}  # group -> max order value kept inside cutoff bucket
     if cutoff:
-        class FetchCutoff:
-            def __init__(self):
-                self.cut = ray.get(cut_ref)
+        def fetch_cutoff(t: pa.Table) -> pa.Table:
+            cut = ray.get(cut_ref)
+            ordv = np.asarray(pc.cast(t[order_col], pa.int64()).to_numpy(
+                zero_copy_only=False))
+            b = pd.Series((ordv - lo) // width)
+            gs = t[group_col].to_pandas().reset_index(drop=True)
+            want = (b == gs.map(cut)).fillna(False)
+            return t.filter(pa.array(want.to_numpy(dtype=bool)))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                ordv = np.asarray(pc.cast(t[order_col], pa.int64()).to_numpy(
-                    zero_copy_only=False))
-                b = pd.Series((ordv - lo) // width)
-                gs = t[group_col].to_pandas().reset_index(drop=True)
-                want = (b == gs.map(self.cut)).fillna(False)
-                return t.filter(pa.array(want.to_numpy(dtype=bool)))
-
-        cand = (meta.map_batches(FetchCutoff, batch_format="pyarrow",
-                                 concurrency=actor_pool()).to_pandas())
+        cand = (meta.map_batches(fetch_cutoff,
+                                 batch_format="pyarrow").to_pandas())
         for g, grp in cand.groupby(group_col):
             grp = grp.sort_values(order_col)
             keep = grp[token_col].cumsum() <= cutoff[g][1]
@@ -110,31 +110,25 @@ def token_budget_select(ds: rd.Dataset, group_col: str, token_col: str,
 
     bnd_ref = ray.put(boundary)
 
-    class KeepWithinBudget:
-        def __init__(self):
-            self.below = ray.get(below_ref)
-            self.cut = ray.get(cut_ref)
-            self.bnd = ray.get(bnd_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ordv = np.asarray(pc.cast(t[order_col], pa.int64()).to_numpy(
-                zero_copy_only=False))
-            b = pd.Series((ordv - lo) // width)
-            gs = t[group_col].to_pandas().reset_index(drop=True)
-            below = gs.map(self.below)
-            cutb = gs.map(self.cut)
-            bnd = gs.map(self.bnd)
-            keep = ((b < below).fillna(False)
-                    | ((b == cutb) & (pd.Series(ordv) <= bnd)).fillna(False))
-            return t.filter(pa.array(keep.to_numpy(dtype=bool)))
+    def keep_within_budget(t: pa.Table) -> pa.Table:
+        below_m, cut_m, bnd_m = ray.get([below_ref, cut_ref, bnd_ref])
+        ordv = np.asarray(pc.cast(t[order_col], pa.int64()).to_numpy(
+            zero_copy_only=False))
+        b = pd.Series((ordv - lo) // width)
+        gs = t[group_col].to_pandas().reset_index(drop=True)
+        below = gs.map(below_m)
+        cutb = gs.map(cut_m)
+        bnd = gs.map(bnd_m)
+        keep = ((b < below).fillna(False)
+                | ((b == cutb) & (pd.Series(ordv) <= bnd)).fillna(False))
+        return t.filter(pa.array(keep.to_numpy(dtype=bool)))
 
     # if the caller's dataset carries nothing beyond the three planning
     # columns, filter the MATERIALIZED projection instead of re-executing
     # the (possibly expensive, e.g. tokenizer) upstream a second time
     src = meta if set(ds.schema().names) <= {group_col, order_col,
                                              token_col} else ds
-    return src.map_batches(KeepWithinBudget, batch_format="pyarrow",
-                           concurrency=actor_pool())
+    return src.map_batches(keep_within_budget, batch_format="pyarrow")
 
 
 # --- Benchmark decontamination -----------------------------------------
