@@ -5732,6 +5732,97 @@ def q175_codec_roundtrip(sf_dir: str):
         "ok": np.array([r[2] for r in results], np.int64)})
 
 
+def q176_ivf_index_exact(sf_dir: str):
+    """PERSISTED IVF index in its exact regime (`ops/ann.write_ivf_index`
+    → hive dir per cluster → `ivf_query_index` with ``nprobe ==
+    n_clusters``): probing every cluster reads every partition, so the
+    result must equal brute force (q15's oracle verbatim) — q162 attests
+    the in-memory IVF machinery, this attests the index WRITE → path-
+    pruned READ cycle on disk."""
+    import shutil
+    import tempfile
+
+    from ..ops.ann import ivf_query_index, write_ivf_index
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q0 = _t(sf_dir, "embeddings", ["vec_id", "embedding"],
+            filter=pc.field("vec_id") == 0).to_pandas()
+    idx = tempfile.mkdtemp(prefix="driftray_ivfx_")
+    try:
+        write_ivf_index(emb, idx, n_clusters=16)
+        out = ivf_query_index(idx, np.stack(q0["embedding"].to_numpy()),
+                              k=10, nprobe=16).to_pandas()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    out["score"] = out["score"].round(4)
+    return out[["query_id", "vec_id", "score"]]
+
+
+def q177_diverse_sample_planted(sf_dir: str):
+    """Cluster-balanced diversity sampling (`ops/sampling.diverse_sample`:
+    k-means assignment + smallest-md5-per-cluster pick) over q163's
+    planted-blob fixture — blob membership is closed-form, the md5 pick
+    is the SQL-reproducible rule q39/q81 already hash-attest, and
+    cluster labels normalize to each cluster's minimum SAMPLED vec_id.
+    Seed-pinned: the deterministic k-means fit lands one center per blob
+    (orthogonal 8·e_b blobs, verified at plant time), so the oracle is a
+    ROW_NUMBER window over md5('7:'||id) per blob."""
+    from ..ops.sampling import diverse_sample
+
+    k, per_blob, d = 6, 15, 16
+    rng = np.random.default_rng(17)
+    centers = 8.0 * np.eye(k, d)
+    vecs = [centers[b] for b in range(k)]
+    for b in range(k):
+        vecs.extend(centers[b] + rng.normal(0, 0.1, d)
+                    for _ in range(per_blob))
+    edf = pd.DataFrame({
+        "vec_id": np.arange(k + k * per_blob, dtype=np.int64),
+        "embedding": [v.astype(np.float64) for v in vecs]})
+    out = diverse_sample(rd.from_pandas(edf), "vec_id", "embedding",
+                         n_per_cluster=4, n_clusters=k, seed=7)
+    rep = out.groupby("ivf_cluster")["vec_id"].transform("min")
+    return (pd.DataFrame({"cluster_key": rep.astype(np.int64),
+                          "vec_id": out["vec_id"].astype(np.int64)})
+            .sort_values("vec_id", ignore_index=True))
+
+
+def q178_pca_planted(sf_dir: str):
+    """Distributed PCA (`ops/embedding.embedding_pca`: one d×d moment
+    pass, driver eigensolve, broadcast projection) over an exactly
+    rank-2 planted corpus: x = a·e₁ + b·e₂ with var(a)=25 ≫ var(b)=1 on
+    fixed orthonormal axes, so the principal components are ±e₁, ±e₂
+    EXACTLY and |pc1|,|pc2| must equal |a-ā|,|b-b̄| to fp precision —
+    closed-form band flags (exact numpy parity stays the pytest
+    oracle's job, tests/test_round4_ops.py)."""
+    from ..ops.embedding import embedding_pca, pca_transform
+
+    d, n = 16, 300
+    rng = np.random.default_rng(47)
+    e1 = np.ones(d) / np.sqrt(d)
+    e2 = np.tile([1.0, -1.0], d // 2) / np.sqrt(d)
+    a = rng.normal(0, 5, n)
+    b = rng.normal(0, 1, n)
+    # decorrelate EXACTLY: eigenvectors of the sample covariance equal
+    # ±e₁/±e₂ only when the sample cross-covariance is zero, so project
+    # the centered b draw off the centered a draw
+    ac, bc = a - a.mean(), b - b.mean()
+    b = b - (ac @ bc) / (ac @ ac) * ac
+    X = a[:, None] * e1 + b[:, None] * e2
+    edf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": [v for v in X]})
+    ds = rd.from_pandas(edf)
+    mean, comps, _ = embedding_pca(ds, n_components=2)
+    proj = pca_transform(ds, mean, comps).to_pandas()
+    proj = proj.sort_values("vec_id", ignore_index=True)
+    P = np.stack(proj["pca"].to_numpy())
+    exp1, exp2 = np.abs(a - a.mean()), np.abs(b - b.mean())
+    return pd.DataFrame({
+        "vec_id": proj["vec_id"].astype(np.int64),
+        "pc1_ok": (np.abs(np.abs(P[:, 0]) - exp1) < 1e-6).astype(np.int64),
+        "pc2_ok": (np.abs(np.abs(P[:, 1]) - exp2) < 1e-6).astype(np.int64)})
+
+
 def q169_winnow_planted(sf_dir: str):
     """Cross-document duplicate-SPAN detection
     (`ops/winnow.duplicate_span_stats`, the MOSS winnowing algorithm)
@@ -6050,6 +6141,34 @@ ORACLE_SQL["q175_codec_roundtrip"] = """
           UNION ALL SELECT 'wav', UNNEST(range(10))
           UNION ALL SELECT 'gif', UNNEST(range(5)))"""
 
+ORACLE_SQL["q176_ivf_index_exact"] = ORACLE_SQL["q15_ann_topk"]
+
+# q163's blob plant: blob(i) = i for the 6 planted centers (i < 6),
+# else (i-6)//15; the pick is the 4 smallest md5('7:'||id) per blob and
+# labels normalize to the minimum sampled id per cluster
+ORACLE_SQL["q177_diverse_sample_planted"] = """
+    WITH blobs AS (
+        SELECT i AS vec_id,
+               CASE WHEN i < 6 THEN i ELSE (i - 6) // 15 END AS blob
+        FROM range(96) t(i)),
+    picked AS (
+        SELECT vec_id, blob,
+               ROW_NUMBER() OVER (
+                   PARTITION BY blob
+                   ORDER BY MD5('7:' || CAST(vec_id AS VARCHAR)),
+                            vec_id) AS rn
+        FROM blobs)
+    SELECT CAST(MIN(vec_id) OVER (PARTITION BY blob) AS BIGINT)
+               AS cluster_key,
+           CAST(vec_id AS BIGINT) AS vec_id
+    FROM picked WHERE rn <= 4 ORDER BY vec_id"""
+
+# exactly rank-2 plant: both projections land in-band for every row
+ORACLE_SQL["q178_pca_planted"] = """
+    SELECT CAST(i AS BIGINT) AS vec_id,
+           CAST(1 AS BIGINT) AS pc1_ok, CAST(1 AS BIGINT) AS pc2_ok
+    FROM range(300) t(i)"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -6239,6 +6358,9 @@ SQL_QUERIES = {
     "q173_events_expectations": q173_events_expectations,
     "q174_logreg_planted": q174_logreg_planted,
     "q175_codec_roundtrip": q175_codec_roundtrip,
+    "q176_ivf_index_exact": q176_ivf_index_exact,
+    "q177_diverse_sample_planted": q177_diverse_sample_planted,
+    "q178_pca_planted": q178_pca_planted,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
