@@ -50,6 +50,14 @@ def _gram_hashes(tok_h: np.ndarray, k: int) -> np.ndarray:
     return acc
 
 
+def _group_arange(n: np.ndarray) -> np.ndarray:
+    """Concatenated ``[0..n_i)`` ranges, one per group — flat, no loop."""
+    total = int(n.sum())
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(np.concatenate([[0], np.cumsum(n)[:-1]]), n)
+    return out
+
+
 def winnow(tok_h: np.ndarray, k: int = 8, w: int = 8) -> np.ndarray:
     """Selected fingerprint VALUES for one document's token hashes:
     per-w-window minimum k-gram hash, deduplicated.  Shorter-than-k docs
@@ -66,37 +74,79 @@ def winnow(tok_h: np.ndarray, k: int = 8, w: int = 8) -> np.ndarray:
 
 class WinnowFingerprinter:
     """Batch kernel: (id, text) rows → per-doc-distinct (bh, id) winnowed
-    fingerprint rows.  Token split + hash are flat per batch; the rolling
-    min runs per doc on numpy slices (a doc is whole within its row, so
-    per-doc dedup here IS global per-doc dedup)."""
+    fingerprint rows.  FLAT across the whole batch — no per-doc Python:
+    one token split + one ``hash64``, one strided gram-hash accumulation
+    over the concatenated token stream, ONE ``sliding_window_view`` min
+    over the flat gram array, then a doc-id/fingerprint lexsort +
+    adjacent-diff for the per-doc dedup.  Grams and windows that would
+    cross a document boundary are dropped by slicing each doc's valid
+    range out of the flat result (vectorized repeat/arange index build).
+    A doc is whole within its row, so per-doc dedup here IS global
+    per-doc dedup.  Short docs (< k tokens, or < w windows) fall back to
+    the per-doc :func:`winnow` on just those rows — the guarantee's edge
+    cases, a vanishing fraction of a real corpus."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text",
                  k: int = 8, w: int = 8):
         self.id_col, self.text_col, self.k, self.w = id_col, text_col, k, w
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        k, w = self.k, self.w
         ids = df[self.id_col].to_numpy(dtype=np.int64)
         split = df[self.text_col].fillna("").astype(str).str.split()
         counts = split.str.len().to_numpy(dtype=np.int64)
         empty = pd.DataFrame({"bh": pd.Series([], dtype="int64"),
                               self.id_col: pd.Series([], dtype="int64"),
                               "n_fps": pd.Series([], dtype="int64")})
-        total = int(counts.sum())
-        if total == 0:
+        if int(counts.sum()) == 0:
             return empty
-        flat = hash64(split.explode().to_numpy(dtype=object))
+        tok_arr = split.explode().to_numpy(dtype=object)
+        if (counts == 0).any():
+            # pandas explode emits one NaN ROW per empty list — drop
+            # them or every later doc's flat offset shifts by one
+            tok_arr = tok_arr[np.repeat(counts > 0,
+                                        np.maximum(counts, 1))]
+        flat = hash64(tok_arr)
         offs = np.concatenate([[0], np.cumsum(counts)])
-        out_f, out_d = [], []
-        nfps = np.zeros(len(ids), dtype=np.int64)
-        for i in range(len(ids)):
-            fps = winnow(flat[offs[i]:offs[i + 1]], self.k, self.w)
-            nfps[i] = len(fps)
-            out_f.append(fps.view(np.int64))
-            out_d.append(np.full(len(fps), ids[i], dtype=np.int64))
-        return pd.DataFrame({"bh": np.concatenate(out_f),
-                             self.id_col: np.concatenate(out_d),
-                             "n_fps": np.repeat(nfps,
-                                                [len(f) for f in out_f])})
+
+        parts_f, parts_d = [], []
+
+        # vectorized main path: docs with >= k + w - 1 tokens have
+        # n_win = n_tok - k - w + 2 >= 1 full windows
+        n_win = counts - k - w + 2
+        big = n_win >= 1
+        if big.any():
+            g = _gram_hashes(flat, k)        # flat; boundary grams junk
+            win = np.lib.stride_tricks.sliding_window_view(g, w)
+            mins = win.min(axis=1)           # flat window minima
+            # valid window positions for doc i: [offs[i], offs[i]+n_win[i])
+            nw = n_win[big]
+            starts = offs[:-1][big]
+            idx = np.repeat(starts, nw) + _group_arange(nw)
+            doc_ix = np.repeat(np.flatnonzero(big), nw)
+            fp = mins[idx]
+            order = np.lexsort((fp, doc_ix))
+            doc_ix, fp = doc_ix[order], fp[order]
+            keep = np.ones(len(fp), dtype=bool)
+            keep[1:] = (doc_ix[1:] != doc_ix[:-1]) | (fp[1:] != fp[:-1])
+            parts_d.append(ids[doc_ix[keep]])
+            parts_f.append(fp[keep].view(np.int64))
+
+        # edge cases per doc (rare): shorter than one full window
+        for i in np.flatnonzero(~big & (counts > 0)):
+            fps = winnow(flat[offs[i]:offs[i + 1]], k, w)
+            parts_f.append(fps.view(np.int64))
+            parts_d.append(np.full(len(fps), ids[i], dtype=np.int64))
+
+        if not parts_f:
+            return empty
+        bh = np.concatenate(parts_f)
+        did = np.concatenate(parts_d)
+        # n_fps per output row = its doc's distinct-fingerprint count
+        ud, inv, cnt = np.unique(did, return_inverse=True,
+                                 return_counts=True)
+        return pd.DataFrame({"bh": bh, self.id_col: did,
+                             "n_fps": cnt[inv]})
 
 
 def duplicate_span_stats(ds: rd.Dataset, id_col: str = "doc_id",

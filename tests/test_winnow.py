@@ -109,3 +109,29 @@ def test_fingerprinter_batch_matches_scalar():
         expect = winnow(th(words), K, W).view(np.int64)
         assert set(grp["bh"]) == set(expect.tolist())
         assert (grp["n_fps"] == len(expect)).all()
+
+
+def test_flat_kernel_parity_random_and_empty_docs():
+    """The flat batch kernel must equal the per-doc reference on a mixed
+    batch: random lengths 0..40 (spanning empty, < k, == window-edge and
+    full-window docs).  Regression for the explode-offset bug: pandas
+    explode emits one NaN ROW per empty token list, which shifted every
+    later doc's flat slice by one."""
+    import pandas as pd
+    from driftray.sketches import hash64
+
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"t{v}" for v in rng.integers(0, 300, int(n)))
+             for n in rng.integers(0, 40, 300)]
+    texts[10] = ""                       # explicit empties mid-batch
+    texts[11] = "   "
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    rows = WinnowFingerprinter()(df)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        ref = (winnow(hash64(np.array(toks, dtype=object)))
+               if toks else np.array([], dtype=np.uint64))
+        got = np.sort(rows[rows.doc_id == i]["bh"]
+                      .to_numpy().view(np.uint64))
+        assert np.array_equal(np.sort(ref), got), f"doc {i}"
