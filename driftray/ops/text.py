@@ -769,18 +769,22 @@ def bm25_scores(ds, query: str, id_col: str = "doc_id",
         score, batch_format="pandas")
 
 
-_BG_SEP = "\x00"
+# ':' (no digit is ':') — NOT NUL: numpy silently coerces a "\x00"
+# python-str scalar to a U-dtype scalar whose trailing NULs are padding,
+# so object-array + "\x00" concatenation DROPS the separator (r5 gotcha)
+_BG_SEP = ":"
 
 
 def _bigram_key(a: str, b: str) -> str:
-    """Injective (w1, w2) → string key: ``"<len(w1)>\\x00<w1><w2>"``.
+    """Injective (w1, w2) → string key: ``"<len(w1)>:<w1><w2>"``.
 
     A bare ``w1 + sep + w2`` join is ambiguous for ANY separator because
     single-space-split tokens can contain arbitrary bytes (including the
-    separator itself — e.g. NUL): tokens ``('a\\x00b', 'c')`` and
-    ``('a', 'b\\x00c')`` would share a key and merge their corpus counts.
-    The decimal length prefix ends at the key's FIRST NUL (digits contain
-    none), so the decomposition — and therefore the key — is unique."""
+    separator itself): tokens ``('a:b', 'c')`` and ``('a', 'b:c')``
+    would share a key and merge their corpus counts.  The decimal length
+    prefix ends at the key's FIRST ``:`` (digits contain none), so the
+    decomposition — and therefore the key — is unique even when the
+    tokens themselves contain ``:``."""
     return f"{len(a)}{_BG_SEP}{a}{b}"
 
 
@@ -836,9 +840,20 @@ def bigram_lm_scores(ds, id_col: str = "doc_id", text_col: str = "text",
             "key": pa.array(np.concatenate(keys), pa.string()),
             "n": pa.array(np.concatenate(counts).astype(np.int64))})
 
-    counts = (ds.map_batches(partial_counts, batch_format="pandas")
-              .groupby(["kind", "key"]).sum("n").to_pandas())
-    counts = counts.rename(columns={"sum(n)": "n"})
+    # PART_COL hash exchange + arrow in-partition sum instead of a
+    # sort-based groupby over the (wide string) key column — the same
+    # swap that took distinct() 8x faster (ROUND_NOTES r5)
+    from .grouped import partitioned_group_apply
+
+    def key_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by(["kind", "key"]).aggregate([("n", "sum")])
+        return pa.table({"kind": g["kind"], "key": g["key"],
+                         "n": g["n_sum"]})
+
+    counts = partitioned_group_apply(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        ["kind", "key"], key_sum, num_partitions=32,
+        batch_format="pyarrow").to_pandas()
     uni = counts[counts["kind"] == 0]
     big = counts[counts["kind"] == 1]
     if max_bigrams is not None and len(big) > max_bigrams:
