@@ -223,11 +223,42 @@ def filter_cross_duplicates(ds: rd.Dataset, id_col: str = "doc_id",
                             k: int = 8, w: int = 8,
                             batch_size: int = 2048) -> rd.Dataset:
     """Drop documents whose winnowed shared-fingerprint fraction exceeds
-    ``max_shared_frac`` — keep the rest with their stats attached.  The
-    stats table (5 small columns/doc) joins back by hash; document text
-    crosses the join once, the standard attach shape."""
-    stats = duplicate_span_stats(ds, id_col, text_col, k, w, batch_size)
-    keep = stats.filter(
-        expr=f"shared_frac <= {max_shared_frac!r}")
-    return ds.join(keep.select_columns([id_col, "shared_frac"]),
-                   join_type="inner", on=(id_col,), num_partitions=16)
+    ``max_shared_frac`` — keep the rest with ``shared_frac`` attached.
+
+    JOIN-FREE: a doc is whole within its batch row, so the per-doc
+    shared fraction is computable INSIDE the filter pass itself — one
+    fingerprint exchange (for the duplicated-fp set), then one streaming
+    map that fingerprints, scores and filters each batch in place.  The
+    document text never crosses an exchange."""
+    from .pool import actor_pool
+
+    fp_ds = (ds.select_columns([id_col, text_col]).map_batches(
+        WinnowFingerprinter, fn_constructor_args=(id_col, text_col, k, w),
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=actor_pool()))
+    from .dedup import _dup_bucket_keys
+
+    ref = ray.put(frozenset(_dup_bucket_keys(fp_ds)))
+
+    class ScoreAndFilter:
+        def __init__(self):
+            self.dup = ray.get(ref)
+            self.fp = WinnowFingerprinter(id_col, text_col, k, w)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            rows = self.fp(batch[[id_col, text_col]])
+            shared = rows["bh"].isin(self.dup).to_numpy(dtype=np.int64)
+            g = (pd.DataFrame({id_col: rows[id_col].to_numpy(),
+                               "n": rows["n_fps"].to_numpy(),
+                               "s": shared})
+                 .groupby(id_col, sort=False)
+                 .agg(n=("n", "first"), s=("s", "sum")))
+            frac = (batch[id_col].map(g["s"] / g["n"].clip(lower=1))
+                    .fillna(0.0))
+            out = batch[frac <= max_shared_frac].copy()
+            out["shared_frac"] = frac[frac <= max_shared_frac]
+            return out
+
+    return ds.map_batches(ScoreAndFilter, batch_format="pandas",
+                          batch_size=batch_size,
+                          concurrency=actor_pool())
