@@ -75,7 +75,10 @@ def parquet_zone_map(paths: list[str], col: str) -> rd.Dataset:
 
 def pruned_read(paths: list[str], col: str, lo, hi,
                 columns: list[str] | None = None,
-                exact: bool = True) -> rd.Dataset:
+                exact: bool = True,
+                zone_map: "pd.DataFrame | None" = None,
+                value_set=None,
+                concurrency: int | None = None) -> rd.Dataset:
     """Range scan ``lo <= col <= hi`` that schedules read tasks ONLY for
     row groups whose footer [vmin, vmax] overlaps the predicate.
 
@@ -87,10 +90,19 @@ def pruned_read(paths: list[str], col: str, lo, hi,
     *possible* overlap, not row-level membership).  Statistics-less row
     groups are conservatively kept.
 
+    ``zone_map`` accepts a precomputed ``parquet_zone_map(...).to_pandas()``
+    frame so a caller issuing many pruned reads over the same directory
+    (run_validation's chunked window passes) walks the footers once.
+    ``value_set`` narrows ``exact`` filtering to an explicit member list
+    (e.g. a non-contiguous pending-window chunk inside [lo, hi]);
+    ``concurrency`` caps the read tasks (parquet decode is
+    memory-bandwidth-bound — see bench.py DECODE_CAP).
+
     The unpruned fallback is exactly ``read_parquet(filter=...)``; this
     op exists to make the pruning observable (q118's test asserts
     non-overlapping row groups are never opened)."""
-    zm = parquet_zone_map(paths, col).to_pandas()
+    zm = (parquet_zone_map(paths, col).to_pandas()
+          if zone_map is None else zone_map)
     keep = zm["vmin"].isna() | ~((zm["vmax"] < lo) | (zm["vmin"] > hi))
     tasks = zm.loc[keep, ["file", "row_group"]]
     if len(tasks) == 0:
@@ -100,6 +112,7 @@ def pruned_read(paths: list[str], col: str, lo, hi,
         return rd.from_arrow(schema.empty_table())
     items = [{"file": f, "row_group": int(g)}
              for f, g in tasks.itertuples(index=False)]
+    members = list(value_set) if value_set is not None else None
 
     def read_groups(t: pa.Table) -> pa.Table:
         parts = []
@@ -113,8 +126,11 @@ def pruned_read(paths: list[str], col: str, lo, hi,
                     full = pq.ParquetFile(f).read_row_group(g,
                                                             columns=[col])
                     v = full[col]
-                mask = pc.and_(pc.greater_equal(v, lo),
-                               pc.less_equal(v, hi))
+                if members is not None:
+                    mask = pc.is_in(v, value_set=pa.array(members))
+                else:
+                    mask = pc.and_(pc.greater_equal(v, lo),
+                                   pc.less_equal(v, hi))
                 tbl = tbl.filter(pc.fill_null(mask, False))
             parts.append(tbl)
         return pa.concat_tables(parts)
@@ -123,4 +139,4 @@ def pruned_read(paths: list[str], col: str, lo, hi,
     # parquet-native parallel grain
     return (rd.from_items(items, override_num_blocks=len(items))
             .map_batches(read_groups, batch_format="pyarrow",
-                         batch_size=1))
+                         batch_size=1, concurrency=concurrency))
