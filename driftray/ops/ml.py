@@ -60,6 +60,8 @@ def logistic_fit(ds: rd.Dataset, x_cols: list[str], y_col: str,
 
     if standardize:
         st = proj.map_batches(stats_partial, batch_format="pandas").to_pandas()
+        st = st.sort_values(list(st.columns),
+                            ignore_index=True, kind="mergesort")  # see below
         n = float(st["n"].sum())
         mean = np.array([st[f"s{j}"].sum() / n for j in range(d)])
         var = np.array([st[f"q{j}"].sum() / n - mean[j] ** 2 for j in range(d)])
@@ -91,6 +93,11 @@ def logistic_fit(ds: rd.Dataset, x_cols: list[str], y_col: str,
             }])
 
         parts = proj.map_batches(grad_partial, batch_format="pandas").to_pandas()
+        # Ray does not guarantee block arrival order (preserve_order is
+        # off); sort the per-block partials before the float reduce so
+        # repeated fits produce bit-identical weights
+        parts = parts.sort_values(list(parts.columns),
+                                  ignore_index=True, kind="mergesort")
         n_total = int(parts["n"].sum())
         g = np.array([parts[f"g{j}"].sum() for j in range(d + 1)]) / n_total
         g[1:] += l2 * w[1:]
