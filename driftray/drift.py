@@ -349,3 +349,108 @@ def wasserstein_from_hist(ref: "Histogram", cur: "Histogram") -> float:
     widths = np.diff(ref.edges)
     cdf_gap = np.abs(np.cumsum(p) - np.cumsum(q))
     return float(np.sum(cdf_gap * widths))
+
+
+def ks_exact_distributed(ds, value_col: str, a_col: str, b_col: str):
+    """FULLY-exact two-sample KS statistic over a Dataset — no binning
+    (q146's quantization) and no t-digest tolerance band: the statistic
+    is evaluated at every distinct value, exactly as :func:`ks_2sample`
+    does on raw arrays, but distributed.
+
+    ``ds`` carries the numeric ``value_col`` plus two 0/1 integer tag
+    columns (``a_col`` = row belongs to sample A, ``b_col`` = sample B;
+    a row may belong to neither).  NaN values are dropped, matching the
+    SQL ``value IS NOT NULL`` convention.
+
+    Scale shape (the reason this isn't just ``sort + searchsorted``):
+
+    1. per-batch combiner — ``np.unique`` + ``bincount`` folds each
+       batch to (value, ca, cb) partial counts before any exchange;
+    2. ONE hash exchange: ``groupby(value).sum`` → the distinct-value
+       table (≤ corpus rows, usually far less);
+    3. ONE range exchange: ``sort(value)`` → disjoint ordered blocks,
+       pinned so the two scan passes below don't re-execute it;
+    4. zone pass — one (vmin, Σca, Σcb) row PER BLOCK to the driver
+       (∝ block count, never ∝ rows) → exclusive block offsets,
+       broadcast once via ``ray.put``;
+    5. gap pass — each block computes its local cumsums + offset and
+       returns ONE row: max |cumA·n_b − cumB·n_a| (an exact int64).
+
+    Returns ``{"n_a", "n_b", "d_num", "d"}`` with
+    ``d = d_num / (n_a·n_b)`` — the numerator is an exact integer, so
+    the statistic hash-checks bit-for-bit against a SQL window oracle
+    (DuckDB promotes the windowed sums to HUGEINT; we guard the int64
+    range loudly instead)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = ~np.isnan(v)
+        v, a, b = v[ok], a[ok], b[ok]
+        uv, inv = np.unique(v, return_inverse=True)
+        # bincount-with-weights returns float64; counts are far below
+        # 2**53 per batch so the round-trip is exact
+        ca = np.bincount(inv, weights=a, minlength=uv.size).astype(np.int64)
+        cb = np.bincount(inv, weights=b, minlength=uv.size).astype(np.int64)
+        keep = (ca > 0) | (cb > 0)
+        return pa.table({"v": pa.array(uv[keep]),
+                         "ca": pa.array(ca[keep]),
+                         "cb": pa.array(cb[keep])})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("v").aggregate(Sum("ca"), Sum("cb"))
+         .map_batches(lambda t: t.rename_columns(["v", "ca", "cb"]),
+                      batch_format="pyarrow")
+         .sort("v")
+         .materialize())   # pin: two scan passes follow (distinct-value
+                           # table only — object store, not driver)
+
+    def zone(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return pa.table({"vmin": pa.array([], pa.float64()),
+                             "sa": pa.array([], pa.int64()),
+                             "sb": pa.array([], pa.int64())})
+        return pa.table({
+            "vmin": pa.array([t["v"][0].as_py()], pa.float64()),
+            "sa": pa.array([pc.sum(t["ca"]).as_py()], pa.int64()),
+            "sb": pa.array([pc.sum(t["cb"]).as_py()], pa.int64())})
+
+    # batch_size=None ⇒ one batch per block; rows returned ∝ #blocks
+    zones = g.map_batches(zone, batch_size=None,
+                          batch_format="pyarrow").take_all()
+    zones.sort(key=lambda r: r["vmin"])
+    n_a = int(sum(r["sa"] for r in zones))
+    n_b = int(sum(r["sb"] for r in zones))
+    if n_a == 0 or n_b == 0:
+        return {"n_a": n_a, "n_b": n_b, "d_num": 0, "d": float("nan")}
+    if n_a * n_b >= 2 ** 62:
+        raise OverflowError(
+            f"ks_exact_distributed gap numerator n_a*n_b = {n_a}*{n_b} "
+            "exceeds the exact-int64 range; sample one side or use "
+            "ks_from_hist (quantized-exact) at this scale")
+    offs, ca_off, cb_off = {}, 0, 0
+    for r in zones:
+        offs[r["vmin"]] = (ca_off, cb_off)
+        ca_off += int(r["sa"])
+        cb_off += int(r["sb"])
+    offs_ref = ray.put(offs)
+
+    def gap(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return pa.table({"g": pa.array([], pa.int64())})
+        oa, ob = ray.get(offs_ref)[t["v"][0].as_py()]
+        ca = oa + np.cumsum(t["ca"].to_numpy())
+        cb = ob + np.cumsum(t["cb"].to_numpy())
+        m = int(np.abs(ca * n_b - cb * n_a).max())
+        return pa.table({"g": pa.array([m], pa.int64())})
+
+    d_num = max(int(r["g"]) for r in
+                g.map_batches(gap, batch_size=None,
+                              batch_format="pyarrow").take_all())
+    return {"n_a": n_a, "n_b": n_b, "d_num": d_num,
+            "d": d_num / (n_a * n_b)}

@@ -5823,6 +5823,32 @@ def q178_pca_planted(sf_dir: str):
         "pc2_ok": (np.abs(np.abs(P[:, 1]) - exp2) < 1e-6).astype(np.int64)})
 
 
+def q179_ks_exact(sf_dir: str):
+    """FULLY-exact two-sample KS over events.value, click vs view
+    (`drift.ks_exact_distributed`): one hash exchange to the
+    distinct-value table, one range exchange, then zone/gap block scans
+    — no binning, no digest tolerance.  The driver hashes the exact
+    integer numerator max |cumA·n_b − cumB·n_a| (D = d_num/(n_a·n_b)),
+    so the whole distributed CDF algebra must be bit-correct.  Closes
+    the 'exact KS only at sample scale' gap (VERDICT r4 §missing #4);
+    q146 remains the histogram-quantized scale path."""
+    from ..drift import ks_exact_distributed
+
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        return pa.table({
+            "value": t["value"],
+            "a": pc.cast(pc.equal(et, "click"), pa.int64()),
+            "b": pc.cast(pc.equal(et, "view"), pa.int64())})
+
+    r = ks_exact_distributed(ev.map_batches(tag, batch_format="pyarrow"),
+                             "value", "a", "b")
+    return pd.DataFrame({"n_a": [r["n_a"]], "n_b": [r["n_b"]],
+                         "d_num": [r["d_num"]]})
+
+
 def q169_winnow_planted(sf_dir: str):
     """Cross-document duplicate-SPAN detection
     (`ops/winnow.duplicate_span_stats`, the MOSS winnowing algorithm)
@@ -6169,6 +6195,26 @@ ORACLE_SQL["q178_pca_planted"] = """
            CAST(1 AS BIGINT) AS pc1_ok, CAST(1 AS BIGINT) AS pc2_ok
     FROM range(300) t(i)"""
 
+# Exact two-sample KS: the statistic's numerator max |cumA*n_b - cumB*n_a|
+# is an exact integer (windowed SUMs promote to HUGEINT in DuckDB — cast).
+ORACLE_SQL["q179_ks_exact"] = """
+    WITH v AS (SELECT value,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                          AS ca,
+                      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                          AS cb
+               FROM events WHERE value IS NOT NULL
+               GROUP BY value
+               HAVING ca > 0 OR cb > 0),
+         t AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM v),
+         c AS (SELECT SUM(ca) OVER (ORDER BY value) AS cum_a,
+                      SUM(cb) OVER (ORDER BY value) AS cum_b
+               FROM v)
+    SELECT CAST(t.n_a AS BIGINT) AS n_a,
+           CAST(t.n_b AS BIGINT) AS n_b,
+           CAST(MAX(ABS(cum_a * t.n_b - cum_b * t.n_a)) AS BIGINT) AS d_num
+    FROM c, t GROUP BY t.n_a, t.n_b"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -6361,6 +6407,7 @@ SQL_QUERIES = {
     "q176_ivf_index_exact": q176_ivf_index_exact,
     "q177_diverse_sample_planted": q177_diverse_sample_planted,
     "q178_pca_planted": q178_pca_planted,
+    "q179_ks_exact": q179_ks_exact,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with

@@ -271,3 +271,41 @@ class TestKsFromHist:
         h2 = Histogram.from_edges(np.linspace(0, 2, 5))
         with pytest.raises(ValueError, match="identical bin edges"):
             ks_from_hist(h1, h2)
+
+
+class TestKsExactDistributed:
+    """ks_exact_distributed vs the in-memory exact ks_2sample."""
+
+    def _run(self, a, b, ray_session, nblocks=4):
+        import pandas as pd
+        import ray.data as rd
+
+        from driftray.drift import ks_exact_distributed
+
+        df = pd.DataFrame({
+            "value": np.concatenate([a, b]),
+            "a": np.r_[np.ones(len(a), np.int64), np.zeros(len(b), np.int64)],
+            "b": np.r_[np.zeros(len(a), np.int64), np.ones(len(b), np.int64)],
+        }).sample(frac=1.0, random_state=7)   # shuffle: order-insensitive
+        ds = rd.from_pandas(df).repartition(nblocks)
+        return ks_exact_distributed(ds, "value", "a", "b")
+
+    def test_matches_exact_with_ties(self, ray_session):
+        r = rng
+        a = np.round(r.normal(0.0, 1.0, 600), 1)       # rounding ⇒ ties
+        b = np.round(r.normal(0.4, 1.2, 450), 1)
+        got = self._run(a, b, ray_session)
+        exact, _ = ks_2sample(a, b)
+        assert got["n_a"] == 600 and got["n_b"] == 450
+        assert abs(got["d"] - exact) < 1e-12
+        # the numerator is the exact integer form of the same statistic
+        assert got["d_num"] == round(exact * 600 * 450)
+
+    def test_nan_dropped_and_identical_zero(self, ray_session):
+        a = np.array([1.0, 2.0, np.nan, 3.0])
+        got = self._run(a, a.copy(), ray_session, nblocks=2)
+        assert got == {"n_a": 3, "n_b": 3, "d_num": 0, "d": 0.0}
+
+    def test_empty_side_nan(self, ray_session):
+        got = self._run(np.array([1.0, 2.0]), np.array([]), ray_session)
+        assert got["n_b"] == 0 and np.isnan(got["d"])
