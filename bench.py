@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "q125_pagerank",            # iterative PageRank (2 power rounds)
     "q131_rolling_anomalies",   # trailing-window z-score outliers
     "q134_documents_profile",   # whole-table auto-profiler (one pass)
+    "q150_bigram_lm",           # bigram-LM fluency scoring (r5)
+    "q151_dup_ngram_stats",     # per-doc duplicate n-gram fraction (r5)
+    "q179_ks_exact",            # fully-exact distributed two-sample KS (r5)
 ]
 
 

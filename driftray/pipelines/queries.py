@@ -5823,6 +5823,35 @@ def q178_pca_planted(sf_dir: str):
         "pc2_ok": (np.abs(np.abs(P[:, 1]) - exp2) < 1e-6).astype(np.int64)})
 
 
+def q180_kmeans_planted(sf_dir: str):
+    """Distributed Lloyd k-means (`ops/embedding.kmeans_fit`: one
+    streaming pass per iteration — per-batch argmin + k×(d+1) scatter
+    partials, driver merge, broadcast centroids) over a planted mixture
+    of k WELL-SEPARATED blobs (centers 40·eᵢ apart, σ=0.05 — separation
+    ≫ spread, so the global optimum is the planted partition and Lloyd
+    converges to it from the seeded init).  The hashed claim is
+    label-permutation-invariant: the recovered clustering equals the
+    planted partition as a PARTITION (one distinct label per blob,
+    every blob internally uniform)."""
+    from ..ops.embedding import kmeans_assign, kmeans_fit
+
+    k, per_blob, d = 8, 60, 12
+    rng = np.random.default_rng(53)
+    blob = np.repeat(np.arange(k), per_blob)
+    X = 40.0 * np.eye(k, d)[blob] + rng.normal(0, 0.05, (k * per_blob, d))
+    n = k * per_blob
+    edf = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                        "embedding": [v for v in X]})
+    centers, _, _ = kmeans_fit(rd.from_pandas(edf), n_clusters=k, seed=5)
+    lab = (kmeans_assign(rd.from_pandas(edf), centers).to_pandas()
+           .sort_values("vec_id")["cluster"].to_numpy())
+    ct = pd.crosstab(blob, lab).to_numpy()
+    exact = (int((ct > 0).sum()) == k
+             and (ct.max(axis=1) == per_blob).all())
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                         "part_ok": np.full(n, int(exact), np.int64)})
+
+
 def q179_ks_exact(sf_dir: str):
     """FULLY-exact two-sample KS over events.value, click vs view
     (`drift.ks_exact_distributed`): one hash exchange to the
@@ -6215,6 +6244,10 @@ ORACLE_SQL["q179_ks_exact"] = """
            CAST(MAX(ABS(cum_a * t.n_b - cum_b * t.n_a)) AS BIGINT) AS d_num
     FROM c, t GROUP BY t.n_a, t.n_b"""
 
+ORACLE_SQL["q180_kmeans_planted"] = """
+    SELECT CAST(i AS BIGINT) AS vec_id, CAST(1 AS BIGINT) AS part_ok
+    FROM range(480) t(i)"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -6408,6 +6441,7 @@ SQL_QUERIES = {
     "q177_diverse_sample_planted": q177_diverse_sample_planted,
     "q178_pca_planted": q178_pca_planted,
     "q179_ks_exact": q179_ks_exact,
+    "q180_kmeans_planted": q180_kmeans_planted,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
