@@ -5852,6 +5852,32 @@ def q180_kmeans_planted(sf_dir: str):
                          "part_ok": np.full(n, int(exact), np.int64)})
 
 
+def q181_digest_median_band(sf_dir: str):
+    """T-digest grouped median (`ops/grouped.grouped_quantile_digest` —
+    the 100 TB quantile path: KB-scale digest partials per key, no
+    worker ever holds a group's raw column) hash-attested via the q31
+    ±band pattern: the exact per-lang median rides along from the
+    exact kernel and the digest must land within 2% of it (documents
+    n_chars is unimodal and smooth, where t-digest's midpoint
+    interpolation error is far below 2%)."""
+    from ..ops.grouped import grouped_quantile, grouped_quantile_digest
+
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+    exact = (grouped_quantile(ds, ["lang"], "n_chars", q=0.5,
+                              out_col="median_chars", num_partitions=16)
+             .to_pandas().sort_values("lang", ignore_index=True))
+    dig = (grouped_quantile_digest(ds, ["lang"], "n_chars", q=0.5,
+                                   out_col="dig", num_partitions=8)
+           .to_pandas().sort_values("lang", ignore_index=True))
+    if not (exact["lang"].to_numpy() == dig["lang"].to_numpy()).all():
+        raise AssertionError("lang key sets differ between paths")
+    e, d = exact["median_chars"].to_numpy(), dig["dig"].to_numpy()
+    return pd.DataFrame({
+        "lang": exact["lang"],
+        "median_chars": e,
+        "within_2pct": np.abs(d - e) <= 0.02 * np.abs(e)})
+
+
 def q179_ks_exact(sf_dir: str):
     """FULLY-exact two-sample KS over events.value, click vs view
     (`drift.ks_exact_distributed`): one hash exchange to the
@@ -6248,6 +6274,10 @@ ORACLE_SQL["q180_kmeans_planted"] = """
     SELECT CAST(i AS BIGINT) AS vec_id, CAST(1 AS BIGINT) AS part_ok
     FROM range(480) t(i)"""
 
+ORACLE_SQL["q181_digest_median_band"] = """
+    SELECT lang, MEDIAN(n_chars) AS median_chars, TRUE AS within_2pct
+    FROM documents GROUP BY lang"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -6442,6 +6472,7 @@ SQL_QUERIES = {
     "q178_pca_planted": q178_pca_planted,
     "q179_ks_exact": q179_ks_exact,
     "q180_kmeans_planted": q180_kmeans_planted,
+    "q181_digest_median_band": q181_digest_median_band,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
