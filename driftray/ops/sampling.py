@@ -229,3 +229,97 @@ def diverse_sample(ds: rd.Dataset, id_col: str, vec_col: str,
     return stratified_sample_n(keep, "ivf_cluster", id_col,
                                n_per_cluster, seed=seed,
                                columns=out_cols)
+
+
+def negative_pairs(ds: rd.Dataset, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 4, seed: int = 42,
+                   num_partitions: int | None = None) -> rd.Dataset:
+    """Deterministic contrastive NEGATIVE sampling — for every anchor
+    row, ``k`` pseudo-random partner rows plus the anchor-partner cosine
+    (the negative-pair mining step of contrastive embedding training,
+    where negatives must be reproducible across re-runs/resumes and
+    verifiable — so the pick is the md5 unit-hash convention above, not
+    an RNG): partner ``j`` of anchor ``a`` is
+    ``u32(md5(f"{seed}:{a}:{j}")) % N``, remapped to ``(raw+1) % N``
+    when it lands on ``a`` itself.  A SQL oracle recomputes identical
+    picks (q182).
+
+    Requires ids dense ``0..N-1`` (validated via one count/min/max
+    aggregate — O(1) driver state).  Distributed shape: anchors explode
+    to ``k`` pair rows carrying the anchor vector PACKED AS BINARY
+    (tensor-extension columns do not survive exchanges — ROUND_NOTES r4),
+    partner vectors attach via ONE ``hash_shuffle_join`` on the partner
+    id, cosine is a vectorized float64 kernel per joined batch (rounded
+    4dp, the q15/q153 convention).  Cost: one exchange shipping
+    k·N·d·8 bytes of anchor vectors + the partner side — ∝ output size,
+    nothing driver-side.
+
+    Returns ``(id_col, neg_rank, neg_id, cos_sim)``, k rows per anchor."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max, Min
+
+    from .relational import hash_shuffle_join
+
+    agg = ds.aggregate(Count(), Min(id_col), Max(id_col))
+    n = int(agg["count()"])
+    if n < 2:
+        raise ValueError("negative_pairs needs >= 2 rows")
+    if int(agg[f"min({id_col})"]) != 0 or int(agg[f"max({id_col})"]) != n - 1:
+        raise ValueError(
+            f"{id_col} must be dense 0..N-1 (got min="
+            f"{agg[f'min({id_col})']}, max={agg[f'max({id_col})']}, N={n})")
+
+    def explode(batch: pd.DataFrame) -> pa.Table:
+        a = batch[id_col].to_numpy(np.int64)
+        vb = [np.asarray(v, dtype=np.float64).tobytes()
+              for v in batch[vec_col].to_numpy()]
+        anchors, ranks, negs, avecs = [], [], [], []
+        for i, aid in enumerate(a):
+            for j in range(k):
+                h = hashlib.md5(f"{seed}:{aid}:{j}".encode()).hexdigest()
+                raw = int(h[:8], 16) % n
+                negs.append((raw + 1) % n if raw == aid else raw)
+                anchors.append(aid)
+                ranks.append(j)
+                avecs.append(vb[i])
+        return pa.table({
+            id_col: pa.array(anchors, pa.int64()),
+            "neg_rank": pa.array(ranks, pa.int64()),
+            "neg_id": pa.array(negs, pa.int64()),
+            "a_vec": pa.array(avecs, pa.binary())})
+
+    pairs = ds.select_columns([id_col, vec_col]).map_batches(
+        explode, batch_format="pandas")
+
+    def pack_right(batch: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "neg_id": pa.array(batch[id_col].to_numpy(np.int64)),
+            "n_vec": pa.array([np.asarray(v, dtype=np.float64).tobytes()
+                               for v in batch[vec_col].to_numpy()],
+                              pa.binary())})
+
+    right = ds.select_columns([id_col, vec_col]).map_batches(
+        pack_right, batch_format="pandas")
+    joined = hash_shuffle_join(pairs, right, on=["neg_id"],
+                               num_partitions=num_partitions)
+
+    def cos(batch: pd.DataFrame) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "neg_rank": pa.array([], pa.int64()),
+                             "neg_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        A = np.stack([np.frombuffer(b, dtype=np.float64)
+                      for b in batch["a_vec"]])
+        B = np.stack([np.frombuffer(b, dtype=np.float64)
+                      for b in batch["n_vec"]])
+        num = (A * B).sum(axis=1)
+        den = np.maximum(np.linalg.norm(A, axis=1)
+                         * np.linalg.norm(B, axis=1), 1e-12)
+        return pa.table({
+            id_col: pa.array(batch[id_col].to_numpy(np.int64)),
+            "neg_rank": pa.array(batch["neg_rank"].to_numpy(np.int64)),
+            "neg_id": pa.array(batch["neg_id"].to_numpy(np.int64)),
+            "cos_sim": pa.array(np.round(num / den, 4))})
+
+    return joined.map_batches(cos, batch_format="pandas")

@@ -5852,6 +5852,19 @@ def q180_kmeans_planted(sf_dir: str):
                          "part_ok": np.full(n, int(exact), np.int64)})
 
 
+def q182_negative_pairs(sf_dir: str):
+    """Deterministic contrastive negative sampling
+    (`ops/sampling.negative_pairs`): 3 md5-picked partners per anchor
+    (self remaps to raw+1 mod N), partner vectors attached via one
+    hash_shuffle_join, float64 cosine rounded 4dp — the oracle
+    recomputes the identical md5 picks and cosines in DuckDB."""
+    from ..ops.sampling import negative_pairs
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = negative_pairs(emb, k=3, seed=42).to_pandas()
+    return out.sort_values(["vec_id", "neg_rank"], ignore_index=True)
+
+
 def q181_digest_median_band(sf_dir: str):
     """T-digest grouped median (`ops/grouped.grouped_quantile_digest` —
     the 100 TB quantile path: KB-scale digest partials per key, no
@@ -6288,6 +6301,26 @@ ORACLE_SQL["q97_temperature_mix"] = ORACLE_SQL["q97_temperature_mix"].replace(
 ORACLE_SQL["q102_corpus_shuffle"] = ORACLE_SQL["q102_corpus_shuffle"].replace(
     "{U32}", _U32_EXPR)
 
+# q182: recompute negative_pairs' md5 partner picks + cosines in SQL.
+ORACLE_SQL["q182_negative_pairs"] = """
+    WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         p AS (SELECT e.vec_id AS a, j.j,
+                      substr(md5('42:' || CAST(e.vec_id AS VARCHAR) || ':'
+                             || CAST(j.j AS VARCHAR)), 1, 8) AS hh
+               FROM embeddings e CROSS JOIN range(3) j(j)),
+         q AS (SELECT a, j, ({U32}) % nn.n AS raw FROM p, nn),
+         r AS (SELECT a, j,
+                      CASE WHEN raw = a THEN (raw + 1) % nn.n
+                           ELSE raw END AS neg
+               FROM q, nn)
+    SELECT r.a AS vec_id, CAST(r.j AS BIGINT) AS neg_rank,
+           CAST(r.neg AS BIGINT) AS neg_id,
+           ROUND(CAST(list_cosine_similarity(ea.embedding, en.embedding)
+                      AS DOUBLE), 4) AS cos_sim
+    FROM r JOIN embeddings ea ON ea.vec_id = r.a
+           JOIN embeddings en ON en.vec_id = r.neg""".replace(
+    "{U32}", _U32_EXPR)
+
 from ..ops.sampling import fraction_to_hex as _f2h  # noqa: E402
 
 ORACLE_SQL["q78_epoch_mixing"] = ORACLE_SQL["q78_epoch_mixing"].format(
@@ -6473,6 +6506,7 @@ SQL_QUERIES = {
     "q179_ks_exact": q179_ks_exact,
     "q180_kmeans_planted": q180_kmeans_planted,
     "q181_digest_median_band": q181_digest_median_band,
+    "q182_negative_pairs": q182_negative_pairs,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with

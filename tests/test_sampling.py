@@ -174,3 +174,52 @@ class TestAdaptiveSpillThreshold:
         monkeypatch.setattr(dd, "_available_memory_bytes",
                             lambda: 64 << 20)         # 64 MiB
         assert dd._resolve_spill_threshold(None) == dd._SPILL_FLOOR
+
+
+class TestNegativePairs:
+    def _emb(self, n=40, d=8, seed=3):
+        rng = np.random.default_rng(seed)
+        return pd.DataFrame({
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v for v in rng.normal(size=(n, d))]})
+
+    def test_shape_determinism_no_self(self, ray_session):
+        import ray.data as rd
+
+        from driftray.ops.sampling import negative_pairs
+
+        df = self._emb()
+        out = (negative_pairs(rd.from_pandas(df).repartition(4), k=3,
+                              seed=11).to_pandas()
+               .sort_values(["vec_id", "neg_rank"], ignore_index=True))
+        assert len(out) == 40 * 3
+        assert (out.groupby("vec_id").size() == 3).all()
+        assert (out["vec_id"] != out["neg_id"]).all()
+        out2 = (negative_pairs(rd.from_pandas(df), k=3, seed=11)
+                .to_pandas()
+                .sort_values(["vec_id", "neg_rank"], ignore_index=True))
+        pd.testing.assert_frame_equal(out, out2)
+
+    def test_cosine_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        from driftray.ops.sampling import negative_pairs
+
+        df = self._emb(n=20)
+        X = np.stack(df["embedding"].to_numpy())
+        out = negative_pairs(rd.from_pandas(df), k=2, seed=5).to_pandas()
+        for _, r in out.iterrows():
+            a, b = X[int(r["vec_id"])], X[int(r["neg_id"])]
+            exp = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(r["cos_sim"] - round(exp, 4)) < 1e-12
+
+    def test_rejects_sparse_ids(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from driftray.ops.sampling import negative_pairs
+
+        df = self._emb(n=10)
+        df["vec_id"] = df["vec_id"] * 2      # holes
+        with pytest.raises(ValueError, match="dense"):
+            negative_pairs(rd.from_pandas(df), k=2)
