@@ -5852,6 +5852,56 @@ def q180_kmeans_planted(sf_dir: str):
                          "part_ok": np.full(n, int(exact), np.int64)})
 
 
+def q183_gbdt_planted(sf_dir: str):
+    """Full GBDT boosting loop (`ops/ml.gbdt_stumps` + `gbdt_score`) in
+    its EXACT regime: y is a two-level step of x (10 if x=0 else 30),
+    lr=1.0 — round 1's stump splits the two x values (any bin between
+    them wins), leaf means equal the group means exactly, residuals hit
+    0, and later rounds contribute gain-0/leaf-0 stumps.  Predictions
+    must therefore equal y to fp precision — attesting the round loop,
+    residual recomputation and scoring path beyond q144's single-split
+    finder."""
+    from ..ops.ml import gbdt_score, gbdt_stumps
+
+    n = 400
+    x = (np.arange(n) % 2).astype(np.float64)
+    y = np.where(x == 0.0, 10.0, 30.0)
+    df = pd.DataFrame({"row_id": np.arange(n, dtype=np.int64),
+                       "x": x, "y": y})
+    ds = rd.from_pandas(df).repartition(4)
+    model = gbdt_stumps(ds, ["x"], "y", n_rounds=3, lr=1.0, n_bins=32)
+    out = gbdt_score(ds, model, ["x"], out_col="pred").to_pandas()
+    out = out.sort_values("row_id", ignore_index=True)
+    return pd.DataFrame({
+        "row_id": out["row_id"].astype(np.int64),
+        "pred_exact": (np.abs(out["pred"].to_numpy()
+                              - out["y"].to_numpy()) < 1e-9)
+        .astype(np.int64)})
+
+
+def q184_lsh_planted(sf_dir: str):
+    """Random-hyperplane LSH ANN (`ops/ann.lsh_topk`) in its exact
+    regime: each query is an EXACT copy of one corpus vector, and
+    identical vectors produce identical sign patterns in every table —
+    bucket collision is certain, so the true top-1 (the copy itself,
+    cosine 1.0) can never be missed regardless of recall tuning."""
+    from ..ops.ann import lsh_topk
+
+    nvec, d, nq = 64, 16, 10
+    rng = np.random.default_rng(29)
+    X = rng.normal(size=(nvec, d))
+    edf = pd.DataFrame({"vec_id": np.arange(nvec, dtype=np.int64),
+                        "embedding": [v for v in X]})
+    out = lsh_topk(rd.from_pandas(edf).repartition(4), X[:nq], k=1,
+                   n_tables=4, n_bits=8, seed=7).to_pandas()
+    out = out.sort_values("query_id", ignore_index=True)
+    return pd.DataFrame({
+        "query_id": out["query_id"].astype(np.int64),
+        "top1_is_self": (out["vec_id"].to_numpy()
+                         == np.arange(nq)).astype(np.int64),
+        "score": np.round(out["score"].to_numpy(), 4)})
+
+
 def q182_negative_pairs(sf_dir: str):
     """Deterministic contrastive negative sampling
     (`ops/sampling.negative_pairs`): 3 md5-picked partners per anchor
@@ -6291,6 +6341,15 @@ ORACLE_SQL["q181_digest_median_band"] = """
     SELECT lang, MEDIAN(n_chars) AS median_chars, TRUE AS within_2pct
     FROM documents GROUP BY lang"""
 
+ORACLE_SQL["q183_gbdt_planted"] = """
+    SELECT CAST(i AS BIGINT) AS row_id, CAST(1 AS BIGINT) AS pred_exact
+    FROM range(400) t(i)"""
+
+ORACLE_SQL["q184_lsh_planted"] = """
+    SELECT CAST(i AS BIGINT) AS query_id, CAST(1 AS BIGINT) AS top1_is_self,
+           CAST(1.0 AS DOUBLE) AS score
+    FROM range(10) t(i)"""
+
 _U32_EXPR = " + ".join(
     f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1)"
     f" * {16 ** (7 - i)}" for i in range(8))
@@ -6507,6 +6566,8 @@ SQL_QUERIES = {
     "q180_kmeans_planted": q180_kmeans_planted,
     "q181_digest_median_band": q181_digest_median_band,
     "q182_negative_pairs": q182_negative_pairs,
+    "q183_gbdt_planted": q183_gbdt_planted,
+    "q184_lsh_planted": q184_lsh_planted,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
