@@ -5852,6 +5852,65 @@ def q180_kmeans_planted(sf_dir: str):
                          "part_ok": np.full(n, int(exact), np.int64)})
 
 
+def q185_warc_pipeline(sf_dir: str):
+    """WARC source end-to-end (`sources.read_warc`, the CommonCrawl
+    shard format; q154/q155's format-ingestion contract): documents
+    export to per-record-gzipped WARC response shards (one shard per
+    write batch — the CommonCrawl unit of parallelism), read back
+    through the registry with HTTP envelope splitting, and the per-lang
+    (count, total chars) aggregate over DECODED BODIES must equal the
+    same aggregate over the parquet originals."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources import read_warc, warc_record_bytes
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    tmp = tempfile.mkdtemp(prefix="q185_warc_")
+    try:
+        def write_shard(b: pd.DataFrame) -> pd.DataFrame:
+            import gzip
+            import os as _os
+
+            if len(b) == 0:
+                return pd.DataFrame({"shard": pd.Series([], dtype="str")})
+            path = _os.path.join(tmp, f"shard-{int(b['doc_id'].min())}.warc.gz")
+            with open(path, "wb") as f:
+                for _, r in b.iterrows():
+                    body = (r["text"] or "").encode()
+                    http = (f"HTTP/1.1 200 OK\r\nContent-Length: "
+                            f"{len(body)}\r\n\r\n").encode() + body
+                    f.write(gzip.compress(warc_record_bytes(
+                        "response", http,
+                        target_uri=f"http://corpus.example/{r['doc_id']}",
+                        content_type="application/http; msgtype=response",
+                        warc_lang=str(r["lang"]))))
+            return pd.DataFrame({"shard": [path]})
+
+        n_shards = docs.map_batches(write_shard, batch_size=1024,
+                                    batch_format="pandas").count()
+        assert n_shards > 0
+
+        def measure(t: pa.Table) -> pa.Table:
+            chars = pa.array([len(p.decode("utf-8"))
+                              for p in t["payload"].to_pylist()],
+                             pa.int64())
+            return pa.table({"lang": t["warc_lang"], "n_chars": chars})
+
+        agg = (read_warc(tmp)
+               .map_batches(measure, batch_format="pyarrow")
+               .groupby("lang").aggregate(Count(), Sum("n_chars")))
+        out = agg.to_pandas().rename(columns={
+            "count()": "n_docs", "sum(n_chars)": "total_chars"})
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["total_chars"] = out["total_chars"].astype(np.int64)
+        return out.sort_values("lang", ignore_index=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q183_gbdt_planted(sf_dir: str):
     """Full GBDT boosting loop (`ops/ml.gbdt_stumps` + `gbdt_score`) in
     its EXACT regime: y is a two-level step of x (10 if x=0 else 30),
@@ -6345,6 +6404,11 @@ ORACLE_SQL["q183_gbdt_planted"] = """
     SELECT CAST(i AS BIGINT) AS row_id, CAST(1 AS BIGINT) AS pred_exact
     FROM range(400) t(i)"""
 
+ORACLE_SQL["q185_warc_pipeline"] = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang"""
+
 ORACLE_SQL["q184_lsh_planted"] = """
     SELECT CAST(i AS BIGINT) AS query_id, CAST(1 AS BIGINT) AS top1_is_self,
            CAST(1.0 AS DOUBLE) AS score
@@ -6568,6 +6632,7 @@ SQL_QUERIES = {
     "q182_negative_pairs": q182_negative_pairs,
     "q183_gbdt_planted": q183_gbdt_planted,
     "q184_lsh_planted": q184_lsh_planted,
+    "q185_warc_pipeline": q185_warc_pipeline,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with

@@ -59,8 +59,12 @@ def formats() -> list[str]:
 def read_any(path: str, fmt: str | None = None, **kw) -> rd.Dataset:
     """Dispatch on explicit format or file extension."""
     if fmt is None:
-        ext = os.path.splitext(path)[1].lstrip(".").lower()
-        fmt = {"pq": "parquet", "jsonl": "json", "txt": "text"}.get(ext, ext)
+        if path.lower().endswith(".warc.gz"):
+            fmt = "warc"
+        else:
+            ext = os.path.splitext(path)[1].lstrip(".").lower()
+            fmt = {"pq": "parquet", "jsonl": "json",
+                   "txt": "text"}.get(ext, ext)
     if fmt not in _READERS:
         raise ValueError(f"no reader for format {fmt!r}; known: {formats()}")
     return _READERS[fmt](path, **kw)
@@ -144,3 +148,153 @@ def read_parquet_evolving(path: str, columns=None, groups=None,
             raise KeyError(f"columns {missing} in no schema group")
         out = out.select_columns(list(columns))
     return out
+
+
+# ---------------------------------------------------------------------------
+# WARC (ISO 28500) — the CommonCrawl shard format, THE standard container
+# for web-scale text-pipeline input.  Dependency-free: records are parsed
+# by walking Content-Length (the spec's only framing), `.warc.gz` decodes
+# CommonCrawl's per-record gzip members via zlib member concatenation.
+#
+# Scale shape: one WARC shard = one read task (shards are the unit of
+# parallelism in CommonCrawl — ~1 GB each, thousands per crawl), so
+# `read_binary_files` over a shard directory parallelizes across shards
+# and each record-parse is a single linear pass over its shard's bytes.
+# ---------------------------------------------------------------------------
+
+_WARC_FIELDS = ["warc_type", "record_id", "warc_date", "target_uri",
+                "content_type", "warc_lang", "http_status", "payload"]
+
+
+def warc_record_bytes(warc_type: str, payload: bytes,
+                      target_uri: str | None = None,
+                      record_id: str = "<urn:uuid:0>",
+                      warc_date: str = "2024-01-01T00:00:00Z",
+                      content_type: str = "application/octet-stream",
+                      warc_lang: str | None = None) -> bytes:
+    """Serialize ONE spec-conformant WARC record (writer side of the
+    round-trip; tests and fixtures build shards from this)."""
+    h = [f"WARC/1.0",
+         f"WARC-Type: {warc_type}",
+         f"WARC-Record-ID: {record_id}",
+         f"WARC-Date: {warc_date}"]
+    if target_uri is not None:
+        h.append(f"WARC-Target-URI: {target_uri}")
+    if warc_lang is not None:
+        h.append(f"WARC-Identified-Content-Language: {warc_lang}")
+    h += [f"Content-Type: {content_type}",
+          f"Content-Length: {len(payload)}"]
+    return ("\r\n".join(h) + "\r\n\r\n").encode() + payload + b"\r\n\r\n"
+
+
+def write_warc(path: str, records: list[dict], gzip_members: bool = False):
+    """Write records (kwargs dicts for :func:`warc_record_bytes`) as one
+    WARC shard; ``gzip_members=True`` emits the CommonCrawl layout (each
+    record its own gzip member, so range requests can start anywhere)."""
+    import gzip
+
+    with open(path, "wb") as f:
+        for r in records:
+            raw = warc_record_bytes(**r)
+            f.write(gzip.compress(raw) if gzip_members else raw)
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Parse one shard's bytes into record dicts — linear walk framed by
+    Content-Length (never a regex over payloads, which may themselves
+    contain 'WARC/1.0').  HTTP response payloads additionally split into
+    status + body (the body is what text pipelines want)."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"malformed WARC: no record header at {pos}")
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise ValueError("malformed WARC: unterminated header block")
+        headers = {}
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode()] = v.strip().decode(
+                "utf-8", "replace")
+        clen = int(headers["content-length"])
+        payload = data[hdr_end + 4:hdr_end + 4 + clen]
+        pos = hdr_end + 4 + clen
+        status = None
+        body = payload
+        ctype = headers.get("content-type", "")
+        if ctype.startswith("application/http") and payload[:5] == b"HTTP/":
+            he = payload.find(b"\r\n\r\n")
+            if he >= 0:
+                sl = payload[:payload.find(b"\r\n")].split(b" ")
+                status = int(sl[1]) if len(sl) > 1 and sl[1].isdigit() \
+                    else None
+                body = payload[he + 4:]
+        out.append({
+            "warc_type": headers.get("warc-type", ""),
+            "record_id": headers.get("warc-record-id", ""),
+            "warc_date": headers.get("warc-date", ""),
+            "target_uri": headers.get("warc-target-uri"),
+            "content_type": ctype,
+            "warc_lang": headers.get("warc-identified-content-language"),
+            "http_status": status,
+            "payload": body})
+    return out
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the CommonCrawl
+    per-record layout) into one byte stream."""
+    import zlib
+
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(data))
+        data = d.unused_data
+    return b"".join(out)
+
+
+@register_source("warc")
+def read_warc(path: str, columns=None, warc_types: tuple = ("response",),
+              **kw) -> rd.Dataset:
+    """WARC shard(s) → Dataset of records.  ``warc_types`` prunes at the
+    parse (text pipelines want responses, not request/metadata twins —
+    2/3 of CommonCrawl records drop before leaving the read task)."""
+    import pyarrow as pa
+
+    files = rd.read_binary_files(path, include_paths=True, **kw)
+
+    def parse(batch) -> "pa.Table":
+        rows = []
+        for raw in batch["bytes"]:
+            raw = bytes(raw)
+            if raw[:2] == b"\x1f\x8b":
+                raw = _gunzip_members(raw)
+            rows.extend(r for r in parse_warc_bytes(raw)
+                        if not warc_types or r["warc_type"] in warc_types)
+        return pa.table({
+            "warc_type": pa.array([r["warc_type"] for r in rows],
+                                  pa.string()),
+            "record_id": pa.array([r["record_id"] for r in rows],
+                                  pa.string()),
+            "warc_date": pa.array([r["warc_date"] for r in rows],
+                                  pa.string()),
+            "target_uri": pa.array([r["target_uri"] for r in rows],
+                                   pa.string()),
+            "content_type": pa.array([r["content_type"] for r in rows],
+                                     pa.string()),
+            "warc_lang": pa.array([r["warc_lang"] for r in rows],
+                                  pa.string()),
+            "http_status": pa.array([r["http_status"] for r in rows],
+                                    pa.int64()),
+            "payload": pa.array([r["payload"] for r in rows],
+                                pa.binary())})
+
+    ds = files.map_batches(parse, batch_format="numpy")
+    return ds.select_columns(columns) if columns else ds
