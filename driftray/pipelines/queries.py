@@ -5911,6 +5911,75 @@ def q185_warc_pipeline(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q186_cc_extract(sf_dir: str):
+    """The CommonCrawl-style text-pipeline COMPOSITION, end to end in one
+    hash: documents wrap in q166's boilerplate page template, ship as
+    gzipped WARC response shards (q185's writer), read back through the
+    source registry with HTTP splitting, and `ops/html.extract_text`
+    must recover exactly the whitespace-normalized article text — the
+    per-lang (docs, main-text chars) aggregate matches SQL over the
+    parquet originals only if BOTH the WARC framing and the boilerplate
+    filtering are lossless."""
+    import html as html_mod
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..ops.html import extract_text
+    from ..sources import read_warc, warc_record_bytes
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    tmp = tempfile.mkdtemp(prefix="q186_cc_")
+    try:
+        def write_shard(b: pd.DataFrame) -> pd.DataFrame:
+            import gzip
+            import os as _os
+
+            if len(b) == 0:
+                return pd.DataFrame({"shard": pd.Series([], dtype="str")})
+            path = _os.path.join(tmp, f"shard-{int(b['doc_id'].min())}.warc.gz")
+            with open(path, "wb") as f:
+                for _, r in b.iterrows():
+                    page = ("<html><head><title>t</title><script>var n=1;"
+                            "</script></head><body>"
+                            "<nav><a href='/'>Home</a></nav>"
+                            "<div class='menu'><a href='/1'>one</a> "
+                            "<a href='/2'>two</a> <a href='/3'>three</a>"
+                            "</div>"
+                            f"<p>{html_mod.escape(r['text'] or '')}</p>"
+                            "<footer>&copy; corp</footer></body></html>")
+                    body = page.encode()
+                    http = (f"HTTP/1.1 200 OK\r\nContent-Length: "
+                            f"{len(body)}\r\n\r\n").encode() + body
+                    f.write(gzip.compress(warc_record_bytes(
+                        "response", http,
+                        target_uri=f"http://corpus.example/{r['doc_id']}",
+                        content_type="application/http; msgtype=response",
+                        warc_lang=str(r["lang"]))))
+            return pd.DataFrame({"shard": [path]})
+
+        assert docs.map_batches(write_shard, batch_size=1024,
+                                batch_format="pandas").count() > 0
+
+        def extract(t: pa.Table) -> pa.Table:
+            chars = pa.array(
+                [len(extract_text(p.decode("utf-8")))
+                 for p in t["payload"].to_pylist()], pa.int64())
+            return pa.table({"lang": t["warc_lang"], "mc": chars})
+
+        agg = (read_warc(tmp)
+               .map_batches(extract, batch_format="pyarrow")
+               .groupby("lang").aggregate(Count(), Sum("mc")))
+        out = agg.to_pandas().rename(columns={
+            "count()": "n_docs", "sum(mc)": "main_chars"})
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["main_chars"] = out["main_chars"].astype(np.int64)
+        return out.sort_values("lang", ignore_index=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q183_gbdt_planted(sf_dir: str):
     """Full GBDT boosting loop (`ops/ml.gbdt_stumps` + `gbdt_score`) in
     its EXACT regime: y is a two-level step of x (10 if x=0 else 30),
@@ -6404,6 +6473,13 @@ ORACLE_SQL["q183_gbdt_planted"] = """
     SELECT CAST(i AS BIGINT) AS row_id, CAST(1 AS BIGINT) AS pred_exact
     FROM range(400) t(i)"""
 
+ORACLE_SQL["q186_cc_extract"] = r"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN TRIM(COALESCE(text, '')) = '' THEN 0
+                ELSE LENGTH(REGEXP_REPLACE(TRIM(text), '\s+', ' ', 'g'))
+                END) AS BIGINT) AS main_chars
+    FROM documents GROUP BY lang"""
+
 ORACLE_SQL["q185_warc_pipeline"] = """
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS total_chars
@@ -6633,6 +6709,7 @@ SQL_QUERIES = {
     "q183_gbdt_planted": q183_gbdt_planted,
     "q184_lsh_planted": q184_lsh_planted,
     "q185_warc_pipeline": q185_warc_pipeline,
+    "q186_cc_extract": q186_cc_extract,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
