@@ -31,6 +31,18 @@ class BloomFilter:
         self.k = max(1, round(self.n_bits / capacity * math.log(2)))
         self.bits = np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
 
+    @classmethod
+    def from_state(cls, n_bits: int, k: int, bits: bytes,
+                   hashed: bool = False) -> "BloomFilter":
+        """Rebuild a filter from persisted state (sidecar indexes —
+        `ops/zonemap.build_bloom_index` stores ``bits.tobytes()``)."""
+        bf = cls.__new__(cls)
+        bf.n_bits = int(n_bits)
+        bf.k = int(k)
+        bf.bits = np.frombuffer(bits, dtype=np.uint64).copy()
+        bf.hashed = hashed
+        return bf
+
     def _positions(self, values: np.ndarray) -> np.ndarray:
         """(k, n) bit positions via double hashing h1 + i*h2."""
         h1 = hash64(values)

@@ -492,3 +492,123 @@ def pq_topk_rerank(ds: rd.Dataset, codes: rd.Dataset, model: dict,
         keep, batch_format="pyarrow")
     return brute_force_topk(pruned, queries, k=k, id_col=id_col,
                             vec_col=vec_col)
+
+
+def knn_join(left: rd.Dataset, right: rd.Dataset, k: int = 10,
+             left_id_col: str = "vec_id", right_id_col: str = "vec_id",
+             vec_col: str = "embedding", n_clusters: int = 16,
+             nprobe: int = 2, sample_rows: int = 20_000, seed: int = 42,
+             num_partitions: int = 64,
+             batch_size: int = 4096) -> rd.Dataset:
+    """Distributed kNN JOIN: for every LEFT vector, the top-k RIGHT
+    vectors by cosine similarity — both sides are Datasets, neither is
+    broadcast.  This is the shape when the query set itself is corpus
+    scale (retrieval-pair mining, cross-corpus nearest-neighbor audits),
+    where ``brute_force_topk``'s driver-side query matrix cannot apply.
+
+    Shape (IVF blocking, never all-pairs): k-means centroids fit on a
+    seeded sample of RIGHT → broadcast once via ``ray.put``; one
+    ``map_batches`` pass per side assigns RIGHT rows to their nearest
+    centroid and replicates each LEFT row to its ``nprobe`` nearest
+    centroids; ONE hash exchange co-locates each cluster's left and
+    right rows (`grouped.partitioned_group_apply`); each partition runs
+    one BLAS matmul + vectorized local top-k PER CLUSTER; a second tiny
+    exchange (≤ nprobe·k candidate rows per query) merges global top-k.
+    Vectors cross the exchange as explicit ``binary`` (tensor-extension
+    columns do not survive map_groups' pandas conversion — ROUND_NOTES
+    r4 gotcha).
+
+    ``nprobe = n_clusters`` probes everything: exact brute force through
+    the distributed machinery regardless of what the seeded k-means
+    converged to (q188's hash-oracle regime); smaller ``nprobe`` trades
+    recall for a ∝ nprobe/n_clusters cut in matmul + shuffle volume.
+    Partitioning assumption: one cluster's (left + right) rows fit in a
+    worker heap — raise ``n_clusters`` as corpus size grows (the IVF
+    knob), and keep E[cluster size]² bounded.
+
+    Returns one row per (query, rank): ``(query_id, neighbor_id, score,
+    rank)`` with rank 1..k by (score desc, neighbor_id asc) — queries
+    whose probed clusters hold fewer than k right rows return fewer.
+    """
+    from .grouped import partitioned_group_apply
+
+    if nprobe > n_clusters:
+        raise ValueError(f"nprobe={nprobe} exceeds n_clusters={n_clusters}")
+    C = _fit_ivf_centers(right, n_clusters, vec_col, sample_rows, seed)
+    c_ref = ray.put(C)
+
+    def _tag(batch: pd.DataFrame, id_col: str, side: int,
+             probes: int) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             "rid": pa.array([], pa.int64()),
+                             "vecb": pa.array([], pa.binary())})
+        Cb = ray.get(c_ref)
+        X = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        sims = X @ Cb.T                               # (n, n_clusters)
+        if probes == 1:
+            cl = sims.argmax(axis=1)[:, None]
+        else:
+            cl = np.argpartition(-sims, probes - 1, axis=1)[:, :probes]
+        n, p = cl.shape
+        ids = np.repeat(batch[id_col].to_numpy().astype(np.int64), p)
+        vecb = [x.tobytes() for x in X]
+        return pa.table({
+            "cluster": pa.array(cl.ravel().astype(np.int64)),
+            "side": pa.array(np.full(n * p, side, dtype=np.int8)),
+            "rid": pa.array(ids),
+            "vecb": pa.array(np.repeat(np.array(vecb, dtype=object), p)
+                             .tolist(), pa.binary())})
+
+    lt = left.select_columns([left_id_col, vec_col]).map_batches(
+        lambda b: _tag(b, left_id_col, 1, nprobe),
+        batch_format="pandas", batch_size=batch_size)
+    rt = right.select_columns([right_id_col, vec_col]).map_batches(
+        lambda b: _tag(b, right_id_col, 0, 1),
+        batch_format="pandas", batch_size=batch_size)
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in df.groupby("cluster", sort=False):
+            L = grp[grp["side"] == 1]
+            R = grp[grp["side"] == 0]
+            if len(L) == 0 or len(R) == 0:
+                continue
+            XL = np.stack([np.frombuffer(b, dtype=np.float64)
+                           for b in L["vecb"]])
+            XR = np.stack([np.frombuffer(b, dtype=np.float64)
+                           for b in R["vecb"]])
+            sims = XL @ XR.T                          # (l, r)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            outs.append(pd.DataFrame({
+                "query_id": np.repeat(L["rid"].to_numpy(), kk),
+                "neighbor_id": R["rid"].to_numpy()[idx].ravel(),
+                "score": np.take_along_axis(sims, idx, axis=1).ravel()}))
+        if not outs:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "neighbor_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    cands = partitioned_group_apply(
+        lt.union(rt), ["cluster"], per_cluster,
+        num_partitions=min(num_partitions, max(n_clusters, 1)))
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df["rank"] = pd.Series([], dtype="int64")
+            return df
+        # a query probed into p clusters holds ≤ p·k candidate rows here;
+        # exact duplicates (same neighbor reached via two probes) cannot
+        # occur because a right row lives in exactly one cluster
+        df = (df.sort_values(["query_id", "score", "neighbor_id"],
+                             ascending=[True, False, True], kind="stable")
+              .groupby("query_id", sort=False).head(k)
+              .reset_index(drop=True))
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df
+
+    return partitioned_group_apply(cands, ["query_id"], merge_topk,
+                                   num_partitions=num_partitions)

@@ -29,7 +29,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-__all__ = ["grouped_ols", "mutual_information", "fd_violations"]
+__all__ = ["grouped_ols", "mutual_information", "fd_violations",
+           "grouped_mad_outliers"]
 
 
 def fd_violations(ds: rd.Dataset, lhs_cols: list[str], rhs_cols: list[str],
@@ -62,6 +63,65 @@ def fd_violations(ds: rd.Dataset, lhs_cols: list[str], rhs_cols: list[str],
     # one tiny row per block reaches the driver — two scalars after the sum
     parts = per_key.map_batches(verdict, batch_format="pyarrow").to_pandas()
     return pd.DataFrame([parts.sum().astype("int64")])
+
+
+def grouped_mad_outliers(ds: rd.Dataset, group_col: str, value_col: str,
+                         k: float = 3.0,
+                         num_partitions: int = 64) -> rd.Dataset:
+    """Per-group robust outlier screen via the median/MAD rule.
+
+    For each group: ``m = median(v)``, ``mad = median(|v - m|)``; a row is
+    an outlier iff ``|v - m| > k * mad``.  Unlike the z-score family
+    (``ops/anomaly.rolling_zscore``), the MAD rule's breakdown point is
+    50% — a contaminated tail cannot drag the threshold toward itself,
+    which is the property a dirty-data screen actually needs
+    (the reference's quality reports stop at mean/std,
+    `/root/reference/DESIGN.md:539-551`).
+
+    Returns one row per group: ``(group, n, n_outliers, median, mad)``.
+    Null values are excluded (SQL convention).
+
+    Scale shape: hash-partition by group, ONE vectorized pandas pass per
+    partition (two ``groupby().transform("median")`` C kernels + a
+    boolean reduction) — per-group overhead is O(#partitions).
+    Partitioning assumption: one partition's rows fit in a worker heap;
+    for giant single groups use the t-digest quantile path
+    (``grouped.grouped_quantile_digest``) and accept its tolerance.
+
+    Exactness note: for integer inputs every median is an exact half
+    (average of two int64 middles), ``k * mad`` with small-integer ``k``
+    is exactly representable, and the strict ``>`` verdict is therefore
+    bit-deterministic — the q187 oracle hash-checks the verdict counts
+    against DuckDB's window-free median CTE formulation.
+    """
+    from .grouped import partitioned_group_apply
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[value_col])
+        if len(df) == 0:
+            return pd.DataFrame({group_col: df[group_col],
+                                 "n": pd.Series([], dtype="int64"),
+                                 "n_outliers": pd.Series([], dtype="int64"),
+                                 "median": pd.Series([], dtype="float64"),
+                                 "mad": pd.Series([], dtype="float64")})
+        v = df[value_col].astype(np.float64)
+        g = df[group_col]
+        med = v.groupby(g, sort=False, observed=True).transform("median")
+        dev = (v - med).abs()
+        mad = dev.groupby(g, sort=False, observed=True).transform("median")
+        out = (dev > k * mad)
+        agg = (pd.DataFrame({group_col: g, "__out": out.astype(np.int64),
+                             "__med": med, "__mad": mad})
+               .groupby(group_col, sort=False, observed=True)
+               .agg(n=("__out", "size"), n_outliers=("__out", "sum"),
+                    median=("__med", "first"), mad=("__mad", "first"))
+               .reset_index())
+        agg["n"] = agg["n"].astype(np.int64)
+        return agg
+
+    return partitioned_group_apply(
+        ds.select_columns([group_col, value_col]), [group_col],
+        per_partition, num_partitions=num_partitions)
 
 
 def grouped_ols(ds: rd.Dataset, group_col: str, x_col: str, y_col: str,

@@ -33,7 +33,8 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-__all__ = ["parquet_zone_map", "pruned_read"]
+__all__ = ["parquet_zone_map", "pruned_read", "build_bloom_index",
+           "bloom_pruned_read"]
 
 
 def parquet_zone_map(paths: list[str], col: str) -> rd.Dataset:
@@ -140,3 +141,99 @@ def pruned_read(paths: list[str], col: str, lo, hi,
     return (rd.from_items(items, override_num_blocks=len(items))
             .map_batches(read_groups, batch_format="pyarrow",
                          batch_size=1, concurrency=concurrency))
+
+
+def build_bloom_index(paths: list[str], col: str,
+                      fpr: float = 1e-3) -> rd.Dataset:
+    """Per-FILE Bloom index over ``col`` — the point-lookup complement of
+    the zone map.  Footer min/max cannot prune an UNSORTED
+    high-cardinality column (every file's [min, max] spans the domain);
+    a per-file Bloom filter answers "could value v be in this file?"
+    with no false negatives at ~10 bits/row for 1e-3 FPR — the same
+    data-skipping move as Parquet's own optional bloom pages / Iceberg
+    puffin blobs, surfaced as a first-class testable op.
+
+    One map task per file (reads ONLY ``col``), each sized to its own
+    row count.  Returns the index TABLE: ``(file, n_rows, n_bits, k,
+    bits)`` — metadata-scale (one row per file), so collecting it on the
+    driver is the correct move, exactly like the zone map."""
+    from ..bloom import BloomFilter
+
+    items = [{"path": p} for p in sorted(paths)]
+
+    def per_file(t: pa.Table) -> pa.Table:
+        files, ns, nb, ks, bits = [], [], [], [], []
+        for path in t["path"].to_pylist():
+            vals = pq.read_table(path, columns=[col])[col]
+            arr = vals.to_numpy(zero_copy_only=False)
+            bf = BloomFilter(max(len(arr), 1), fpr=fpr).add(arr)
+            files.append(path)
+            ns.append(len(arr))
+            nb.append(bf.n_bits)
+            ks.append(bf.k)
+            bits.append(bf.bits.tobytes())
+        return pa.table({"file": pa.array(files, pa.string()),
+                         "n_rows": pa.array(ns, pa.int64()),
+                         "n_bits": pa.array(nb, pa.int64()),
+                         "k": pa.array(ks, pa.int64()),
+                         "bits": pa.array(bits, pa.binary())})
+
+    return (rd.from_items(items, override_num_blocks=max(len(items), 1))
+            .map_batches(per_file, batch_format="pyarrow"))
+
+
+def _bloom_keep_files(index: pd.DataFrame, values) -> list[str]:
+    """Files whose Bloom filter reports ANY of ``values`` as maybe
+    present (no false negatives: a file absent from this list provably
+    holds none of the probed values)."""
+    from ..bloom import BloomFilter
+
+    vals = np.asarray(values)
+    keep = []
+    for row in index.itertuples(index=False):
+        bf = BloomFilter.from_state(row.n_bits, row.k, row.bits)
+        if bool(bf.contains(vals).any()):
+            keep.append(row.file)
+    return sorted(keep)
+
+
+def bloom_pruned_read(paths: list[str], col: str, values,
+                      columns: list[str] | None = None,
+                      exact: bool = True,
+                      index: "pd.DataFrame | None" = None,
+                      fpr: float = 1e-3,
+                      concurrency: int | None = None) -> rd.Dataset:
+    """Point lookup ``col IN values`` that schedules read tasks ONLY for
+    files whose Bloom index might contain one of the probed values.
+
+    ``index`` accepts a precomputed ``build_bloom_index(...).to_pandas()``
+    frame so repeated lookups over the same directory build the filters
+    once (amortized like the zone map in run_validation).  With ``exact``
+    (default) surviving files are filtered row-level — Bloom false
+    positives never reach the result, so output equals the unpruned
+    ``read_parquet + is_in`` scan bit-for-bit (q189's oracle).
+    """
+    import pyarrow.compute as pc
+
+    idx = (build_bloom_index(paths, col, fpr=fpr).to_pandas()
+           if index is None else index)
+    keep = _bloom_keep_files(idx, values)
+    if not keep:
+        schema = pq.read_schema(sorted(paths)[0])
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return rd.from_arrow(schema.empty_table())
+    member_arr = pa.array(list(values))
+    read_cols = (None if columns is None
+                 else list(dict.fromkeys(list(columns) + [col])))
+
+    def filter_rows(t: pa.Table) -> pa.Table:
+        if not exact:
+            return t if columns is None else t.select(columns)
+        mask = pc.fill_null(pc.is_in(t[col], value_set=member_arr), False)
+        out = t.filter(mask)
+        return out if columns is None else out.select(columns)
+
+    return rd.read_parquet(keep, columns=read_cols,
+                           concurrency=concurrency).map_batches(
+        filter_rows, batch_format="pyarrow")

@@ -5980,6 +5980,86 @@ def q186_cc_extract(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q187_mad_outliers(sf_dir: str):
+    """Robust per-group outlier screen (`ops/stats.grouped_mad_outliers`):
+    median/MAD rule over documents.n_chars per lang.  Integer inputs make
+    every median an exact IEEE half and the strict `>` verdict
+    bit-deterministic, so the outlier COUNTS hash-match DuckDB's
+    median-CTE formulation exactly (the float median/mad columns are
+    dropped from the hashed projection)."""
+    from ..ops.stats import grouped_mad_outliers
+
+    docs = _t(sf_dir, "documents", ["lang", "n_chars"])
+    out = grouped_mad_outliers(docs, "lang", "n_chars", k=3.0).to_pandas()
+    out = out[["lang", "n", "n_outliers"]]
+    out["n"] = out["n"].astype(np.int64)
+    out["n_outliers"] = out["n_outliers"].astype(np.int64)
+    return out.sort_values("lang", ignore_index=True)
+
+
+def q188_knn_join_planted(sf_dir: str):
+    """Distributed kNN JOIN (`ops/ann.knn_join` — both sides Datasets,
+    IVF-blocked, never all-pairs) in its EXACT regime: nprobe=n_clusters
+    probes every cluster, so the result is closed-form brute force
+    REGARDLESS of what the seeded k-means converged to.  Fixture: 8
+    groups on orthogonal coordinate planes — group g's members live in
+    dims (2g, 2g+1) at angles θ_i = (i+1)·0.1 rad, queries are the plane
+    axes — so within-group cosine is exactly cos θ_i (strictly
+    decreasing in i) and cross-group cosine is exactly 0.  Top-5 of each
+    query is therefore members 0..4 in order: neighbor_id = g·10 + rank-1.
+    Scores are dropped from the hashed projection (float); the integer
+    (query_id, neighbor_id, rank) triple is the attestation."""
+    from ..ops.ann import knn_join
+
+    G, M, D = 8, 10, 16
+    right = np.zeros((G * M, D))
+    for g in range(G):
+        th = (np.arange(M) + 1) * 0.1
+        right[g * M:(g + 1) * M, 2 * g] = np.cos(th)
+        right[g * M:(g + 1) * M, 2 * g + 1] = np.sin(th)
+    queries = np.zeros((G, D))
+    queries[np.arange(G), 2 * np.arange(G)] = 1.0
+    rdf = pd.DataFrame({"vec_id": np.arange(G * M, dtype=np.int64),
+                        "embedding": [v for v in right]})
+    ldf = pd.DataFrame({"vec_id": np.arange(G, dtype=np.int64),
+                        "embedding": [v for v in queries]})
+    out = knn_join(rd.from_pandas(ldf), rd.from_pandas(rdf), k=5,
+                   n_clusters=4, nprobe=4, num_partitions=8).to_pandas()
+    out = out[["query_id", "neighbor_id", "rank"]].astype(np.int64)
+    return out.sort_values(["query_id", "rank"], ignore_index=True)
+
+
+def q189_bloom_point_lookup(sf_dir: str):
+    """Per-file Bloom data skipping (`ops/zonemap.build_bloom_index` +
+    `bloom_pruned_read`): documents re-staged as 8 parquet files (hash
+    layout — footer min/max cannot prune doc_id point lookups), a Bloom
+    sidecar built per file (one map task each, doc_id column only), then
+    an IN-list probe that schedules read tasks only for maybe-containing
+    files.  `exact` row filtering makes the result bit-equal to the
+    unpruned scan — Bloom false positives never escape — so the plain
+    SQL IN-list is the oracle."""
+    import glob as globmod
+    import shutil
+    import tempfile
+
+    from ..ops.zonemap import bloom_pruned_read
+
+    probes = [3, 17, 41, 1_000_000_000]  # last one provably absent
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="q189_bloom_")
+    try:
+        docs.repartition(8).write_parquet(tmp)
+        paths = sorted(globmod.glob(f"{tmp}/*.parquet"))
+        out = bloom_pruned_read(paths, "doc_id", probes,
+                                columns=["doc_id", "lang", "n_chars"],
+                                concurrency=4).to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def q183_gbdt_planted(sf_dir: str):
     """Full GBDT boosting loop (`ops/ml.gbdt_stumps` + `gbdt_score`) in
     its EXACT regime: y is a two-level step of x (10 if x=0 else 30),
@@ -6480,6 +6560,34 @@ ORACLE_SQL["q186_cc_extract"] = r"""
                 END) AS BIGINT) AS main_chars
     FROM documents GROUP BY lang"""
 
+ORACLE_SQL["q187_mad_outliers"] = """
+    WITH med AS (
+        SELECT lang, median(n_chars) AS m
+        FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
+    ), dev AS (
+        SELECT d.lang, abs(d.n_chars - med.m) AS ad
+        FROM documents d JOIN med USING (lang)
+        WHERE d.n_chars IS NOT NULL
+    ), madt AS (
+        SELECT lang, median(ad) AS mad FROM dev GROUP BY lang
+    )
+    SELECT dev.lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN dev.ad > 3.0 * madt.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN madt ON dev.lang = madt.lang
+    GROUP BY dev.lang"""
+
+ORACLE_SQL["q188_knn_join_planted"] = """
+    SELECT CAST(g AS BIGINT) AS query_id,
+           CAST(g * 10 + r AS BIGINT) AS neighbor_id,
+           CAST(r + 1 AS BIGINT) AS rank
+    FROM range(8) t(g), range(5) u(r)"""
+
+ORACLE_SQL["q189_bloom_point_lookup"] = """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id IN (3, 17, 41, 1000000000)"""
+
 ORACLE_SQL["q185_warc_pipeline"] = """
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS total_chars
@@ -6710,6 +6818,9 @@ SQL_QUERIES = {
     "q184_lsh_planted": q184_lsh_planted,
     "q185_warc_pipeline": q185_warc_pipeline,
     "q186_cc_extract": q186_cc_extract,
+    "q187_mad_outliers": q187_mad_outliers,
+    "q188_knn_join_planted": q188_knn_join_planted,
+    "q189_bloom_point_lookup": q189_bloom_point_lookup,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with

@@ -171,3 +171,42 @@ def test_mutual_information_matches_manual(ray_session):
                         "b": [f"b{v}" for v in rng.integers(0, 3, n)]})
     out2 = mutual_information(rd.from_pandas(df2), "a", "b")
     assert out2["mi_bits"][0] < 0.01
+
+
+def test_grouped_mad_outliers_matches_numpy(ray_session):
+    from driftray.ops.stats import grouped_mad_outliers
+
+    rng = np.random.default_rng(7)
+    g = rng.choice(["a", "b", "c"], size=400)
+    v = rng.integers(100, 200, size=400).astype("int64")
+    # plant gross outliers in group a
+    idx = np.flatnonzero(g == "a")[:5]
+    v[idx] = 10_000
+    df = pd.DataFrame({"g": g, "v": v})
+    out = (grouped_mad_outliers(rd.from_pandas(df), "g", "v", k=3.0,
+                                num_partitions=4)
+           .to_pandas().sort_values("g").reset_index(drop=True))
+
+    for _, row in out.iterrows():
+        vals = df.loc[df["g"] == row["g"], "v"].to_numpy(dtype=np.float64)
+        med = np.median(vals)
+        dev = np.abs(vals - med)
+        mad = np.median(dev)
+        assert row["n"] == len(vals)
+        assert row["n_outliers"] == int((dev > 3.0 * mad).sum())
+        assert row["median"] == med
+        assert row["mad"] == mad
+    # the planted spikes are caught
+    a = out.loc[out["g"] == "a"].iloc[0]
+    assert a["n_outliers"] >= 5
+
+
+def test_grouped_mad_outliers_nulls_excluded(ray_session):
+    from driftray.ops.stats import grouped_mad_outliers
+
+    df = pd.DataFrame({"g": ["x"] * 6,
+                       "v": [1.0, 2.0, 3.0, np.nan, 2.0, 100.0]})
+    out = grouped_mad_outliers(rd.from_pandas(df), "g", "v", k=3.0,
+                               num_partitions=2).to_pandas()
+    assert out.iloc[0]["n"] == 5  # NaN row excluded
+    assert out.iloc[0]["n_outliers"] == 1  # the 100.0
