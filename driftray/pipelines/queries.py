@@ -3398,6 +3398,62 @@ def q155_csv_roundtrip(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q190_orc_roundtrip(sf_dir: str):
+    """ORC source+sink end-to-end (`sources.read_orc`/`write_orc`, the
+    third columnar format after parquet and Arrow IPC): documents export
+    to content-hash-named ORC shards via a distributed map_batches sink,
+    read back with stripe-level task parallelism and column pruning, and
+    must answer the same per-lang aggregate as the parquet original."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources import read_any, write_orc
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="driftray_orc_")
+    try:
+        write_orc(docs, tmp)
+        out = (read_any(tmp, fmt="orc", columns=["lang", "n_chars"])
+               .groupby("lang")
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("n_chars", alias_name="total_chars"))
+               .to_pandas().sort_values("lang", ignore_index=True))
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q191_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC/Feather source+sink end-to-end (`sources.read_ipc`/
+    `write_ipc`): shards written with 1 000-row record batches so the
+    reader's batch-level split model is actually exercised (each read
+    task memory-maps one record batch), then the q154-shape aggregate
+    must match the parquet original."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources import read_any, write_ipc
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tmp = tempfile.mkdtemp(prefix="driftray_ipc_")
+    try:
+        write_ipc(docs, tmp, max_chunk_rows=1000)
+        out = (read_any(tmp, fmt="ipc", columns=["lang", "n_chars"])
+               .groupby("lang")
+               .aggregate(Count(alias_name="n_docs"),
+                          Sum("n_chars", alias_name="total_chars"))
+               .to_pandas().sort_values("lang", ignore_index=True))
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def nq_gbdt_price(sf_dir: str):
     """Gradient-boosted stumps (`ops/ml.gbdt_stumps`, the histogram GBDT
     method): predict line price from quantity+discount.  One streaming
@@ -5202,6 +5258,8 @@ ORACLE_SQL["q154_jsonl_roundtrip"] = """
     FROM documents GROUP BY lang ORDER BY lang"""
 
 ORACLE_SQL["q155_csv_roundtrip"] = ORACLE_SQL["q154_jsonl_roundtrip"]
+ORACLE_SQL["q190_orc_roundtrip"] = ORACLE_SQL["q154_jsonl_roundtrip"]
+ORACLE_SQL["q191_ipc_roundtrip"] = ORACLE_SQL["q154_jsonl_roundtrip"]
 
 def q156_phash_dedup(sf_dir: str):
     """Perceptual-hash image near-dup clustering over REAL PNG bytes:
@@ -6821,6 +6879,8 @@ SQL_QUERIES = {
     "q187_mad_outliers": q187_mad_outliers,
     "q188_knn_join_planted": q188_knn_join_planted,
     "q189_bloom_point_lookup": q189_bloom_point_lookup,
+    "q190_orc_roundtrip": q190_orc_roundtrip,
+    "q191_ipc_roundtrip": q191_ipc_roundtrip,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with

@@ -63,8 +63,8 @@ def read_any(path: str, fmt: str | None = None, **kw) -> rd.Dataset:
             fmt = "warc"
         else:
             ext = os.path.splitext(path)[1].lstrip(".").lower()
-            fmt = {"pq": "parquet", "jsonl": "json",
-                   "txt": "text"}.get(ext, ext)
+            fmt = {"pq": "parquet", "jsonl": "json", "txt": "text",
+                   "arrow": "ipc", "feather": "ipc"}.get(ext, ext)
     if fmt not in _READERS:
         raise ValueError(f"no reader for format {fmt!r}; known: {formats()}")
     return _READERS[fmt](path, **kw)
@@ -298,3 +298,167 @@ def read_warc(path: str, columns=None, warc_types: tuple = ("response",),
 
     ds = files.map_batches(parse, batch_format="numpy")
     return ds.select_columns(columns) if columns else ds
+
+
+# -- ORC and Arrow IPC: columnar formats beyond parquet ----------------------
+#
+# Both readers parallelize INSIDE files, not just across them: the driver
+# lists files (cheap), a first map opens each footer and emits one row per
+# stripe (ORC) / record batch (IPC), and a second map reads exactly that
+# unit with column pruning.  A 100 GB ORC file with 400 stripes becomes
+# 400 independent read tasks — the same split model read_parquet gets from
+# row groups, so one giant file can never serialize the read.
+
+
+def _list_files(path: str, suffixes: tuple[str, ...]) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _dirs, names in os.walk(path):
+        out.extend(os.path.join(root, n) for n in sorted(names)
+                   if n.lower().endswith(suffixes))
+    if not out:
+        raise FileNotFoundError(f"no {suffixes} files under {path}")
+    return out
+
+
+def _one_block_per_unit(units: rd.Dataset, cap: int = 512) -> rd.Dataset:
+    """map_batches parallelism is per BLOCK: a units table that arrives as
+    one block would serialize every stripe/batch read into one task.
+    The units table is metadata-scale (one row per stripe), so counting
+    it is cheap; repartition to ≤``cap`` blocks so each read task gets
+    ~one unit and the streaming executor fans out."""
+    n = units.count()
+    return units.repartition(max(1, min(n, cap)))
+
+
+@register_source("orc")
+def read_orc(path: str, columns=None, **kw) -> rd.Dataset:
+    """ORC file/directory → Dataset, one read task per stripe."""
+    import pyarrow as pa
+
+    files = _list_files(path, (".orc",))
+
+    def stripes(batch) -> "pa.Table":
+        from pyarrow import orc
+        ps, ss = [], []
+        for p in batch["path"]:
+            n = orc.ORCFile(str(p)).nstripes
+            ps.extend([str(p)] * n)
+            ss.extend(range(n))
+        return pa.table({"path": pa.array(ps, pa.string()),
+                         "stripe": pa.array(ss, pa.int64())})
+
+    def read_stripe(batch) -> "pa.Table":
+        from pyarrow import orc
+        parts = []
+        for p, s in zip(batch["path"], batch["stripe"]):
+            b = orc.ORCFile(str(p)).read_stripe(int(s), columns=columns)
+            # read_stripe yields a RecordBatch; normalize to batches
+            parts.extend([b] if isinstance(b, pa.RecordBatch)
+                         else b.to_batches())
+        return pa.Table.from_batches(parts)
+
+    units = _one_block_per_unit(
+        rd.from_items([{"path": p} for p in files])
+        .map_batches(stripes, batch_format="numpy"))
+    return units.map_batches(read_stripe, batch_format="numpy",
+                             batch_size=1, **kw)
+
+
+@register_source("ipc")
+def read_ipc(path: str, columns=None, **kw) -> rd.Dataset:
+    """Arrow IPC/Feather file/directory → Dataset, one read task per
+    record batch (the IPC file format supports random batch access)."""
+    import pyarrow as pa
+
+    files = _list_files(path, (".arrow", ".ipc", ".feather"))
+
+    def batches(batch) -> "pa.Table":
+        ps, bs = [], []
+        for p in batch["path"]:
+            with pa.OSFile(str(p), "rb") as f:
+                n = pa.ipc.open_file(f).num_record_batches
+            ps.extend([str(p)] * n)
+            bs.extend(range(n))
+        return pa.table({"path": pa.array(ps, pa.string()),
+                         "batch": pa.array(bs, pa.int64())})
+
+    def read_batch(batch) -> "pa.Table":
+        tabs = []
+        for p, i in zip(batch["path"], batch["batch"]):
+            with pa.memory_map(str(p), "rb") as f:
+                t = pa.Table.from_batches(
+                    [pa.ipc.open_file(f).get_batch(int(i))])
+            tabs.append(t.select(columns) if columns else t)
+        return pa.concat_tables(tabs)
+
+    units = _one_block_per_unit(
+        rd.from_items([{"path": p} for p in files])
+        .map_batches(batches, batch_format="numpy"))
+    return units.map_batches(read_batch, batch_format="numpy",
+                             batch_size=1, **kw)
+
+
+def _shard_name(t, prefix: str, ext: str) -> str:
+    """Deterministic, collision-resistant shard file name from batch
+    content (first/last row of the first column + row count) — stable
+    across retries so a re-executed write task overwrites its own shard
+    instead of duplicating it."""
+    import hashlib
+
+    col = t.column(0)
+    probe = f"{t.num_rows}|{col[0]}|{col[-1]}" if t.num_rows else "empty"
+    h = hashlib.md5(probe.encode()).hexdigest()[:16]
+    return f"{prefix}-{h}.{ext}"
+
+
+def write_orc(ds: rd.Dataset, out_dir: str,
+              stripe_size: int | None = None) -> list[str]:
+    """Distributed ORC sink: each block writes one ``.orc`` shard
+    (content-hash named → idempotent under task retry).  Returns the
+    shard paths from the collected manifest (file count ∝ blocks, tiny)."""
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(t: "pa.Table") -> "pa.Table":
+        from pyarrow import orc
+        if t.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        p = os.path.join(out_dir, _shard_name(t, "shard", "orc"))
+        kw = {"stripe_size": stripe_size} if stripe_size else {}
+        orc.write_table(t, p, **kw)
+        return pa.table({"shard": [p], "rows": [t.num_rows]})
+
+    man = ds.map_batches(write_shard, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    # 0-row Dataset.to_pandas() drops all columns (ROUND_NOTES gotcha)
+    return sorted(man["shard"].tolist()) if "shard" in man.columns else []
+
+
+def write_ipc(ds: rd.Dataset, out_dir: str,
+              max_chunk_rows: int = 65_536) -> list[str]:
+    """Distributed Arrow IPC sink: one ``.arrow`` shard per block,
+    chunked into ``max_chunk_rows`` record batches so readers get
+    batch-level parallelism back."""
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        p = os.path.join(out_dir, _shard_name(t, "shard", "arrow"))
+        with pa.OSFile(p, "wb") as f, \
+                pa.ipc.new_file(f, t.schema) as w:
+            for b in t.to_batches(max_chunksize=max_chunk_rows):
+                w.write_batch(b)
+        return pa.table({"shard": [p], "rows": [t.num_rows]})
+
+    man = ds.map_batches(write_shard, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    # 0-row Dataset.to_pandas() drops all columns (ROUND_NOTES gotcha)
+    return sorted(man["shard"].tolist()) if "shard" in man.columns else []
