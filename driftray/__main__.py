@@ -9,6 +9,8 @@ Commands:
   schema    --input PATH [--out DIR] [--spec CFG.json]
   profile   --input PATH [--columns a,b,c]
   compact   --input DIR --out DIR [--target-mb N] [--partition-col k]
+  snapshot  log|compact|expire|head --table DIR [--version N]
+            [--keep-last N] [--target-mb N]
 """
 
 from __future__ import annotations
@@ -69,6 +71,14 @@ def main(argv=None) -> int:
     co.add_argument("--target-mb", type=int, default=128)
     co.add_argument("--partition-col")
 
+    sn = sub.add_parser("snapshot", help="snapshot-versioned table ops: "
+                        "log / compact / expire / show a pinned version")
+    sn.add_argument("action", choices=["log", "compact", "expire", "head"])
+    sn.add_argument("--table", required=True)
+    sn.add_argument("--version", type=int, help="pin for 'head'")
+    sn.add_argument("--keep-last", type=int, default=2)
+    sn.add_argument("--target-mb", type=int, default=128)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "validate":
@@ -117,6 +127,26 @@ def main(argv=None) -> int:
                                  partition_col=args.partition_col)
         for row in rep.to_dict("records"):
             print(json.dumps(row))
+    elif args.cmd == "snapshot":
+        from driftray.ops.snapshots import (expire_snapshots, read_version,
+                                            snapshot_compact, snapshot_log)
+
+        if args.action == "log":
+            for row in snapshot_log(args.table):
+                print(json.dumps(row))
+        elif args.action == "compact":
+            _init_ray()
+            version, rep = snapshot_compact(args.table,
+                                            target_mb=args.target_mb)
+            print(json.dumps({"version": version, **rep}))
+        elif args.action == "expire":
+            print(json.dumps(expire_snapshots(args.table,
+                                              keep_last=args.keep_last)))
+        else:  # head: row count + schema of a pinned version
+            _init_ray()
+            ds = read_version(args.table, args.version)
+            print(json.dumps({"version": args.version, "rows": ds.count(),
+                              "schema": str(ds.schema())}))
     elif args.cmd == "schema":
         # footer-only: no Ray session needed at any input size
         from driftray.schema_drift import (record_and_diff, snapshot_schema,

@@ -3454,6 +3454,45 @@ def q191_ipc_roundtrip(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q192_time_travel(sf_dir: str):
+    """Snapshot-versioned table end-to-end (`ops/snapshots.py`): three
+    atomic commits — append one-third of documents, append the rest,
+    copy-on-write DELETE of short docs — then the same aggregate read
+    back AT EACH PINNED VERSION.  Time travel must reproduce exactly
+    what SQL computes over the equivalent row subsets; the delete is
+    file-granular (untouched files carried by reference, verified in
+    tests/test_snapshots.py)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..ops.snapshots import (read_version, snapshot_append,
+                                 snapshot_delete_where)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    tbl = tempfile.mkdtemp(prefix="driftray_snap_")
+    try:
+        def third(t, want: bool):
+            m = (t["doc_id"].to_numpy(zero_copy_only=False) % 3) == 0
+            return t.filter(pa.array(m if want else ~m))
+
+        snapshot_append(tbl, docs.map_batches(
+            lambda t: third(t, True), batch_format="pyarrow"))
+        snapshot_append(tbl, docs.map_batches(
+            lambda t: third(t, False), batch_format="pyarrow"))
+        snapshot_delete_where(
+            tbl, lambda t: pc.less(t["n_chars"], pa.scalar(200)))
+        rows = []
+        for v in (1, 2, 3):
+            pdf = read_version(tbl, v, columns=["n_chars"]).to_pandas()
+            rows.append({"version": v, "n_docs": len(pdf),
+                         "total_chars": int(pdf["n_chars"].sum())})
+        return pd.DataFrame(rows)
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+
+
 def nq_gbdt_price(sf_dir: str):
     """Gradient-boosted stumps (`ops/ml.gbdt_stumps`, the histogram GBDT
     method): predict line price from quantity+discount.  One streaming
@@ -5261,6 +5300,17 @@ ORACLE_SQL["q155_csv_roundtrip"] = ORACLE_SQL["q154_jsonl_roundtrip"]
 ORACLE_SQL["q190_orc_roundtrip"] = ORACLE_SQL["q154_jsonl_roundtrip"]
 ORACLE_SQL["q191_ipc_roundtrip"] = ORACLE_SQL["q154_jsonl_roundtrip"]
 
+ORACLE_SQL["q192_time_travel"] = """
+    SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE n_chars >= 200"""
+
 def q156_phash_dedup(sf_dir: str):
     """Perceptual-hash image near-dup clustering over REAL PNG bytes:
     30 deterministic smooth base images, each with a noise+brightness
@@ -6881,6 +6931,7 @@ SQL_QUERIES = {
     "q189_bloom_point_lookup": q189_bloom_point_lookup,
     "q190_orc_roundtrip": q190_orc_roundtrip,
     "q191_ipc_roundtrip": q191_ipc_roundtrip,
+    "q192_time_travel": q192_time_travel,
     # q128/q129 intentionally LAST among the not-yet-attested block:
     # the driver snapshots only the first 50 queries() entries, and
     # these two check-family variants share their engine code path with
