@@ -13,6 +13,9 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pyarrow as pa
+
+import ray
 import ray.data as rd
 
 _READERS: dict[str, Callable[..., rd.Dataset]] = {}
@@ -322,38 +325,66 @@ def _list_files(path: str, suffixes: tuple[str, ...]) -> list[str]:
     return out
 
 
-def _one_block_per_unit(units: rd.Dataset, cap: int = 512) -> rd.Dataset:
+def _one_block_per_unit(units: rd.Dataset, cap: int = 512,
+                        target_bytes: int = 8 * 1024 * 1024,
+                        target_rows: int = 100_000) -> rd.Dataset:
     """map_batches parallelism is per BLOCK: a units table that arrives as
-    one block would serialize every stripe/batch read into one task.
-    The units table is metadata-scale (one row per stripe), so counting
-    it is cheap; repartition to ≤``cap`` blocks so each read task gets
-    ~one unit and the streaming executor fans out."""
-    n = units.count()
-    return units.repartition(max(1, min(n, cap)))
+    one block would serialize every stripe/batch read into one task,
+    while one block PER unit over thousands of small files drowns the
+    read in per-task overhead.  The units table is metadata-scale (one
+    row per stripe/record batch, with ``approx_bytes`` and ``rows``
+    estimates), so sizing it on the driver is cheap: repartition so each
+    read task gets ~``target_bytes`` of input AND ~``target_rows`` rows
+    (decode is CPU-bound, so row count matters as much as bytes),
+    clamped to [1, min(#units, cap)].  Units of the same file sort
+    adjacent so a task usually opens each file once."""
+    import pyarrow.compute as pc
+
+    t = pa.concat_tables(ray.get(units.to_arrow_refs()))
+    n = t.num_rows
+    if n == 0:
+        return rd.from_arrow(t)
+    total = pc.sum(t["approx_bytes"]).as_py() or 0
+    rows = pc.sum(t["rows"]).as_py() or 0
+    k = max(-(-total // target_bytes), -(-rows // target_rows))  # ceil
+    k = int(max(1, min(n, cap, max(1, k))))
+    return rd.from_arrow(t.sort_by("path")).repartition(k)
 
 
 @register_source("orc")
-def read_orc(path: str, columns=None, **kw) -> rd.Dataset:
-    """ORC file/directory → Dataset, one read task per stripe."""
+def read_orc(path: str, columns=None,
+             target_unit_bytes: int = 64 * 1024 * 1024,
+             **kw) -> rd.Dataset:
+    """ORC file/directory → Dataset; stripes are the split units,
+    coalesced to ~``target_unit_bytes`` of input per read task."""
     import pyarrow as pa
 
     files = _list_files(path, (".orc",))
 
     def stripes(batch) -> "pa.Table":
         from pyarrow import orc
-        ps, ss = [], []
+        ps, ss, bs, rs = [], [], [], []
         for p in batch["path"]:
-            n = orc.ORCFile(str(p)).nstripes
+            f = orc.ORCFile(str(p))
+            n = f.nstripes
+            per = os.path.getsize(str(p)) // max(1, n)
+            rows = f.nrows // max(1, n)
             ps.extend([str(p)] * n)
             ss.extend(range(n))
+            bs.extend([per] * n)
+            rs.extend([rows] * n)
         return pa.table({"path": pa.array(ps, pa.string()),
-                         "stripe": pa.array(ss, pa.int64())})
+                         "stripe": pa.array(ss, pa.int64()),
+                         "approx_bytes": pa.array(bs, pa.int64()),
+                         "rows": pa.array(rs, pa.int64())})
 
     def read_stripe(batch) -> "pa.Table":
         from pyarrow import orc
-        parts = []
+        parts, handle, hpath = [], None, None
         for p, s in zip(batch["path"], batch["stripe"]):
-            b = orc.ORCFile(str(p)).read_stripe(int(s), columns=columns)
+            if str(p) != hpath:                 # units arrive path-sorted
+                hpath, handle = str(p), orc.ORCFile(str(p))
+            b = handle.read_stripe(int(s), columns=columns)
             # read_stripe yields a RecordBatch; normalize to batches
             parts.extend([b] if isinstance(b, pa.RecordBatch)
                          else b.to_batches())
@@ -361,43 +392,60 @@ def read_orc(path: str, columns=None, **kw) -> rd.Dataset:
 
     units = _one_block_per_unit(
         rd.from_items([{"path": p} for p in files])
-        .map_batches(stripes, batch_format="numpy"))
+        .map_batches(stripes, batch_format="numpy"),
+        target_bytes=target_unit_bytes)
     return units.map_batches(read_stripe, batch_format="numpy",
-                             batch_size=1, **kw)
+                             batch_size=None, **kw)
 
 
 @register_source("ipc")
-def read_ipc(path: str, columns=None, **kw) -> rd.Dataset:
-    """Arrow IPC/Feather file/directory → Dataset, one read task per
-    record batch (the IPC file format supports random batch access)."""
+def read_ipc(path: str, columns=None,
+             target_unit_bytes: int = 64 * 1024 * 1024,
+             **kw) -> rd.Dataset:
+    """Arrow IPC/Feather file/directory → Dataset; record batches are
+    the split units (the IPC file format supports random batch access),
+    coalesced to ~``target_unit_bytes`` of input per read task."""
     import pyarrow as pa
 
     files = _list_files(path, (".arrow", ".ipc", ".feather"))
 
     def batches(batch) -> "pa.Table":
-        ps, bs = [], []
+        ps, bs, zs, rs = [], [], [], []
         for p in batch["path"]:
             with pa.OSFile(str(p), "rb") as f:
                 n = pa.ipc.open_file(f).num_record_batches
+            per = os.path.getsize(str(p)) // max(1, n)
+            # IPC is uncompressed on disk: bytes track memory, and rows
+            # are not in the footer — approximate 8 B/cell
+            ncols = 1
+            with pa.OSFile(str(p), "rb") as f:
+                ncols = max(1, len(pa.ipc.open_file(f).schema))
             ps.extend([str(p)] * n)
             bs.extend(range(n))
+            zs.extend([per] * n)
+            rs.extend([per // (8 * ncols)] * n)
         return pa.table({"path": pa.array(ps, pa.string()),
-                         "batch": pa.array(bs, pa.int64())})
+                         "batch": pa.array(bs, pa.int64()),
+                         "approx_bytes": pa.array(zs, pa.int64()),
+                         "rows": pa.array(rs, pa.int64())})
 
     def read_batch(batch) -> "pa.Table":
-        tabs = []
+        tabs, reader, hpath, mm = [], None, None, None
         for p, i in zip(batch["path"], batch["batch"]):
-            with pa.memory_map(str(p), "rb") as f:
-                t = pa.Table.from_batches(
-                    [pa.ipc.open_file(f).get_batch(int(i))])
+            if str(p) != hpath:                 # units arrive path-sorted
+                hpath = str(p)
+                mm = pa.memory_map(hpath, "rb")
+                reader = pa.ipc.open_file(mm)
+            t = pa.Table.from_batches([reader.get_batch(int(i))])
             tabs.append(t.select(columns) if columns else t)
         return pa.concat_tables(tabs)
 
     units = _one_block_per_unit(
         rd.from_items([{"path": p} for p in files])
-        .map_batches(batches, batch_format="numpy"))
+        .map_batches(batches, batch_format="numpy"),
+        target_bytes=target_unit_bytes)
     return units.map_batches(read_batch, batch_format="numpy",
-                             batch_size=1, **kw)
+                             batch_size=None, **kw)
 
 
 def _shard_name(t, prefix: str, ext: str) -> str:

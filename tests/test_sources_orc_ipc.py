@@ -66,7 +66,8 @@ def test_single_big_file_splits_into_many_read_units(tmp_path):
     orc_path = str(tmp_path / "big.orc")
     porc.write_table(t, orc_path, stripe_size=64 * 1024)
     assert porc.ORCFile(orc_path).nstripes > 4
-    ds = read_orc(orc_path)
+    # target_unit_bytes small enough that this test file counts as "big"
+    ds = read_orc(orc_path, target_unit_bytes=32 * 1024)
     assert ds.count() == n
     assert ds.materialize().num_blocks() > 4
 
@@ -74,9 +75,11 @@ def test_single_big_file_splits_into_many_read_units(tmp_path):
     with pa.OSFile(ipc_path, "wb") as f, pa.ipc.new_file(f, t.schema) as w:
         for b in t.to_batches(max_chunksize=20_000):
             w.write_batch(b)
-    ds2 = read_ipc(ipc_path)
+    ds2 = read_ipc(ipc_path, target_unit_bytes=256 * 1024)
     assert ds2.count() == n
     assert ds2.materialize().num_blocks() > 4
+    # default coalescing: a small file collapses to few read tasks
+    assert read_ipc(ipc_path).materialize().num_blocks() <= 2
 
 
 def test_shard_names_deterministic(docs_ds, tmp_path):
